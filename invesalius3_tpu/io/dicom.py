@@ -1,0 +1,507 @@
+"""Pure-Python DICOM reader: Part-10 parser, series grouping, and volume
+assembly.
+
+Replaces the reference's GDCM-based stack (reference
+invesalius/reader/dicom.py ``Parser``, dicom_reader.py ``yGetDicomGroups``
+:245 / ``LoadDicom`` :86, dicom_grouper.py ``DicomPatientGrouper`` :340 —
+grouping by patient/series/orientation with z-spacing from consecutive
+ImagePositionPatient and mixed-series splitting) and imagedata_utils
+``dcm2memmap``/``dcmmf2memmap`` :419/:463 which materialize the voxel
+volume.
+
+Scope: implicit/explicit VR little endian, single- and multi-frame,
+MONOCHROME1/2, rescale slope/intercept; compressed transfer syntaxes are
+detected and rejected with a clear error (the env has no JPEG codecs).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+# transfer syntaxes
+IMPLICIT_VR_LE = "1.2.840.10008.1.2"
+EXPLICIT_VR_LE = "1.2.840.10008.1.2.1"
+EXPLICIT_VR_BE = "1.2.840.10008.1.2.2"
+DEFLATED_LE = "1.2.840.10008.1.2.1.99"
+
+_LONG_VRS = {b"OB", b"OW", b"OF", b"OD", b"OL", b"SQ", b"UT", b"UN", b"UC", b"UR", b"OV"}
+
+# tags we materialize (group, element) -> name
+TAGS = {
+    (0x0008, 0x0018): "SOPInstanceUID",
+    (0x0008, 0x0060): "Modality",
+    (0x0008, 0x103E): "SeriesDescription",
+    (0x0008, 0x0020): "StudyDate",
+    (0x0008, 0x0030): "StudyTime",
+    (0x0010, 0x0010): "PatientName",
+    (0x0010, 0x0020): "PatientID",
+    (0x0018, 0x0050): "SliceThickness",
+    (0x0018, 0x0088): "SpacingBetweenSlices",
+    (0x0018, 0x1120): "GantryDetectorTilt",
+    (0x0020, 0x000D): "StudyInstanceUID",
+    (0x0020, 0x000E): "SeriesInstanceUID",
+    (0x0020, 0x0011): "SeriesNumber",
+    (0x0020, 0x0013): "InstanceNumber",
+    (0x0020, 0x0032): "ImagePositionPatient",
+    (0x0020, 0x0037): "ImageOrientationPatient",
+    (0x0028, 0x0002): "SamplesPerPixel",
+    (0x0028, 0x0004): "PhotometricInterpretation",
+    (0x0028, 0x0008): "NumberOfFrames",
+    (0x0028, 0x0010): "Rows",
+    (0x0028, 0x0011): "Columns",
+    (0x0028, 0x0030): "PixelSpacing",
+    (0x0028, 0x0100): "BitsAllocated",
+    (0x0028, 0x0101): "BitsStored",
+    (0x0028, 0x0103): "PixelRepresentation",
+    (0x0028, 0x1050): "WindowCenter",
+    (0x0028, 0x1051): "WindowWidth",
+    (0x0028, 0x1052): "RescaleIntercept",
+    (0x0028, 0x1053): "RescaleSlope",
+}
+PIXEL_DATA = (0x7FE0, 0x0010)
+
+_NUMERIC = {
+    "SliceThickness", "SpacingBetweenSlices", "GantryDetectorTilt",
+    "RescaleIntercept", "RescaleSlope", "SeriesNumber", "InstanceNumber",
+    "SamplesPerPixel", "NumberOfFrames", "WindowCenter", "WindowWidth",
+}
+_NUMERIC_LIST = {"ImagePositionPatient", "ImageOrientationPatient", "PixelSpacing"}
+
+
+class DicomError(ValueError):
+    pass
+
+
+@dataclass
+class DicomFile:
+    path: str
+    tags: Dict[str, object] = field(default_factory=dict)
+    pixel_offset: int = -1
+    pixel_length: int = 0
+    transfer_syntax: str = EXPLICIT_VR_LE
+    _pixels: Optional[np.ndarray] = None
+
+    def get(self, name, default=None):
+        return self.tags.get(name, default)
+
+    # -- pixel decoding ------------------------------------------------------
+    def pixel_array(self) -> np.ndarray:
+        """Decode raw pixel data -> (frames, rows, cols) or (rows, cols)."""
+        if self._pixels is not None:
+            return self._pixels
+        if self.pixel_offset < 0:
+            raise DicomError(f"{self.path}: no PixelData")
+        bits = int(self.get("BitsAllocated", 16))
+        signed = int(self.get("PixelRepresentation", 0)) == 1
+        rows = int(self.get("Rows"))
+        cols = int(self.get("Columns"))
+        spp = int(self.get("SamplesPerPixel", 1))
+        frames = int(self.get("NumberOfFrames", 1) or 1)
+        if bits == 16:
+            dtype = np.int16 if signed else np.uint16
+        elif bits == 8:
+            dtype = np.int8 if signed else np.uint8
+        elif bits == 32:
+            dtype = np.int32 if signed else np.uint32
+        else:
+            raise DicomError(f"{self.path}: unsupported BitsAllocated={bits}")
+        count = rows * cols * spp * frames
+        with open(self.path, "rb") as f:
+            f.seek(self.pixel_offset)
+            buf = f.read(count * np.dtype(dtype).itemsize)
+        arr = np.frombuffer(buf, dtype=dtype, count=count)
+        if spp > 1:  # RGB etc -> luminance
+            arr = arr.reshape(-1, spp).mean(axis=1).astype(dtype)
+        arr = arr.reshape((frames, rows, cols)) if frames > 1 else arr.reshape((rows, cols))
+        self._pixels = arr
+        return arr
+
+    def rescaled_slice(self) -> np.ndarray:
+        """Pixels with modality rescale applied, int16 (the reference
+        materializes int16 HU volumes — imagedata_utils.py:419-496)."""
+        arr = self.pixel_array().astype(np.float32)
+        slope = float(self.get("RescaleSlope", 1.0) or 1.0)
+        inter = float(self.get("RescaleIntercept", 0.0) or 0.0)
+        arr = arr * slope + inter
+        if str(self.get("PhotometricInterpretation", "")).strip() == "MONOCHROME1":
+            arr = arr.max() - arr  # invert
+        return np.clip(arr, -32768, 32767).astype(np.int16)
+
+
+def _parse_elements(buf: bytes, start: int, explicit: bool, want_pixels: bool,
+                    file_offset: int = 0):
+    """Walk a dataset, returning (tags dict, pixel_offset, pixel_len)."""
+    tags: Dict[str, object] = {}
+    pos = start
+    n = len(buf)
+    pixel_offset = -1
+    pixel_len = 0
+    while pos + 8 <= n:
+        group, elem = struct.unpack_from("<HH", buf, pos)
+        pos += 4
+        if (group, elem) == (0xFFFE, 0xE00D) or (group, elem) == (0xFFFE, 0xE0DD):
+            pos += 4
+            continue
+        if explicit and group != 0xFFFE:
+            vr = buf[pos : pos + 2]
+            if vr in _LONG_VRS:
+                (length,) = struct.unpack_from("<I", buf, pos + 4)
+                pos += 8
+            else:
+                (length,) = struct.unpack_from("<H", buf, pos + 2)
+                pos += 4
+        else:
+            vr = b"UN"
+            (length,) = struct.unpack_from("<I", buf, pos)
+            pos += 4
+
+        if (group, elem) == PIXEL_DATA:
+            if length == 0xFFFFFFFF:
+                raise DicomError("encapsulated (compressed) PixelData not supported")
+            pixel_offset = file_offset + pos
+            pixel_len = length
+            pos += length
+            continue
+
+        is_sq = vr == b"SQ" or (length == 0xFFFFFFFF)
+        if is_sq:
+            if length == 0xFFFFFFFF:
+                pos = _skip_undefined_sequence(buf, pos)
+            else:
+                pos += length
+            continue
+
+        name = TAGS.get((group, elem))
+        if name is not None:
+            raw = buf[pos : pos + length]
+            tags[name] = _decode_value(name, vr, raw)
+        pos += length
+    return tags, pixel_offset, pixel_len
+
+
+def _skip_undefined_sequence(buf: bytes, pos: int) -> int:
+    """Skip items until the sequence delimitation item."""
+    depth = 1
+    n = len(buf)
+    while pos + 8 <= n and depth > 0:
+        group, elem = struct.unpack_from("<HH", buf, pos)
+        (length,) = struct.unpack_from("<I", buf, pos + 4)
+        pos += 8
+        if (group, elem) == (0xFFFE, 0xE000):  # item
+            if length == 0xFFFFFFFF:
+                depth += 1
+            else:
+                pos += length
+        elif (group, elem) == (0xFFFE, 0xE00D):  # item delimiter
+            pass
+        elif (group, elem) == (0xFFFE, 0xE0DD):  # sequence delimiter
+            depth -= 1
+        else:
+            # nested undefined-length element inside an item
+            if length == 0xFFFFFFFF:
+                depth += 1
+            else:
+                pos += length
+    return pos
+
+
+def _decode_value(name: str, vr: bytes, raw: bytes):
+    if name in ("Rows", "Columns", "BitsAllocated", "BitsStored", "PixelRepresentation",
+                "SamplesPerPixel") and len(raw) >= 2:
+        return struct.unpack_from("<H", raw, 0)[0]
+    text = raw.decode("latin-1", errors="replace").strip("\x00 ").strip()
+    if name in _NUMERIC:
+        try:
+            # multi-valued numerics (e.g. WindowCenter "40\400") -> first
+            return float(text.split("\\")[0])
+        except ValueError:
+            return None
+    if name in _NUMERIC_LIST:
+        try:
+            return [float(t) for t in text.split("\\")]
+        except ValueError:
+            return None
+    return text
+
+
+def read_dicom(path) -> DicomFile:
+    """Parse one DICOM file's header (pixels decoded lazily)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if len(data) < 140:
+        raise DicomError(f"{path}: too small")
+    if data[128:132] == b"DICM":
+        # file meta group is always explicit VR LE
+        pos = 132
+        meta, _, _ = _parse_file_meta(data, pos)
+        ts = meta.get("TransferSyntaxUID", EXPLICIT_VR_LE)
+        body_start = meta["_end"]
+    else:
+        ts = None
+        body_start = 0
+
+    if ts in (None, IMPLICIT_VR_LE, EXPLICIT_VR_LE):
+        explicit = _looks_explicit(data, body_start) if ts is None else (ts == EXPLICIT_VR_LE)
+    elif ts == DEFLATED_LE:
+        import zlib
+
+        data = data[:body_start] + zlib.decompress(data[body_start:], -15)
+        explicit = True
+    elif ts == EXPLICIT_VR_BE:
+        raise DicomError(f"{path}: big-endian transfer syntax not supported")
+    else:
+        raise DicomError(f"{path}: compressed transfer syntax {ts} not supported "
+                         "(decompress with dcmdjpeg/gdcmconv first)")
+
+    tags, pix_off, pix_len = _parse_elements(data, body_start, explicit, True)
+    d = DicomFile(path=str(path), tags=tags, pixel_offset=pix_off,
+                  pixel_length=pix_len, transfer_syntax=ts or (EXPLICIT_VR_LE if explicit else IMPLICIT_VR_LE))
+    return d
+
+
+def _parse_file_meta(data: bytes, pos: int):
+    """Parse group 0002 (explicit VR LE); returns dict incl '_end'."""
+    meta: Dict[str, object] = {}
+    n = len(data)
+    while pos + 8 <= n:
+        group, elem = struct.unpack_from("<HH", data, pos)
+        if group != 0x0002:
+            break
+        vr = data[pos + 4 : pos + 6]
+        if vr in _LONG_VRS:
+            (length,) = struct.unpack_from("<I", data, pos + 8)
+            val_pos = pos + 12
+        else:
+            (length,) = struct.unpack_from("<H", data, pos + 6)
+            val_pos = pos + 8
+        if (group, elem) == (0x0002, 0x0010):
+            meta["TransferSyntaxUID"] = (
+                data[val_pos : val_pos + length].decode("ascii", errors="replace").strip("\x00 ")
+            )
+        pos = val_pos + length
+    meta["_end"] = pos
+    return meta, None, None
+
+
+def _looks_explicit(data: bytes, pos: int) -> bool:
+    vr = data[pos + 4 : pos + 6]
+    return vr.isalpha() and vr.isupper()
+
+
+def is_dicom(path) -> bool:
+    try:
+        with open(path, "rb") as f:
+            head = f.read(132)
+        if head[128:132] == b"DICM":
+            return True
+        # headerless: first tag should be a small group number
+        if len(head) >= 4:
+            group = struct.unpack_from("<H", head, 0)[0]
+            return group in (0x0002, 0x0008)
+    except OSError:
+        return False
+    return False
+
+
+# ---------------------------------------------------------------------------
+# Grouping (reference dicom_grouper.py semantics)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class DicomGroup:
+    """One coherent stack of slices (a renderable series)."""
+
+    key: tuple
+    files: List[DicomFile] = field(default_factory=list)
+
+    @property
+    def title(self) -> str:
+        f = self.files[0]
+        return f"{f.get('PatientName', '?')} / {f.get('SeriesDescription', '') or f.get('SeriesInstanceUID', '?')}"
+
+    def sorted_files(self) -> List[DicomFile]:
+        """Sort by position along the slice normal (the clinically-correct
+        order — reference dicom_grouper.py:161), falling back to
+        InstanceNumber."""
+        files = self.files
+        f0 = files[0]
+        iop = f0.get("ImageOrientationPatient")
+        if iop and all(f.get("ImagePositionPatient") for f in files):
+            r = np.asarray(iop[:3])
+            c = np.asarray(iop[3:])
+            normal = np.cross(r, c)
+            return sorted(files, key=lambda f: float(np.dot(normal, f.get("ImagePositionPatient"))))
+        return sorted(files, key=lambda f: (f.get("InstanceNumber") or 0))
+
+    def z_spacing(self) -> float:
+        files = self.sorted_files()
+        if len(files) >= 2:
+            p0 = files[0].get("ImagePositionPatient")
+            p1 = files[1].get("ImagePositionPatient")
+            if p0 and p1:
+                d = float(np.linalg.norm(np.asarray(p1) - np.asarray(p0)))
+                if d > 0:
+                    return d
+        f = files[0]
+        return float(f.get("SpacingBetweenSlices") or f.get("SliceThickness") or 1.0)
+
+
+def group_dicom_files(files: List[DicomFile]) -> List[DicomGroup]:
+    """Group by patient / series / orientation / shape (reference
+    DicomPatientGrouper + FixProblem1 split of mixed series)."""
+    groups: Dict[tuple, DicomGroup] = {}
+    for f in files:
+        iop = f.get("ImageOrientationPatient")
+        iop_key = tuple(round(x, 3) for x in iop) if iop else None
+        key = (
+            f.get("PatientID"),
+            f.get("StudyInstanceUID"),
+            f.get("SeriesInstanceUID"),
+            iop_key,
+            f.get("Rows"),
+            f.get("Columns"),
+        )
+        groups.setdefault(key, DicomGroup(key=key)).files.append(f)
+    return list(groups.values())
+
+
+def scan_directory(directory, recursive: bool = True) -> Iterator[DicomFile]:
+    """Walk a directory yielding parsed DICOM files (reference
+    yGetDicomGroups os.walk)."""
+    walker = os.walk(directory) if recursive else [(directory, [], os.listdir(directory))]
+    for root, _dirs, names in walker:
+        for name in sorted(names):
+            p = Path(root) / name
+            if not p.is_file() or not is_dicom(p):
+                continue
+            try:
+                yield read_dicom(p)
+            except DicomError:
+                continue
+
+
+def load_dicom_dir(directory) -> List[DicomGroup]:
+    return group_dicom_files(list(scan_directory(directory)))
+
+
+# ---------------------------------------------------------------------------
+# Volume assembly (reference imagedata_utils.dcm2memmap/dcmmf2memmap)
+# ---------------------------------------------------------------------------
+
+
+def group_to_volume(group: DicomGroup):
+    """Assemble a group into ((Z, Y, X) int16 array, spacing (sx, sy, sz),
+    affine 4x4)."""
+    files = group.sorted_files()
+    f0 = files[0]
+    frames = int(f0.get("NumberOfFrames", 1) or 1)
+    if len(files) == 1 and frames > 1:
+        data = files[0].rescaled_slice()
+        if data.ndim == 2:
+            data = data[None]
+    else:
+        slices = [f.rescaled_slice() for f in files]
+        data = np.stack(slices)
+
+    ps = f0.get("PixelSpacing") or [1.0, 1.0]
+    sy, sx = float(ps[0]), float(ps[1])  # PixelSpacing is row\col
+    sz = group.z_spacing()
+    spacing = (sx, sy, sz)
+
+    affine = np.eye(4)
+    iop = f0.get("ImageOrientationPatient")
+    ipp = f0.get("ImagePositionPatient")
+    if iop and ipp:
+        r = np.asarray(iop[:3])
+        c = np.asarray(iop[3:])
+        normal = np.cross(r, c)
+        affine[:3, 0] = r * sx
+        affine[:3, 1] = c * sy
+        affine[:3, 2] = normal * sz
+        affine[:3, 3] = ipp
+    else:
+        affine = np.diag([sx, sy, sz, 1.0])
+    return data, spacing, affine
+
+
+# ---------------------------------------------------------------------------
+# Minimal writer (explicit VR LE) — used for tests and mask/volume export
+# ---------------------------------------------------------------------------
+
+_WRITE_VRS = {
+    "SOPInstanceUID": "UI", "Modality": "CS", "SeriesDescription": "LO",
+    "StudyDate": "DA", "StudyTime": "TM", "PatientName": "PN",
+    "PatientID": "LO", "SliceThickness": "DS", "SpacingBetweenSlices": "DS",
+    "GantryDetectorTilt": "DS", "StudyInstanceUID": "UI",
+    "SeriesInstanceUID": "UI", "SeriesNumber": "IS", "InstanceNumber": "IS",
+    "ImagePositionPatient": "DS", "ImageOrientationPatient": "DS",
+    "SamplesPerPixel": "US", "PhotometricInterpretation": "CS",
+    "NumberOfFrames": "IS", "Rows": "US", "Columns": "US",
+    "PixelSpacing": "DS", "BitsAllocated": "US", "BitsStored": "US",
+    "PixelRepresentation": "US", "RescaleIntercept": "DS",
+    "RescaleSlope": "DS", "WindowCenter": "DS", "WindowWidth": "DS",
+}
+_TAG_BY_NAME = {v: k for k, v in TAGS.items()}
+
+
+def _encode_element(group: int, elem: int, vr: str, value) -> bytes:
+    if vr == "US":
+        payload = struct.pack("<H", int(value))
+    elif vr in ("DS", "IS"):
+        if isinstance(value, (list, tuple)):
+            text = "\\".join(f"{v:g}" if vr == "DS" else str(int(v)) for v in value)
+        else:
+            text = f"{value:g}" if vr == "DS" else str(int(value))
+        payload = text.encode("ascii")
+    else:
+        payload = str(value).encode("latin-1")
+    if len(payload) % 2:
+        payload += b"\x00" if vr == "UI" else b" "
+    head = struct.pack("<HH2sH", group, elem, vr.encode(), len(payload))
+    return head + payload
+
+
+def write_dicom(path, pixels: "np.ndarray", tags: dict) -> None:
+    """Write a single-frame int16/uint16/uint8 DICOM (explicit VR LE)."""
+    pixels = np.ascontiguousarray(pixels)
+    assert pixels.ndim == 2
+    bits = pixels.dtype.itemsize * 8
+    all_tags = dict(tags)
+    all_tags.setdefault("Rows", pixels.shape[0])
+    all_tags.setdefault("Columns", pixels.shape[1])
+    all_tags.setdefault("BitsAllocated", bits)
+    all_tags.setdefault("BitsStored", bits)
+    all_tags.setdefault("PixelRepresentation", 1 if pixels.dtype.kind == "i" else 0)
+    all_tags.setdefault("SamplesPerPixel", 1)
+    all_tags.setdefault("PhotometricInterpretation", "MONOCHROME2")
+
+    # file meta group (0002): just the transfer syntax + required UIDs
+    def meta_el(elem, vr, value):
+        payload = str(value).encode("ascii")
+        if len(payload) % 2:
+            payload += b"\x00"
+        return struct.pack("<HH2sH", 0x0002, elem, vr.encode(), len(payload)) + payload
+
+    meta_body = meta_el(0x0010, "UI", EXPLICIT_VR_LE)
+    meta_len = struct.pack("<HH2sHI", 0x0002, 0x0000, b"UL", 4, len(meta_body))
+
+    body = b""
+    for name in sorted(_TAG_BY_NAME, key=lambda n: _TAG_BY_NAME[n]):
+        if name in all_tags and all_tags[name] is not None:
+            g, e = _TAG_BY_NAME[name]
+            body += _encode_element(g, e, _WRITE_VRS[name], all_tags[name])
+    pix = pixels.tobytes()
+    vr = b"OW" if bits == 16 else b"OB"
+    body += struct.pack("<HH2sHI", 0x7FE0, 0x0010, vr, 0, len(pix)) + pix
+
+    with open(path, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM")
+        f.write(meta_len + meta_body)
+        f.write(body)

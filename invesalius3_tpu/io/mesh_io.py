@@ -1,0 +1,347 @@
+"""Mesh file I/O: STL (binary + ASCII), PLY, OBJ, VTP (VTK XML PolyData),
+X3D, and 3MF writers plus STL/PLY/OBJ readers.
+
+Covers the reference's exporter surface (reference
+invesalius/data/surface.py:1647-1726 ``OnExportSurface`` writes STL
+ascii/binary, PLY, OBJ, VRML, X3D, 3MF, Inventor, VTP via VTK writers and
+lib3mf) without VTK: these are simple formats written directly with numpy.
+
+All writers take (vertices (V, 3) float, faces (F, 3) int) in world mm.
+"""
+
+from __future__ import annotations
+
+import struct
+import zipfile
+from pathlib import Path
+from typing import Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# STL
+# ---------------------------------------------------------------------------
+
+
+def _tri_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    p0, p1, p2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+    n = np.cross(p1 - p0, p2 - p0)
+    norm = np.linalg.norm(n, axis=1, keepdims=True)
+    return (n / np.where(norm == 0, 1.0, norm)).astype(np.float32)
+
+
+def write_stl(path, verts: np.ndarray, faces: np.ndarray, binary: bool = True,
+              name: str = "invesalius3_tpu") -> None:
+    verts = np.asarray(verts, np.float32)
+    faces = np.asarray(faces, np.int64)
+    normals = _tri_normals(verts, faces)
+    if binary:
+        with open(path, "wb") as f:
+            header = (name.encode()[:80]).ljust(80, b"\0")
+            f.write(header)
+            f.write(struct.pack("<I", len(faces)))
+            tri = np.zeros(len(faces), dtype=np.dtype(
+                [("n", "<f4", 3), ("v", "<f4", (3, 3)), ("attr", "<u2")]
+            ))
+            tri["n"] = normals
+            tri["v"] = verts[faces]
+            f.write(tri.tobytes())
+    else:
+        with open(path, "w") as f:
+            f.write(f"solid {name}\n")
+            tv = verts[faces]
+            for n, (a, b, c) in zip(normals, tv):
+                f.write(f" facet normal {n[0]:e} {n[1]:e} {n[2]:e}\n  outer loop\n")
+                f.write(f"   vertex {a[0]:e} {a[1]:e} {a[2]:e}\n")
+                f.write(f"   vertex {b[0]:e} {b[1]:e} {b[2]:e}\n")
+                f.write(f"   vertex {c[0]:e} {c[1]:e} {c[2]:e}\n")
+                f.write("  endloop\n endfacet\n")
+            f.write(f"endsolid {name}\n")
+
+
+def read_stl(path) -> Tuple[np.ndarray, np.ndarray]:
+    """Read STL (auto-detect binary/ascii); returns deduplicated
+    (verts, faces)."""
+    with open(path, "rb") as f:
+        head = f.read(5)
+    if head == b"solid":
+        # could still be binary with a 'solid' header; try ascii first
+        try:
+            return _read_stl_ascii(path)
+        except ValueError:
+            pass
+    return _read_stl_binary(path)
+
+
+def _read_stl_binary(path) -> Tuple[np.ndarray, np.ndarray]:
+    with open(path, "rb") as f:
+        f.seek(80)
+        (n,) = struct.unpack("<I", f.read(4))
+        dt = np.dtype([("n", "<f4", 3), ("v", "<f4", (3, 3)), ("attr", "<u2")])
+        tri = np.frombuffer(f.read(n * dt.itemsize), dtype=dt)
+    flat = tri["v"].reshape(-1, 3)
+    verts, inverse = np.unique(flat, axis=0, return_inverse=True)
+    return verts.astype(np.float32), inverse.reshape(-1, 3).astype(np.int32)
+
+
+def _read_stl_ascii(path) -> Tuple[np.ndarray, np.ndarray]:
+    pts = []
+    with open(path, "r", errors="replace") as f:
+        for line in f:
+            ls = line.strip()
+            if ls.startswith("vertex"):
+                parts = ls.split()
+                pts.append([float(parts[1]), float(parts[2]), float(parts[3])])
+    if not pts or len(pts) % 3:
+        raise ValueError("not a valid ascii STL")
+    flat = np.asarray(pts, np.float32)
+    verts, inverse = np.unique(flat, axis=0, return_inverse=True)
+    return verts, inverse.reshape(-1, 3).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# PLY
+# ---------------------------------------------------------------------------
+
+
+def write_ply(path, verts: np.ndarray, faces: np.ndarray, binary: bool = True) -> None:
+    verts = np.asarray(verts, np.float32)
+    faces = np.asarray(faces, np.int32)
+    fmt = "binary_little_endian" if binary else "ascii"
+    header = (
+        "ply\n"
+        f"format {fmt} 1.0\n"
+        "comment created by invesalius3_tpu\n"
+        f"element vertex {len(verts)}\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        f"element face {len(faces)}\n"
+        "property list uchar int vertex_indices\n"
+        "end_header\n"
+    )
+    if binary:
+        with open(path, "wb") as f:
+            f.write(header.encode())
+            f.write(verts.astype("<f4").tobytes())
+            rec = np.zeros(len(faces), dtype=np.dtype([("n", "u1"), ("v", "<i4", 3)]))
+            rec["n"] = 3
+            rec["v"] = faces
+            f.write(rec.tobytes())
+    else:
+        with open(path, "w") as f:
+            f.write(header)
+            for v in verts:
+                f.write(f"{v[0]} {v[1]} {v[2]}\n")
+            for t in faces:
+                f.write(f"3 {t[0]} {t[1]} {t[2]}\n")
+
+
+def read_ply(path) -> Tuple[np.ndarray, np.ndarray]:
+    with open(path, "rb") as f:
+        data = f.read()
+    head_end = data.index(b"end_header\n") + len(b"end_header\n")
+    header = data[:head_end].decode("ascii", errors="replace")
+    body = data[head_end:]
+    n_verts = n_faces = 0
+    binary = "binary_little_endian" in header
+    for line in header.splitlines():
+        if line.startswith("element vertex"):
+            n_verts = int(line.split()[-1])
+        elif line.startswith("element face"):
+            n_faces = int(line.split()[-1])
+    if binary:
+        verts = np.frombuffer(body, "<f4", n_verts * 3).reshape(-1, 3).copy()
+        off = n_verts * 12
+        rec = np.frombuffer(body, np.dtype([("n", "u1"), ("v", "<i4", 3)]), n_faces, offset=off)
+        faces = rec["v"].copy()
+    else:
+        lines = body.decode().splitlines()
+        verts = np.array([[float(x) for x in ln.split()[:3]] for ln in lines[:n_verts]], np.float32)
+        faces = np.array(
+            [[int(x) for x in ln.split()[1:4]] for ln in lines[n_verts : n_verts + n_faces]],
+            np.int32,
+        )
+    return verts.astype(np.float32), faces.astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# OBJ
+# ---------------------------------------------------------------------------
+
+
+def write_obj(path, verts: np.ndarray, faces: np.ndarray) -> None:
+    with open(path, "w") as f:
+        f.write("# created by invesalius3_tpu\n")
+        for v in np.asarray(verts):
+            f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        for t in np.asarray(faces):
+            f.write(f"f {t[0] + 1} {t[1] + 1} {t[2] + 1}\n")
+
+
+def read_obj(path) -> Tuple[np.ndarray, np.ndarray]:
+    verts, faces = [], []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("v "):
+                p = line.split()
+                verts.append([float(p[1]), float(p[2]), float(p[3])])
+            elif line.startswith("f "):
+                idx = [int(tok.split("/")[0]) - 1 for tok in line.split()[1:]]
+                for i in range(1, len(idx) - 1):  # fan-triangulate
+                    faces.append([idx[0], idx[i], idx[i + 1]])
+    return np.asarray(verts, np.float32), np.asarray(faces, np.int32)
+
+
+# ---------------------------------------------------------------------------
+# VTP (VTK XML PolyData, ascii) — enough for interchange with the reference
+# ---------------------------------------------------------------------------
+
+
+def write_vtp(path, verts: np.ndarray, faces: np.ndarray) -> None:
+    verts = np.asarray(verts, np.float32)
+    faces = np.asarray(faces, np.int64)
+    connectivity = " ".join(map(str, faces.ravel()))
+    offsets = " ".join(map(str, (np.arange(1, len(faces) + 1) * 3)))
+    points = " ".join(f"{x:g}" for x in verts.ravel())
+    with open(path, "w") as f:
+        f.write(
+            '<?xml version="1.0"?>\n'
+            '<VTKFile type="PolyData" version="0.1" byte_order="LittleEndian">\n'
+            " <PolyData>\n"
+            f'  <Piece NumberOfPoints="{len(verts)}" NumberOfVerts="0" '
+            f'NumberOfLines="0" NumberOfStrips="0" NumberOfPolys="{len(faces)}">\n'
+            "   <Points>\n"
+            f'    <DataArray type="Float32" NumberOfComponents="3" format="ascii">{points}</DataArray>\n'
+            "   </Points>\n"
+            "   <Polys>\n"
+            f'    <DataArray type="Int64" Name="connectivity" format="ascii">{connectivity}</DataArray>\n'
+            f'    <DataArray type="Int64" Name="offsets" format="ascii">{offsets}</DataArray>\n'
+            "   </Polys>\n"
+            "  </Piece>\n"
+            " </PolyData>\n"
+            "</VTKFile>\n"
+        )
+
+
+def read_vtp(path) -> Tuple[np.ndarray, np.ndarray]:
+    import xml.etree.ElementTree as ET
+
+    tree = ET.parse(path)
+    piece = tree.getroot().find(".//Piece")
+    pts_da = piece.find("./Points/DataArray")
+    verts = np.fromstring(pts_da.text, sep=" ", dtype=np.float32).reshape(-1, 3)
+    conn = None
+    for da in piece.find("./Polys"):
+        if da.get("Name") == "connectivity":
+            conn = np.fromstring(da.text, sep=" ", dtype=np.int64)
+    return verts, conn.reshape(-1, 3).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# X3D (minimal IndexedFaceSet)
+# ---------------------------------------------------------------------------
+
+
+def write_x3d(path, verts: np.ndarray, faces: np.ndarray) -> None:
+    coord_index = " ".join(f"{a} {b} {c} -1" for a, b, c in np.asarray(faces))
+    points = " ".join(f"{x:g}" for x in np.asarray(verts).ravel())
+    with open(path, "w") as f:
+        f.write(
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<X3D profile="Interchange" version="3.2">\n <Scene>\n  <Shape>\n'
+            f'   <IndexedFaceSet coordIndex="{coord_index}">\n'
+            f'    <Coordinate point="{points}"/>\n'
+            "   </IndexedFaceSet>\n  </Shape>\n </Scene>\n</X3D>\n"
+        )
+
+
+# ---------------------------------------------------------------------------
+# 3MF (minimal single-object model, zip container per the 3MF core spec)
+# ---------------------------------------------------------------------------
+
+
+def write_3mf(path, verts: np.ndarray, faces: np.ndarray, name: str = "Surface") -> None:
+    verts = np.asarray(verts)
+    faces = np.asarray(faces)
+    vtx_xml = "".join(f'<vertex x="{v[0]:g}" y="{v[1]:g}" z="{v[2]:g}"/>' for v in verts)
+    tri_xml = "".join(f'<triangle v1="{t[0]}" v2="{t[1]}" v3="{t[2]}"/>' for t in faces)
+    model = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<model unit="millimeter" xml:lang="en-US" '
+        'xmlns="http://schemas.microsoft.com/3dmanufacturing/core/2015/02">\n'
+        " <resources>\n"
+        f'  <object id="1" type="model" name="{name}">\n'
+        f"   <mesh><vertices>{vtx_xml}</vertices><triangles>{tri_xml}</triangles></mesh>\n"
+        "  </object>\n </resources>\n"
+        ' <build><item objectid="1"/></build>\n'
+        "</model>\n"
+    )
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">\n'
+        ' <Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>\n'
+        ' <Default Extension="model" ContentType="application/vnd.ms-package.3dmanufacturing-3dmodel+xml"/>\n'
+        "</Types>\n"
+    )
+    rels = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">\n'
+        ' <Relationship Target="/3D/3dmodel.model" Id="rel0" '
+        'Type="http://schemas.microsoft.com/3dmanufacturing/2013/01/3dmodel"/>\n'
+        "</Relationships>\n"
+    )
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", content_types)
+        z.writestr("_rels/.rels", rels)
+        z.writestr("3D/3dmodel.model", model)
+
+
+def read_3mf(path) -> Tuple[np.ndarray, np.ndarray]:
+    import xml.etree.ElementTree as ET
+
+    with zipfile.ZipFile(path) as z:
+        model_name = next(n for n in z.namelist() if n.endswith(".model"))
+        root = ET.fromstring(z.read(model_name))
+    ns = {"m": root.tag.split("}")[0][1:]}
+    verts, faces = [], []
+    for v in root.iter(f"{{{ns['m']}}}vertex"):
+        verts.append([float(v.get("x")), float(v.get("y")), float(v.get("z"))])
+    for t in root.iter(f"{{{ns['m']}}}triangle"):
+        faces.append([int(t.get("v1")), int(t.get("v2")), int(t.get("v3"))])
+    return np.asarray(verts, np.float32), np.asarray(faces, np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Dispatch (the reference's export filetype table, surface.py:1647+)
+# ---------------------------------------------------------------------------
+
+WRITERS = {
+    ".stl": write_stl,
+    ".ply": write_ply,
+    ".obj": write_obj,
+    ".vtp": write_vtp,
+    ".x3d": write_x3d,
+    ".3mf": write_3mf,
+}
+
+READERS = {
+    ".stl": read_stl,
+    ".ply": read_ply,
+    ".obj": read_obj,
+    ".vtp": read_vtp,
+    ".3mf": read_3mf,
+}
+
+
+def export_surface(path, verts: np.ndarray, faces: np.ndarray, **kw) -> None:
+    ext = Path(path).suffix.lower()
+    if ext not in WRITERS:
+        raise ValueError(f"unsupported mesh format: {ext}")
+    WRITERS[ext](path, verts, faces, **kw)
+
+
+def import_surface(path) -> Tuple[np.ndarray, np.ndarray]:
+    ext = Path(path).suffix.lower()
+    if ext not in READERS:
+        raise ValueError(f"unsupported mesh format: {ext}")
+    return READERS[ext](path)

@@ -1,0 +1,318 @@
+"""Isosurface extraction on TPU: marching tetrahedra over active cells.
+
+The reference extracts surfaces with VTK's ``vtkContourFilter`` (marching
+cubes) run per 20-slice slab in spawned worker processes (reference
+invesalius/data/surface_process.py:71-198, pool at surface.py:1360-1430).
+
+TPU design decisions:
+
+* **Marching tetrahedra (6-tet cube split) instead of classic MC.**  The
+  15-case MC tables have face-ambiguity holes on binary masks; the 16-case
+  tetrahedra split is watertight by construction — strictly better for the
+  framework's headline use (watertight STL for surgical planning / 3D
+  printing) and its tiny case table is trivially verifiable.  Triangle
+  counts differ from VTK's MC, but volume/area and topology match (tests
+  assert volume/area convergence on analytic shapes).
+
+* **Irregular output via two-pass count/compact with static buckets.**
+  Everything under ``jit`` needs static shapes, so: (1) find active cells
+  (cells whose 8 corners straddle the iso value) and compact their ids
+  with ``jnp.nonzero(size=...)``; (2) emit per-tet triangle *edge codes*
+  (compact int8, not coordinates) into an (A, 6, 2) buffer; (3) compact
+  valid triangles and only then interpolate coordinates.  The host wrapper
+  picks bucket sizes from the actual counts (one cheap count pass), so
+  recompiles happen only across size buckets.
+
+* **Triangle orientation** is fixed numerically: a triangle's normal is
+  flipped to point away from the inside-corner centroid, giving outward
+  STL normals regardless of case table winding.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Tetrahedra tables (static, verified by tests)
+# ---------------------------------------------------------------------------
+
+# Cube corners, bit i at offset CUBE_OFFSETS[i] (z, y, x)
+CUBE_OFFSETS = np.array(
+    [
+        (0, 0, 0),  # 0
+        (0, 0, 1),  # 1
+        (0, 1, 1),  # 2
+        (0, 1, 0),  # 3
+        (1, 0, 0),  # 4
+        (1, 0, 1),  # 5
+        (1, 1, 1),  # 6
+        (1, 1, 0),  # 7
+    ],
+    np.int32,
+)
+
+# 6 tetrahedra around the 0-6 body diagonal (each row: 4 cube-corner ids)
+TETS = np.array(
+    [
+        (0, 5, 1, 6),
+        (0, 1, 2, 6),
+        (0, 2, 3, 6),
+        (0, 3, 7, 6),
+        (0, 7, 4, 6),
+        (0, 4, 5, 6),
+    ],
+    np.int32,
+)
+
+# Tet edges: local corner pairs
+TET_EDGES = np.array([(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)], np.int32)
+
+# Case table: for each of 16 inside-bitmasks, up to 2 triangles of 3 edge
+# ids (-1 = unused).  Winding is normalized numerically afterwards.
+_T = -1
+TET_TRIS = np.array(
+    [
+        [[_T] * 3, [_T] * 3],                  # 0000
+        [[0, 1, 2], [_T] * 3],                 # 0001 (v0 in)
+        [[0, 3, 4], [_T] * 3],                 # 0010 (v1 in)
+        [[1, 3, 4], [1, 4, 2]],                # 0011 (v0,v1)
+        [[1, 3, 5], [_T] * 3],                 # 0100 (v2 in)
+        [[0, 3, 5], [0, 5, 2]],                # 0101 (v0,v2)
+        [[0, 1, 5], [0, 5, 4]],                # 0110 (v1,v2)
+        [[2, 4, 5], [_T] * 3],                 # 0111 (v3 out)
+        [[2, 4, 5], [_T] * 3],                 # 1000 (v3 in)
+        [[0, 4, 5], [0, 5, 1]],                # 1001 (v0,v3)
+        [[0, 3, 5], [0, 5, 2]],                # 1010 (v1,v3)
+        [[1, 3, 5], [_T] * 3],                 # 1011 (v2 out)
+        [[1, 3, 4], [1, 4, 2]],                # 1100 (v2,v3)
+        [[0, 3, 4], [_T] * 3],                 # 1101 (v1 out)
+        [[0, 1, 2], [_T] * 3],                 # 1110 (v0 out)
+        [[_T] * 3, [_T] * 3],                  # 1111
+    ],
+    np.int32,
+)
+
+
+def _cell_strides(shape: Tuple[int, int, int]) -> np.ndarray:
+    _, sy, sx = shape
+    return np.array([sy * sx, sx, 1], np.int64)
+
+
+@partial(jax.jit, static_argnames=("iso_greater",))
+def count_active_cells(field: jax.Array, iso: float, iso_greater: bool = True) -> jax.Array:
+    """Number of cells whose corners straddle the iso surface."""
+    inside = field > iso if iso_greater else field < iso
+    c = inside
+    agg_any = jnp.zeros(tuple(s - 1 for s in field.shape), jnp.bool_)
+    agg_all = jnp.ones(tuple(s - 1 for s in field.shape), jnp.bool_)
+    for dz, dy, dx in CUBE_OFFSETS:
+        corner = c[dz : dz + c.shape[0] - 1, dy : dy + c.shape[1] - 1, dx : dx + c.shape[2] - 1]
+        agg_any = agg_any | corner
+        agg_all = agg_all & corner
+    active = agg_any & ~agg_all
+    return jnp.sum(active.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("max_active", "max_tris", "iso_greater"))
+def _extract(
+    field: jax.Array,
+    iso: float,
+    max_active: int,
+    max_tris: int,
+    iso_greater: bool = True,
+):
+    """Core extraction: returns (tri_coords (max_tris, 3, 3) f32 in voxel
+    (z, y, x) units, edge keys (max_tris, 3, 2) i32 lattice-corner pairs,
+    n_tris, n_active)."""
+    Z, Y, X = field.shape
+    inside = field > iso if iso_greater else field < iso
+    f32 = field.astype(jnp.float32)
+
+    # --- phase 1: active cells ------------------------------------------------
+    agg_any = jnp.zeros((Z - 1, Y - 1, X - 1), jnp.bool_)
+    agg_all = jnp.ones((Z - 1, Y - 1, X - 1), jnp.bool_)
+    for dz, dy, dx in CUBE_OFFSETS:
+        corner = inside[dz : dz + Z - 1, dy : dy + Y - 1, dx : dx + X - 1]
+        agg_any = agg_any | corner
+        agg_all = agg_all & corner
+    active = (agg_any & ~agg_all).reshape(-1)
+    n_active = jnp.sum(active.astype(jnp.int32))
+    (cell_ids,) = jnp.nonzero(active, size=max_active, fill_value=-1)
+    valid_cell = cell_ids >= 0
+    cell_ids_safe = jnp.maximum(cell_ids, 0)
+
+    # cell -> (z, y, x)
+    cz = cell_ids_safe // ((Y - 1) * (X - 1))
+    rem = cell_ids_safe % ((Y - 1) * (X - 1))
+    cy = rem // (X - 1)
+    cx = rem % (X - 1)
+
+    # --- phase 2: gather 8 corner values / inside bits ------------------------
+    flat_f = f32.reshape(-1)
+    flat_in = inside.reshape(-1)
+    corner_lin = []
+    for dz, dy, dx in CUBE_OFFSETS:
+        corner_lin.append((cz + dz) * (Y * X) + (cy + dy) * X + (cx + dx))
+    corner_lin = jnp.stack(corner_lin, axis=1)  # (A, 8) lattice ids
+    vals = flat_f[corner_lin]  # (A, 8)
+    ins = flat_in[corner_lin]  # (A, 8) bool
+
+    # --- phase 3: per-tet case lookup, emit edge codes -------------------------
+    tets = jnp.asarray(TETS)  # (6, 4)
+    tet_edges = jnp.asarray(TET_EDGES)  # (6, 2)
+    tet_tris = jnp.asarray(TET_TRIS)  # (16, 2, 3)
+
+    tet_in = ins[:, tets]  # (A, 6, 4)
+    case = (
+        tet_in[..., 0].astype(jnp.int32)
+        + 2 * tet_in[..., 1].astype(jnp.int32)
+        + 4 * tet_in[..., 2].astype(jnp.int32)
+        + 8 * tet_in[..., 3].astype(jnp.int32)
+    )  # (A, 6)
+    tris = tet_tris[case]  # (A, 6, 2, 3) edge ids or -1
+    tri_valid = (tris[..., 0] >= 0) & valid_cell[:, None, None]  # (A, 6, 2)
+
+    n_tris = jnp.sum(tri_valid.astype(jnp.int32))
+
+    # --- phase 4: compact valid triangles --------------------------------------
+    flat_valid = tri_valid.reshape(-1)  # (A*12,)
+    (tri_slots,) = jnp.nonzero(flat_valid, size=max_tris, fill_value=-1)
+    slot_ok = tri_slots >= 0
+    slots = jnp.maximum(tri_slots, 0)
+    a_idx = slots // 12
+    t_idx = (slots % 12) // 2
+    k_idx = slots % 2
+
+    edge_ids = tris[a_idx, t_idx, k_idx]  # (T, 3) local tet edge ids
+
+    # local tet edge -> (cube corner a, cube corner b)
+    tet_of = tets[t_idx]  # (T, 4) cube corner ids
+    ea = tet_edges[edge_ids][..., 0]  # (T, 3) local tet corner
+    eb = tet_edges[edge_ids][..., 1]
+    ca = jnp.take_along_axis(tet_of, ea, axis=1)  # (T, 3) cube corner ids
+    cb = jnp.take_along_axis(tet_of, eb, axis=1)
+
+    lat = corner_lin[a_idx]  # (T, 8) lattice ids of this cell's corners
+    la = jnp.take_along_axis(lat, ca, axis=1)  # (T, 3) lattice id of corner a
+    lb = jnp.take_along_axis(lat, cb, axis=1)
+
+    va = vals[a_idx]
+    fa = jnp.take_along_axis(va, ca, axis=1)  # (T, 3) field at corner a
+    fb = jnp.take_along_axis(va, cb, axis=1)
+
+    # interpolation parameter along a -> b
+    denom = fb - fa
+    t = jnp.where(denom == 0, 0.5, (jnp.float32(iso) - fa) / jnp.where(denom == 0, 1.0, denom))
+    t = jnp.clip(t, 0.0, 1.0)
+
+    # lattice id -> (z, y, x) float coords
+    def lat_zyx(lin):
+        z = (lin // (Y * X)).astype(jnp.float32)
+        y = ((lin // X) % Y).astype(jnp.float32)
+        x = (lin % X).astype(jnp.float32)
+        return jnp.stack([z, y, x], axis=-1)
+
+    pa = lat_zyx(la)  # (T, 3, 3)
+    pb = lat_zyx(lb)
+    pts = pa + t[..., None] * (pb - pa)  # (T, 3 verts, 3 zyx)
+
+    # --- phase 5: outward orientation ------------------------------------------
+    # inside-corner centroid of the tet
+    tet_corner_lat = jnp.take_along_axis(lat, tet_of, axis=1)  # (T, 4)
+    tet_corner_pos = lat_zyx(tet_corner_lat)  # (T, 4, 3)
+    tet_corner_in = jnp.take_along_axis(ins[a_idx].astype(jnp.float32), tet_of, axis=1)
+    w = tet_corner_in / jnp.maximum(jnp.sum(tet_corner_in, axis=1, keepdims=True), 1.0)
+    inside_centroid = jnp.sum(tet_corner_pos * w[..., None], axis=1)  # (T, 3)
+
+    e1 = pts[:, 1] - pts[:, 0]
+    e2 = pts[:, 2] - pts[:, 0]
+    nrm = jnp.cross(e1, e2)
+    tri_centroid = jnp.mean(pts, axis=1)
+    outward = jnp.sum(nrm * (tri_centroid - inside_centroid), axis=1) >= 0
+    pts = jnp.where(outward[:, None, None], pts, pts[:, ::-1, :])
+
+    # edge keys for vertex dedup (sorted lattice-id pairs), swapped with pts
+    keys = jnp.stack([jnp.minimum(la, lb), jnp.maximum(la, lb)], axis=-1)  # (T,3,2)
+    keys = jnp.where(outward[:, None, None], keys, keys[:, ::-1, :])
+
+    pts = jnp.where(slot_ok[:, None, None], pts, 0.0)
+    keys = jnp.where(slot_ok[:, None, None], keys, -1)
+    return pts, keys, n_tris, n_active
+
+
+def marching_cubes(
+    field: np.ndarray | jax.Array,
+    iso: float,
+    spacing: Tuple[float, float, float] = (1.0, 1.0, 1.0),
+    max_active: int | None = None,
+    max_tris: int | None = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Extract an isosurface; returns (vertices (V, 3) float32 in world mm
+    (x, y, z), faces (F, 3) int32) with shared vertices.
+
+    Host wrapper: counts actives first, rounds bucket sizes up to powers of
+    two (so jit caches stay small), runs the jitted extraction, then
+    deduplicates vertices by lattice-edge key.
+    """
+    field = jnp.asarray(field)
+    if max_active is None:
+        n_act = int(count_active_cells(field, iso))
+        max_active = max(1024, _next_pow2(n_act))
+    if max_tris is None:
+        max_tris = max(2048, max_active * 4)
+
+    pts, keys, n_tris, n_active = _extract(field, iso, max_active, max_tris)
+    n_tris = int(n_tris)
+    n_active_i = int(n_active)
+    if n_active_i > max_active or n_tris > max_tris:  # bucket overflow: retry
+        return marching_cubes(
+            field, iso, spacing,
+            max_active=_next_pow2(n_active_i),
+            max_tris=_next_pow2(max(n_tris, n_active_i * 4)),
+        )
+
+    pts = np.asarray(pts[:n_tris]).reshape(-1, 3)  # (T*3, 3) zyx voxel units
+    keys = np.asarray(keys[:n_tris]).reshape(-1, 2)
+
+    # dedup shared vertices by edge key
+    uniq, inverse = np.unique(keys, axis=0, return_inverse=True)
+    verts = np.zeros((len(uniq), 3), np.float32)
+    verts[inverse] = pts  # any duplicate writes the same value
+    faces = inverse.reshape(-1, 3).astype(np.int32)
+
+    # voxel (z, y, x) -> world mm (x, y, z).  Swapping the z and x axes
+    # mirrors space (det = -1), so face winding must flip to keep normals
+    # outward.
+    sx, sy, sz = spacing
+    world = np.stack([verts[:, 2] * sx, verts[:, 1] * sy, verts[:, 0] * sz], axis=1)
+    return world.astype(np.float32), faces[:, ::-1]
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def mask_to_surface(
+    mask: np.ndarray | jax.Array,
+    spacing: Tuple[float, float, float] = (1.0, 1.0, 1.0),
+    **kw,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Surface of a visible mask (>= 127), padded by one empty voxel layer
+    so border-touching masks still close (reference surface_process.py:52
+    pads the image before contouring)."""
+    m = jnp.asarray(mask)
+    vis = (m >= 127).astype(jnp.float32)
+    vis = jnp.pad(vis, 1)
+    verts, faces = marching_cubes(vis, 0.5, spacing, **kw)
+    # remove the pad offset (one voxel in each axis)
+    sx, sy, sz = spacing
+    verts = verts - np.array([sx, sy, sz], np.float32)
+    return verts, faces

@@ -1,0 +1,275 @@
+"""Mesh post-processing: adjacency, Taubin smoothing, context-aware
+(staircase-artifact) smoothing, mass properties, and connectivity
+filtering.
+
+Reference behavior: the Rust ``context_aware_smoothing`` pipeline
+(invesalius_rs/src/mesh.rs:27-87 — find_staircase_artifacts :125,
+propagate_weights :202, taubin_smooth :345 with lambda=0.5, mu=-0.53) and
+VTK's vtkMassProperties / vtkPolyDataConnectivityFilter used by the surface
+pipeline (reference surface_process.py:377-415); GUI defaults angle=0.7,
+max_distance=3.0, min_weight=0.5, steps=10 (reference gui/dialogs.py
+CAOptions).
+
+TPU design: the mesh is (V, 3) vertices + (F, 3) faces; adjacency is a
+host-built padded neighbor table (V, max_degree) so every smoothing
+iteration is a fixed-shape gather + mean — pure VPU work under jit.
+
+Note on reference fidelity: the Rust ``find_staircase_artifacts`` has an
+init quirk (min trackers only update on non-max steps, so the first face
+leaves min at +inf and *every* vertex with a face is flagged, collapsing
+ca_smoothing into uniform Taubin).  We implement the intended published
+algorithm — proper min/max spread of (1 - |n . axis|) over incident faces
+— and note that setting ``angle=0`` reproduces the reference's effective
+all-vertices behavior.  The Taubin step direction matches the Rust exactly
+(d = mean(v_i - v_j); v += w * lambda * d with lambda=+0.5, mu=-0.53).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Adjacency (host-built once per mesh)
+# ---------------------------------------------------------------------------
+
+
+def vertex_adjacency(faces: np.ndarray, n_vertices: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Padded neighbor table: (V, max_deg) int32 (pad = self-index) and
+    per-vertex neighbor counts (V,)."""
+    pairs = set()
+    for tri in faces:
+        a, b, c = int(tri[0]), int(tri[1]), int(tri[2])
+        pairs.update([(a, b), (b, a), (b, c), (c, b), (a, c), (c, a)])
+    neigh = [[] for _ in range(n_vertices)]
+    for a, b in pairs:
+        neigh[a].append(b)
+    deg = np.array([len(n) for n in neigh], np.int32)
+    max_deg = max(1, int(deg.max()) if len(deg) else 1)
+    table = np.tile(np.arange(n_vertices, dtype=np.int32)[:, None], (1, max_deg))
+    for v, ns in enumerate(neigh):
+        table[v, : len(ns)] = sorted(ns)
+    return table, deg
+
+
+def face_normals(verts: jax.Array, faces: jax.Array) -> jax.Array:
+    p0 = verts[faces[:, 0]]
+    p1 = verts[faces[:, 1]]
+    p2 = verts[faces[:, 2]]
+    n = jnp.cross(p1 - p0, p2 - p0)
+    norm = jnp.linalg.norm(n, axis=1, keepdims=True)
+    return n / jnp.where(norm == 0, 1.0, norm)
+
+
+# ---------------------------------------------------------------------------
+# Mass properties (vtkMassProperties semantics)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def mass_properties(verts: jax.Array, faces: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(volume, area) by the divergence theorem over the closed mesh."""
+    p0 = verts[faces[:, 0]]
+    p1 = verts[faces[:, 1]]
+    p2 = verts[faces[:, 2]]
+    cross = jnp.cross(p1 - p0, p2 - p0)
+    area = jnp.sum(jnp.linalg.norm(cross, axis=1)) / 2.0
+    vol = jnp.abs(jnp.sum(jnp.einsum("ij,ij->i", p0, jnp.cross(p1, p2))) / 6.0)
+    return vol, area
+
+
+# ---------------------------------------------------------------------------
+# Taubin smoothing (reference mesh.rs:345-395 semantics)
+# ---------------------------------------------------------------------------
+
+
+def _calc_d(verts: jax.Array, neigh: jax.Array, deg: jax.Array) -> jax.Array:
+    """d_i = mean_j (v_i - v_j) over neighbors (reference mesh.rs:296-334;
+    border handling is a no-op there, matching is_border == false)."""
+    nb = verts[neigh]  # (V, max_deg, 3)
+    valid = (jnp.arange(neigh.shape[1])[None, :] < deg[:, None]).astype(verts.dtype)
+    diff = (verts[:, None, :] - nb) * valid[..., None]
+    cnt = jnp.maximum(deg.astype(verts.dtype), 1.0)
+    return jnp.sum(diff, axis=1) / cnt[:, None]
+
+
+@partial(jax.jit, static_argnames=("steps",))
+def taubin_smooth(
+    verts: jax.Array,
+    neigh: jax.Array,
+    deg: jax.Array,
+    weights: jax.Array,
+    lam: float = 0.5,
+    mu: float = -0.53,
+    steps: int = 10,
+) -> jax.Array:
+    """Weighted two-phase Taubin iteration, sign convention identical to the
+    reference Rust (v += w * lambda * mean(v - neighbors))."""
+
+    def one_step(v, _):
+        d = _calc_d(v, neigh, deg)
+        v = v + weights[:, None] * lam * d
+        d = _calc_d(v, neigh, deg)
+        v = v + weights[:, None] * mu * d
+        return v, None
+
+    out, _ = jax.lax.scan(one_step, verts, None, length=steps)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Context-aware smoothing (reference mesh.rs:27-87)
+# ---------------------------------------------------------------------------
+
+
+def find_staircase_artifacts(
+    verts: np.ndarray,
+    faces: np.ndarray,
+    normals: np.ndarray,
+    t: float = 0.7,
+    stack_orientation=(0.0, 0.0, 1.0),
+) -> np.ndarray:
+    """Vertices whose incident-face normals' axis-deviation spread exceeds
+    ``t`` on any axis (intended algorithm of reference mesh.rs:125-189).
+    Returns a boolean (V,) array.  ``t=0`` flags every vertex with a face,
+    matching the reference build's effective behavior."""
+    axes = np.array([stack_orientation, (0.0, 1.0, 0.0), (1.0, 0.0, 0.0)])
+    of = 1.0 - np.abs(normals @ axes.T)  # (F, 3 axes)
+    V = len(verts)
+    vmax = np.full((V, 3), -np.inf)
+    vmin = np.full((V, 3), np.inf)
+    has_face = np.zeros(V, bool)
+    for k in range(3):
+        col = of[:, k]
+        for c in range(3):
+            np.maximum.at(vmax[:, k], faces[:, c], col)
+            np.minimum.at(vmin[:, k], faces[:, c], col)
+    has_face[faces.ravel()] = True
+    spread = vmax - vmin
+    flagged = has_face & (spread >= t).any(axis=1)
+    return flagged
+
+
+def propagate_weights(
+    verts: np.ndarray,
+    neigh: np.ndarray,
+    deg: np.ndarray,
+    seeds: np.ndarray,
+    tmax: float,
+    bmin: float,
+    max_iters: int = 64,
+) -> np.ndarray:
+    """BFS weight propagation from staircase vertices (reference
+    mesh.rs:202-294): each vertex takes the squared distance to the seed
+    vertex that reaches it (within tmax), weight = (1 - d/tmax)(1-bmin)+bmin,
+    unreached -> bmin.  Data-parallel relaxation over the neighbor table."""
+    verts_j = jnp.asarray(verts, jnp.float32)
+    neigh_j = jnp.asarray(neigh)
+    valid = jnp.arange(neigh.shape[1])[None, :] < jnp.asarray(deg)[:, None]
+    seeds_j = jnp.asarray(seeds)
+
+    inf = jnp.float32(np.inf)
+    dist0 = jnp.where(seeds_j, 0.0, inf)
+    seed_pos0 = jnp.where(seeds_j[:, None], verts_j, 0.0)
+    tmax_sq = jnp.float32(tmax * tmax)
+
+    def body(state):
+        dist, seed_pos, _ = state
+        nb_dist = dist[neigh_j]  # (V, D)
+        nb_seed = seed_pos[neigh_j]  # (V, D, 3)
+        # candidate: distance from MY position to the neighbor's seed
+        d_sq = jnp.sum((verts_j[:, None, :] - nb_seed) ** 2, axis=-1)
+        ok = valid & jnp.isfinite(nb_dist) & (d_sq <= tmax_sq)
+        d_sq = jnp.where(ok, d_sq, inf)
+        best = jnp.argmin(d_sq, axis=1)
+        best_d = jnp.take_along_axis(d_sq, best[:, None], axis=1)[:, 0]
+        take = best_d < dist
+        new_dist = jnp.where(take, best_d, dist)
+        new_seed = jnp.where(
+            take[:, None], jnp.take_along_axis(nb_seed, best[:, None, None], axis=1)[:, 0], seed_pos
+        )
+        return new_dist, new_seed, jnp.any(take)
+
+    state = (dist0, seed_pos0, jnp.bool_(True))
+    state = jax.lax.while_loop(lambda s: s[2], body, state)
+    dist = np.asarray(state[0])
+
+    w = np.full(len(verts), bmin, np.float64)
+    reached = np.isfinite(dist)
+    w[reached] = (1.0 - np.sqrt(dist[reached]) / tmax) * (1.0 - bmin) + bmin
+    return w.astype(np.float32)
+
+
+def ca_smoothing(
+    verts: np.ndarray,
+    faces: np.ndarray,
+    t: float = 0.7,
+    tmax: float = 3.0,
+    bmin: float = 0.5,
+    n_iters: int = 10,
+) -> np.ndarray:
+    """Full context-aware smoothing (reference mesh.rs:27-87 /
+    invesalius_rs/__init__.py ca_smoothing): detect staircase vertices,
+    propagate weights, weighted Taubin with lambda=0.5, mu=-0.53."""
+    import jax.numpy as jnp  # local alias for clarity
+
+    normals = np.asarray(face_normals(jnp.asarray(verts), jnp.asarray(faces)))
+    flagged = find_staircase_artifacts(verts, faces, normals, t)
+    neigh, deg = vertex_adjacency(faces, len(verts))
+    weights = propagate_weights(verts, neigh, deg, flagged, tmax, bmin)
+    out = taubin_smooth(
+        jnp.asarray(verts, jnp.float32),
+        jnp.asarray(neigh),
+        jnp.asarray(deg),
+        jnp.asarray(weights),
+        0.5,
+        -0.53,
+        n_iters,
+    )
+    return np.asarray(out)
+
+
+# ---------------------------------------------------------------------------
+# Connectivity filtering on meshes (vtkPolyDataConnectivityFilter semantics)
+# ---------------------------------------------------------------------------
+
+
+def mesh_components(faces: np.ndarray, n_vertices: int) -> np.ndarray:
+    """Connected-component id per vertex (host union-find — meshes are
+    ~1e5-1e6 vertices, trivial for the host)."""
+    parent = np.arange(n_vertices)
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for tri in faces:
+        a, b, c = find(int(tri[0])), find(int(tri[1])), find(int(tri[2]))
+        if b != a:
+            parent[b] = a
+        if c != a:
+            parent[c] = a
+    return np.array([find(i) for i in range(n_vertices)])
+
+
+def keep_largest_component(
+    verts: np.ndarray, faces: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Keep only the largest connected surface (reference
+    surface_process.py:377-391 keep_largest branch)."""
+    comp = mesh_components(faces, len(verts))
+    ids, counts = np.unique(comp, return_counts=True)
+    best = ids[np.argmax(counts)]
+    keep_v = comp == best
+    remap = -np.ones(len(verts), np.int64)
+    remap[keep_v] = np.arange(keep_v.sum())
+    keep_f = keep_v[faces].all(axis=1)
+    new_faces = remap[faces[keep_f]].astype(np.int32)
+    return verts[keep_v], new_faces

@@ -1,0 +1,220 @@
+"""Floodfill / connected components / watershed / morphology kernels vs.
+scipy and reference-semantics oracles."""
+
+import numpy as np
+import pytest
+from scipy import ndimage
+
+from invesalius3_tpu.ops import connected, floodfill, morphology, watershed
+from tests.oracles import oracle_floodfill_threshold, oracle_watershed_minimax
+
+def rng_():
+    return np.random.default_rng(3)
+
+
+def test_generate_binary_structure_matches_scipy():
+    for rank in (2, 3):
+        for conn in range(1, rank + 1):
+            got = morphology.generate_binary_structure(rank, conn)
+            want = ndimage.generate_binary_structure(rank, conn)
+            np.testing.assert_array_equal(got, want)
+
+
+def test_binary_dilation_erosion_match_scipy():
+    x = rng_().random((10, 12, 14)) > 0.7
+    for conn in (6, 26):
+        st = morphology.structure_3d(conn)
+        np.testing.assert_array_equal(
+            np.asarray(morphology.binary_dilation(x, st)),
+            ndimage.binary_dilation(x, st),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(morphology.binary_erosion(x, st)),
+            ndimage.binary_erosion(x, st, border_value=0),
+        )
+
+
+def test_grey_morphology_matches_scipy():
+    x = rng_().integers(0, 1000, (8, 16, 16)).astype(np.int32)
+    got = np.asarray(morphology.morphological_gradient(x, (3, 3, 3)))
+    want = ndimage.morphological_gradient(x, size=(3, 3, 3))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_floodfill_threshold_matches_reference_bfs():
+    data = rng_().integers(0, 100, (12, 12, 12)).astype(np.int16)
+    strct = morphology.structure_3d(6).astype(np.uint8)
+    seeds_xyz = [(6, 6, 6)]
+    want = np.zeros(data.shape, np.uint8)
+    oracle_floodfill_threshold(data, seeds_xyz, 30, 80, 1, strct, want)
+    seeds = floodfill.seeds_to_mask(data.shape, [(6, 6, 6)])  # z,y,x == symmetric here
+    got = np.asarray(floodfill.floodfill_threshold(data, seeds, 30, 80)).astype(np.uint8)
+    np.testing.assert_array_equal(got, want.astype(bool).astype(np.uint8))
+
+
+def test_floodfill_value_two_regions():
+    data = np.zeros((5, 5, 5), np.uint8)
+    data[0, 0, 0] = data[0, 0, 1] = 7
+    data[4, 4, 4] = 7  # same value, not connected
+    seeds = floodfill.seeds_to_mask(data.shape, [(0, 0, 0)])
+    got = np.asarray(floodfill.floodfill_value(data, seeds, 7))
+    assert got[0, 0, 0] and got[0, 0, 1] and not got[4, 4, 4]
+    assert got.sum() == 2
+
+
+def test_floodfill_auto_threshold_matches_reference():
+    # dynamic window: neighbor joins iff within +-p of the SOURCE voxel value
+    data = np.array(
+        [[[100, 105, 111, 160, 100]]], np.int16
+    )  # 1x1x5 lane
+    seeds = floodfill.seeds_to_mask(data.shape, [(0, 0, 0)])
+    got = np.asarray(floodfill.floodfill_auto_threshold(data, seeds, 0.1))
+    # 100 -> 105 (within [90,110]), 105 -> 111 (within [95,115]), 111 -> 160? no
+    np.testing.assert_array_equal(got[0, 0], [True, True, True, False, False])
+
+
+def test_label_matches_scipy():
+    mask = rng_().random((10, 11, 12)) > 0.6
+    for conn, s_conn in ((6, 1), (26, 3)):
+        got, n_got = connected.count_regions(mask, conn)
+        want, n_want = ndimage.label(mask, ndimage.generate_binary_structure(3, s_conn))
+        assert n_got == n_want
+        # same partition: bijection between label ids
+        pairs = set(zip(got.ravel().tolist(), want.ravel().tolist()))
+        assert len(pairs) == n_want + 1  # one pair per region + background
+
+
+def test_largest_component():
+    mask = np.zeros((6, 6, 6), bool)
+    mask[0, 0, :4] = True  # size 4
+    mask[3:5, 3:5, 3:5] = True  # size 8
+    got = np.asarray(connected.largest_component(mask))
+    assert got.sum() == 8
+    assert got[4, 4, 4] and not got[0, 0, 0]
+
+
+def test_largest_component_empty_mask():
+    mask = np.zeros((4, 4, 4), bool)
+    got = np.asarray(connected.largest_component(mask))
+    assert got.sum() == 0
+
+
+def test_fill_holes_automatically():
+    # visible mask shell with an internal hole of size 1 and the big outside
+    mask = np.zeros((7, 7, 7), np.uint8)
+    mask[1:6, 1:6, 1:6] = 255
+    mask[3, 3, 3] = 0  # hole
+    got = np.asarray(connected.fill_holes_automatically(mask, max_size=10))
+    assert got[3, 3, 3] == 254  # hole filled with the manual-edit code
+    assert got[0, 0, 0] == 0  # outside (big) untouched
+    assert (got[1:6, 1:6, 1:6][np.asarray(got[1:6, 1:6, 1:6]) == 255].size) > 0
+
+
+def _minimax_cost(image, seed_mask):
+    """Dijkstra max-arc cost from a seed set (for tie detection)."""
+    import heapq
+
+    cost = np.full(image.shape, np.iinfo(np.int64).max, np.int64)
+    heap = []
+    for idx in np.argwhere(seed_mask):
+        cost[tuple(idx)] = 0
+        heapq.heappush(heap, (0, *idx))
+    while heap:
+        c, z, y, x = heapq.heappop(heap)
+        if c > cost[z, y, x]:
+            continue
+        for dz, dy, dx in ((1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1), (0, 0, -1)):
+            nz, ny, nx = z + dz, y + dy, x + dx
+            if 0 <= nz < image.shape[0] and 0 <= ny < image.shape[1] and 0 <= nx < image.shape[2]:
+                nc = max(c, int(image[nz, ny, nx]))
+                if nc < cost[nz, ny, nx]:
+                    cost[nz, ny, nx] = nc
+                    heapq.heappush(heap, (nc, nz, ny, nx))
+    return cost
+
+
+def test_watershed_ift_two_seeds_gradient():
+    # ramp valley: two basins split at the ridge
+    x = np.abs(np.arange(20) - 10).astype(np.int32)
+    image = np.tile(x, (4, 4, 1))
+    markers = np.zeros(image.shape, np.int16)
+    markers[:, :, 0] = 1
+    markers[:, :, 19] = 2
+    got = np.asarray(watershed.watershed_ift(image, markers))
+    want = oracle_watershed_minimax(image, markers)
+    # voxels where both seeds tie in minimax cost are resolved by flood
+    # order in the oracle and by sweep order on TPU (documented) — compare
+    # only the strictly-decided voxels.
+    c1 = _minimax_cost(image, markers == 1)
+    c2 = _minimax_cost(image, markers == 2)
+    decided = c1 != c2
+    assert decided.mean() > 0.9
+    np.testing.assert_array_equal(got[decided], want[decided])
+
+
+def test_watershed_criterion_exact_on_noise_images():
+    """The kernel matches the watershed criterion (argmin of per-seed
+    minimax cost) exactly on every strictly-decided voxel, across random
+    smooth images.  (scipy.watershed_ift itself violates the criterion on
+    some of these images — verified separately — so the Dijkstra oracle is
+    the golden truth, not scipy.)"""
+    for seed in (0, 3):
+        r = np.random.default_rng(seed)
+        img = r.integers(0, 200, (8, 16, 16)).astype(np.uint16)
+        img = ndimage.gaussian_filter(img.astype(float), 2.0)
+        img = (img * 50).astype(np.uint16)
+        markers = np.zeros(img.shape, np.int16)
+        markers[2, 3, 3] = 1
+        markers[5, 12, 12] = 2
+        got = np.asarray(watershed.watershed_ift(img, markers))
+        c1 = _minimax_cost(img, markers == 1)
+        c2 = _minimax_cost(img, markers == 2)
+        decided = c1 != c2
+        argmin = np.where(c1 < c2, 1, 2)
+        np.testing.assert_array_equal(got[decided], argmin[decided])
+
+
+def test_watershed_two_blobs_criterion_exact():
+    """On a two-object gradient image the kernel matches the watershed
+    criterion (argmin of per-seed minimax cost) exactly on every decided
+    voxel and splits the valley at the midplane.  (scipy.watershed_ift
+    itself violates the criterion near borders on this image, so the
+    Dijkstra oracle — not scipy — is the golden truth here.)"""
+    zz, yy, xx = np.mgrid[:12, :24, :12].astype(float)
+    blob1 = np.exp(-((zz - 6) ** 2 + (yy - 6) ** 2 + (xx - 6) ** 2) / 18.0)
+    blob2 = np.exp(-((zz - 6) ** 2 + (yy - 17) ** 2 + (xx - 6) ** 2) / 18.0)
+    img = (1000 * (1.0 - np.maximum(blob1, blob2))).astype(np.uint16)
+    markers = np.zeros(img.shape, np.int16)
+    markers[6, 6, 6] = 1
+    markers[6, 17, 6] = 2
+    got = np.asarray(watershed.watershed_ift(img, markers))
+    c1 = _minimax_cost(img, markers == 1)
+    c2 = _minimax_cost(img, markers == 2)
+    decided = c1 != c2
+    argmin = np.where(c1 < c2, 1, 2)
+    np.testing.assert_array_equal(got[decided], argmin[decided])
+    # the basin boundary falls at the valley midplane
+    assert (got[6, :12, 6] == 1).all() and (got[6, 12:, 6] == 2).all()
+
+
+def test_brush_paint_sphere():
+    mask = np.zeros((16, 16, 16), np.uint8)
+    brush = morphology.brush_element(3.0, (1.0, 1.0, 1.0), "circle", dims=3)
+    import jax.numpy as jnp
+
+    out = np.asarray(morphology.paint_brush(jnp.asarray(mask), brush, (8, 8, 8), 254))
+    assert out[8, 8, 8] == 254
+    assert out[8, 8, 11] == 254  # radius 3 inclusive
+    assert out[8, 8, 12] == 0
+    # border clipping: stamp at corner does not wrap or crash
+    out2 = np.asarray(morphology.paint_brush(jnp.asarray(mask), brush, (0, 0, 0), 254))
+    assert out2[0, 0, 0] == 254 and out2.sum() < out.sum()
+
+
+def test_region_grow_dynamic_and_confidence_run():
+    data = rng_().integers(0, 200, (8, 16, 16)).astype(np.int16)
+    data[4, 8, 8] = 100
+    out = np.asarray(floodfill.region_grow_dynamic(data, (4, 8, 8), 25, 25))
+    assert out[4, 8, 8]
+    out2 = np.asarray(floodfill.region_grow_confidence(data, (4, 8, 8)))
+    assert out2[4, 8, 8]

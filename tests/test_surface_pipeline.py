@@ -1,0 +1,147 @@
+"""Surface extraction (marching tetrahedra), smoothing, mass properties,
+and mesh I/O round-trips — semantics of the reference surface pipeline
+(surface_process.py create_surface_piece/join_process_surface)."""
+
+import numpy as np
+import pytest
+
+from invesalius3_tpu.io import mesh_io
+from invesalius3_tpu.ops import marching, mesh
+
+
+def _cube_mask(n=20, lo=5, hi=15):
+    m = np.zeros((n, n, n), np.uint8)
+    m[lo:hi, lo:hi, lo:hi] = 255
+    return m
+
+
+def _sphere_mask(n=48, r=18.0):
+    zz, yy, xx = np.mgrid[:n, :n, :n].astype(np.float64)
+    c = (n - 1) / 2.0
+    d = np.sqrt((zz - c) ** 2 + (yy - c) ** 2 + (xx - c) ** 2)
+    return np.where(d <= r, 255, 0).astype(np.uint8)
+
+
+def _edge_face_counts(faces):
+    from collections import Counter
+
+    cnt = Counter()
+    for a, b, c in faces:
+        for e in ((a, b), (b, c), (c, a)):
+            cnt[tuple(sorted(e))] += 1
+    return cnt
+
+
+def test_cube_surface_watertight_and_metrics():
+    mask = _cube_mask()
+    verts, faces = marching.mask_to_surface(mask, spacing=(1.0, 1.0, 1.0))
+    assert len(verts) > 0 and len(faces) > 0
+    # watertight: every edge shared by exactly two triangles
+    cnt = _edge_face_counts(faces)
+    assert set(cnt.values()) == {2}
+    vol, area = mesh.mass_properties(verts.astype(np.float32), faces)
+    # iso-surface of a 10^3 voxel cube at the half-crossing: 10.0 side
+    assert abs(float(vol) - 1000.0) / 1000.0 < 0.11
+    assert abs(float(area) - 600.0) / 600.0 < 0.25  # MT staircase diagonal area
+
+
+def test_sphere_surface_volume():
+    mask = _sphere_mask()
+    verts, faces = marching.mask_to_surface(mask)
+    cnt = _edge_face_counts(faces)
+    assert set(cnt.values()) == {2}
+    vol, _ = mesh.mass_properties(verts.astype(np.float32), faces)
+    want = 4.0 / 3.0 * np.pi * 18.0**3
+    assert abs(float(vol) - want) / want < 0.03
+
+
+def test_surface_normals_point_outward():
+    mask = _cube_mask()
+    verts, faces = marching.mask_to_surface(mask)
+    center = verts.mean(axis=0)
+    p0, p1, p2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+    n = np.cross(p1 - p0, p2 - p0)
+    outward = np.einsum("ij,ij->i", n, (p0 + p1 + p2) / 3.0 - center)
+    assert (outward > 0).mean() > 0.999
+
+
+def test_anisotropic_spacing_scales_world_coords():
+    mask = _cube_mask()
+    v1, _ = marching.mask_to_surface(mask, spacing=(1.0, 1.0, 1.0))
+    v2, _ = marching.mask_to_surface(mask, spacing=(0.5, 1.0, 2.0))
+    np.testing.assert_allclose(v2[:, 0].max() / v1[:, 0].max(), 0.5, atol=1e-5)
+    np.testing.assert_allclose(v2[:, 2].max() / v1[:, 2].max(), 2.0, atol=1e-5)
+
+
+def test_taubin_smooth_shrinks_noise():
+    rng = np.random.default_rng(0)
+    verts, faces = marching.mask_to_surface(_sphere_mask(32, 12.0))
+    noisy = verts + rng.normal(0, 0.15, verts.shape).astype(np.float32)
+    neigh, deg = mesh.vertex_adjacency(faces, len(verts))
+    import jax.numpy as jnp
+
+    sm = np.asarray(
+        mesh.taubin_smooth(
+            jnp.asarray(noisy), jnp.asarray(neigh), jnp.asarray(deg),
+            jnp.ones(len(verts), jnp.float32), 0.5, -0.53, 10,
+        )
+    )
+    c = verts.mean(axis=0)
+
+    def roughness(v):
+        r = np.linalg.norm(v - c, axis=1)
+        return r.std()
+
+    assert roughness(sm) < roughness(noisy)
+
+
+def test_ca_smoothing_reduces_staircase():
+    # anisotropic mask: staircase along z
+    zz, yy, xx = np.mgrid[:12, :40, :40].astype(float)
+    d = np.sqrt(((zz - 5.5) * 4) ** 2 + (yy - 19.5) ** 2 + (xx - 19.5) ** 2)
+    mask = np.where(d <= 14, 255, 0).astype(np.uint8)
+    verts, faces = marching.mask_to_surface(mask, spacing=(1.0, 1.0, 4.0))
+    out = mesh.ca_smoothing(verts, faces, t=0.7, tmax=6.0, bmin=0.5, n_iters=10)
+    assert out.shape == verts.shape
+    assert not np.allclose(out, verts)
+    vol0, _ = mesh.mass_properties(verts.astype(np.float32), faces)
+    vol1, _ = mesh.mass_properties(out.astype(np.float32), faces)
+    assert abs(float(vol1) - float(vol0)) / float(vol0) < 0.2
+
+
+def test_keep_largest_component():
+    m = np.zeros((24, 24, 24), np.uint8)
+    m[2:6, 2:6, 2:6] = 255
+    m[10:20, 10:20, 10:20] = 255
+    verts, faces = marching.mask_to_surface(m)
+    kv, kf = mesh.keep_largest_component(verts, faces)
+    vol, _ = mesh.mass_properties(kv.astype(np.float32), kf)
+    assert 800 < float(vol) < 1100  # the 10^3 cube only
+
+
+@pytest.mark.parametrize("ext", [".stl", ".ply", ".obj", ".vtp", ".3mf"])
+def test_mesh_io_roundtrip(tmp_path, ext):
+    verts, faces = marching.mask_to_surface(_cube_mask(12, 3, 9))
+    p = tmp_path / f"m{ext}"
+    mesh_io.export_surface(str(p), verts, faces)
+    rv, rf = mesh_io.import_surface(str(p))
+    assert len(rf) == len(faces)
+    vol0, area0 = mesh.mass_properties(verts.astype(np.float32), faces)
+    vol1, area1 = mesh.mass_properties(rv.astype(np.float32), rf)
+    np.testing.assert_allclose(float(vol1), float(vol0), rtol=1e-4)
+    np.testing.assert_allclose(float(area1), float(area0), rtol=1e-4)
+
+
+def test_stl_ascii_roundtrip(tmp_path):
+    verts, faces = marching.mask_to_surface(_cube_mask(10, 3, 7))
+    p = tmp_path / "m.stl"
+    mesh_io.write_stl(str(p), verts, faces, binary=False)
+    rv, rf = mesh_io.read_stl(str(p))
+    assert len(rf) == len(faces)
+
+
+def test_x3d_writes(tmp_path):
+    verts, faces = marching.mask_to_surface(_cube_mask(10, 3, 7))
+    p = tmp_path / "m.x3d"
+    mesh_io.write_x3d(str(p), verts, faces)
+    assert p.exists() and p.stat().st_size > 100

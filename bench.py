@@ -1,0 +1,106 @@
+"""Headline benchmark: 512^3 CT -> watershed segmentation -> marching
+cubes -> context-aware-smoothed STL (the driver's north-star config,
+BASELINE.json: target < 1 s on TPU).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+value = voxels/second through the full pipeline (after jit warmup);
+vs_baseline = measured_pipeline_time / 1.0 s target (>1 means slower than
+target, <1 means beating it).
+
+Extra diagnostics go to stderr.  Set BENCH_SIZE=256 for a quick run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_ct(n: int) -> np.ndarray:
+    """Synthetic cranium-like CT: skull shell + inner bone island."""
+    zz, yy, xx = np.mgrid[:n, :n, :n].astype(np.float32)
+    c = n / 2.0
+    r = np.sqrt((zz - c) ** 2 + (yy - c) ** 2 + (xx - c) ** 2)
+    ct = np.full((n, n, n), -1000, np.int16)
+    ct[r < 0.42 * n] = 40
+    shell = (r >= 0.36 * n) & (r < 0.42 * n)
+    ct[shell] = 1200
+    ct[r < 0.08 * n] = 900
+    rng = np.random.default_rng(0)
+    ct = ct + rng.integers(-20, 20, ct.shape).astype(np.int16)
+    return ct
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from invesalius3_tpu.ops import marching, mesh as mesh_ops, watershed
+
+    n = int(os.environ.get("BENCH_SIZE", "512"))
+    log(f"bench: {n}^3 CT on {jax.devices()[0].platform} ({jax.devices()[0]})")
+
+    ct_host = make_ct(n)
+    ct = jnp.asarray(ct_host)
+
+    markers = np.zeros(ct_host.shape, np.int16)
+    c = n // 2
+    markers[c, c, int(0.61 * n)] = 1  # skull shell
+    markers[c, c, c] = 2  # inner island
+    markers[2, 2, 2] = 3  # background
+    markers_j = jnp.asarray(markers)
+
+    def pipeline():
+        # 1. watershed segmentation on the morphological gradient
+        labels = watershed.watershed(ct, markers_j, algorithm="Watershed")
+        # 2. basin -> binary mask (uint8 0/255)
+        mask = jnp.where(labels == 1, jnp.uint8(255), jnp.uint8(0))
+        jax.block_until_ready(mask)
+        # 3. marching cubes (device extraction + host dedup)
+        verts, faces = marching.mask_to_surface(mask, spacing=(0.5, 0.5, 0.5))
+        # 4. context-aware smoothing (reference GUI defaults)
+        smoothed = mesh_ops.ca_smoothing(verts, faces, 0.7, 3.0, 0.5, 10)
+        # 5. STL write
+        from invesalius3_tpu.io import mesh_io
+
+        out = os.path.join(tempfile.gettempdir(), "bench_out.stl")
+        mesh_io.write_stl(out, smoothed, faces)
+        return verts, faces, out
+
+    # warmup: compile everything on the same shapes
+    t0 = time.perf_counter()
+    verts, faces, _ = pipeline()
+    log(f"warmup (incl. compile): {time.perf_counter() - t0:.2f}s — "
+        f"{len(verts)} verts, {len(faces)} tris")
+
+    # timed run
+    times = []
+    for i in range(2):
+        t0 = time.perf_counter()
+        pipeline()
+        times.append(time.perf_counter() - t0)
+        log(f"run {i}: {times[-1]:.3f}s")
+    t = min(times)
+
+    voxels = n**3
+    result = {
+        "metric": f"{n}^3 watershed+marching-cubes+ca-smoothed-STL voxels/sec",
+        "value": round(voxels / t, 1),
+        "unit": "voxels/s",
+        "vs_baseline": round(t / 1.0, 4),  # target: 1.0 s
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

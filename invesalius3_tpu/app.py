@@ -1,0 +1,179 @@
+"""Application shell / CLI.
+
+Mirrors the reference's headless command surface (reference app.py:391-452
+``parse_command_line`` + use_cmd_optargs :455-518):
+  -i/--import DIR      import DICOM directory (largest series)
+  --import-folder DIR  import bitmap stack directory
+  --import-file FILE   import NIfTI/Analyze file
+  -t/--threshold A,B   threshold preset range or name
+  -e/--export FILE     segment + export surface (STL/PLY/OBJ/...)
+  -a/--export-to-all   export every mask using threshold presets
+  -s/--save FILE       save .inv3 project
+  --export-project F   export project to HDF5 (.h5) or NIfTI (.nii)
+  --no-gui             headless (implied; this build is headless-first)
+  --quality            surface quality preset name
+  --algorithm          surface algorithm: Default | ca_smoothing | Binary
+
+Example (the reference's canonical smoke flow, SURVEY §3.3):
+  python -m invesalius3_tpu.app -i DIR -t 226,3071 -e out.stl
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from invesalius3_tpu import constants as const, events
+from invesalius3_tpu.core.project import Project
+from invesalius3_tpu.core.session import Session
+from invesalius3_tpu.core.slice import Slice
+from invesalius3_tpu.core.volume import Volume
+
+
+def parse_command_line(argv=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(prog="invesalius3_tpu", description=__doc__)
+    p.add_argument("-i", "--import", dest="dicom_dir", help="import a DICOM directory")
+    p.add_argument("--import-all", dest="import_all", action="store_true",
+                   help="import all series (not only the largest)")
+    p.add_argument("--import-folder", dest="bitmap_dir", help="import a bitmap stack directory")
+    p.add_argument("--import-file", dest="other_file", help="import NIfTI/Analyze/.inv3 file")
+    p.add_argument("-t", "--threshold", help="'min,max' or a preset name (e.g. Bone)")
+    p.add_argument("-e", "--export", dest="export_surface", help="export surface mesh file")
+    p.add_argument("-a", "--export-to-all", dest="export_all",
+                   help="basename: export one surface per threshold preset")
+    p.add_argument("-s", "--save", dest="save_project", help="save .inv3 project")
+    p.add_argument("--export-project", help="export project to .h5 or .nii[.gz]")
+    p.add_argument("--no-gui", action="store_true", default=True,
+                   help="headless mode (default in this build)")
+    p.add_argument("--quality", default=const.DEFAULT_SURFACE_QUALITY,
+                   choices=list(const.SURFACE_QUALITY))
+    p.add_argument("--algorithm", default="Default",
+                   choices=["Default", "ca_smoothing", "Binary"])
+    p.add_argument("--spacing", help="override spacing 'sx,sy,sz' (bitmap import)")
+    p.add_argument("--debug", action="store_true", help="log every bus event")
+    return p.parse_args(argv)
+
+
+def import_data(args) -> Volume:
+    if args.dicom_dir:
+        from invesalius3_tpu.io import dicom
+
+        groups = dicom.load_dicom_dir(args.dicom_dir)
+        if not groups:
+            raise SystemExit(f"no DICOM series found in {args.dicom_dir}")
+        group = max(groups, key=lambda g: len(g.files))
+        data, spacing, affine = dicom.group_to_volume(group)
+        modality = group.files[0].get("Modality", "CT")
+        return Volume.from_numpy(data, spacing=spacing, affine=affine, modality=modality)
+    if args.bitmap_dir:
+        from invesalius3_tpu.io import bitmap
+
+        spacing = (1.0, 1.0, 1.0)
+        if args.spacing:
+            spacing = tuple(float(x) for x in args.spacing.split(","))
+        data, spacing = bitmap.load_bitmap_dir(args.bitmap_dir, spacing)
+        return Volume.from_numpy(data, spacing=spacing)
+    if args.other_file:
+        path = Path(args.other_file)
+        if path.suffix == ".inv3":
+            proj = Project.open(path)
+            return proj.volume
+        from invesalius3_tpu.io import nifti
+
+        img = nifti.read_nifti(path)
+        return Volume.from_numpy(img.data, spacing=img.spacing, affine=img.affine)
+    raise SystemExit("no input given: use -i / --import-folder / --import-file")
+
+
+def parse_threshold(spec: str, modality: str = "CT"):
+    presets = const.THRESHOLD_PRESETS_CT if modality == "CT" else const.THRESHOLD_PRESETS_OTHER
+    if spec in presets:
+        return presets[spec]
+    try:
+        a, b = spec.split(",")
+        return (float(a), float(b))
+    except ValueError:
+        raise SystemExit(f"bad threshold {spec!r}: use 'min,max' or one of {list(presets)}")
+
+
+def main(argv=None) -> int:
+    args = parse_command_line(argv)
+    if args.debug:
+        events.subscribe(
+            events.wants_topic(lambda topic=None, **kw: print(f"[event] {topic} {kw}",
+                                                              file=sys.stderr)),
+            events.ALL_TOPICS,
+        )
+
+    session = Session()
+    session.mark_running()
+    try:
+        volume = import_data(args)
+        print(f"volume: {volume.shape} {volume.dtype} spacing={volume.spacing}",
+              file=sys.stderr)
+
+        slc = Slice(volume)
+        project = Project()
+        project.volume = volume
+        project.modality = volume.modality
+        project.name = "cli_project"
+
+        if args.threshold:
+            tmin, tmax = parse_threshold(args.threshold, volume.modality)
+            mask = slc.create_new_mask(threshold_range=(tmin, tmax))
+            project.add_mask(mask)
+            n = int(np.asarray(mask.visible_array()).sum())
+            print(f"threshold [{tmin}, {tmax}]: {n} voxels", file=sys.stderr)
+
+        if args.export_surface:
+            if not slc.current_mask:
+                slc.create_new_mask()
+            surf = slc.create_surface_from_mask(
+                quality=args.quality, algorithm=args.algorithm)
+            project.add_surface(surf)
+            surf.export(args.export_surface)
+            print(f"exported {args.export_surface}: {len(surf.faces)} triangles, "
+                  f"volume={surf.volume:.1f} mm^3, area={surf.area:.1f} mm^2",
+                  file=sys.stderr)
+
+        if args.export_all:
+            base = Path(args.export_all)
+            presets = (const.THRESHOLD_PRESETS_CT if volume.modality == "CT"
+                       else const.THRESHOLD_PRESETS_OTHER)
+            for pname, (tmin, tmax) in presets.items():
+                if pname == "Custom":
+                    continue
+                m = slc.create_new_mask(name=pname, threshold_range=(tmin, tmax))
+                if not bool(np.asarray(m.visible_array()).any()):
+                    continue
+                surf = slc.create_surface_from_mask(m, quality=args.quality,
+                                                    algorithm=args.algorithm)
+                out = base.with_name(f"{base.stem}_{pname.replace(' ', '_')}{base.suffix}")
+                surf.export(str(out))
+                print(f"exported {out}", file=sys.stderr)
+
+        for m in slc.masks.values():
+            project.add_mask(m)
+
+        if args.save_project:
+            project.save(args.save_project)
+            session.add_recent_project(args.save_project, project.name)
+            print(f"saved {args.save_project}", file=sys.stderr)
+
+        if args.export_project:
+            out = args.export_project
+            if out.endswith((".h5", ".hdf5")):
+                project.export_to_hdf5(out)
+            else:
+                project.export_to_nifti(out)
+            print(f"exported project to {out}", file=sys.stderr)
+        return 0
+    finally:
+        session.exit()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

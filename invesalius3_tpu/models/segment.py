@@ -1,0 +1,200 @@
+"""Deep-learning segmentation pipeline: sliding-window patch inference.
+
+Reference behavior (invesalius/segmentation/deep_learning/segment.py):
+``gen_patches`` :74 yields 48^3 patches with 50% overlap (grid positions
+clamped so a final patch ends exactly at the border), one
+``SegmentProcess`` subprocess runs the model patch-by-patch and writes
+into a probability memmap, overwriting on overlap; models normalize input
+with ``image_normalize`` to [0, 1].
+
+TPU design: the patch grid is computed statically; all patches are
+gathered into one (N, 48, 48, 48, 1) batch with ``dynamic_slice`` under
+jit, the whole batch runs through the jitted U-Net (bf16 matmuls on the
+MXU), and results scatter back in grid order so later patches overwrite
+earlier ones exactly like the reference's sequential loop.  Multi-chip:
+the batch dimension shards over the mesh ("data" axis) — patches are
+independent, so no collectives beyond the final gather.
+"""
+
+from __future__ import annotations
+
+import threading
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from invesalius3_tpu.models.unet3d import SIZE, Unet3D
+
+
+def image_normalize(image, min_: float = 0.0, max_: float = 1.0) -> jnp.ndarray:
+    """Reference segment.py image_normalize: linear rescale to [min_, max_]."""
+    img = jnp.asarray(image, jnp.float32)
+    imin, imax = jnp.min(img), jnp.max(img)
+    return (img - imin) * ((max_ - min_) / jnp.where(imax == imin, 1.0, imax - imin)) + min_
+
+
+def patch_grid(shape: Tuple[int, int, int], patch_size: int = SIZE,
+               overlap: float = 0.5) -> List[Tuple[int, int, int]]:
+    """Static patch origin list matching reference gen_patches:74-96."""
+    frac = overlap / 100.0 if overlap > 1 else overlap  # accept percent or fraction
+    ov = int(patch_size * frac)
+    step = patch_size - ov
+
+    def axis_starts(s):
+        starts = [i for i in range(0, s, step) if i + patch_size <= s]
+        if not starts:
+            starts = [0]
+        elif starts[-1] + patch_size < s:
+            starts.append(s - patch_size)
+        return starts
+
+    sz, sy, sx = shape
+    return [
+        (iz, iy, ix)
+        for iz in axis_starts(sz)
+        for iy in axis_starts(sy)
+        for ix in axis_starts(sx)
+    ]
+
+
+@partial(jax.jit, static_argnames=("patch_size",))
+def _gather_patches(image: jax.Array, origins: jax.Array, patch_size: int) -> jax.Array:
+    """(N, p, p, p) patch batch via vmapped dynamic_slice (zero-padded image
+    must be passed if patches can exceed borders; grid origins already
+    guarantee in-bounds)."""
+
+    def one(origin):
+        return jax.lax.dynamic_slice(image, origin, (patch_size,) * 3)
+
+    return jax.vmap(one)(origins)
+
+
+@partial(jax.jit, static_argnames=("patch_size", "out_shape"))
+def _scatter_patches(probs: jax.Array, origins: jax.Array, patch_size: int,
+                     out_shape: Tuple[int, int, int]) -> jax.Array:
+    """Write patches back in order (later overwrites earlier — reference
+    overwrite semantics)."""
+    out = jnp.zeros(out_shape, jnp.float32)
+
+    def body(out, xs):
+        prob, origin = xs
+        return jax.lax.dynamic_update_slice(out, prob, origin), None
+
+    out, _ = jax.lax.scan(body, out, (probs, origins))
+    return out
+
+
+class BrainSegmenter:
+    """Patch-grid U-Net segmentation (reference BrainSegmentProcess
+    semantics: normalize image to [0,1], 48^3 patches, 50% overlap,
+    probability threshold -> mask)."""
+
+    def __init__(self, variables=None, model: Optional[Unet3D] = None,
+                 patch_size: int = SIZE, overlap: float = 0.5,
+                 use_ww_wl: bool = False, ww: float = 255.0, wl: float = 127.5):
+        self.model = model or Unet3D(dtype=jnp.bfloat16)
+        self.patch_size = patch_size
+        self.overlap = overlap
+        self.use_ww_wl = use_ww_wl
+        self.ww, self.wl = ww, wl
+        if variables is None:
+            variables = self.model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, patch_size, patch_size, patch_size, 1)), train=False)
+        self.variables = variables
+
+        @jax.jit
+        def _apply(variables, batch):
+            return self.model.apply(variables, batch, train=False)
+
+        self._apply = _apply
+
+    def segment(self, image, probability_threshold: float = 0.5,
+                batch_size: int = 8, progress_cb=None) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (probability (Z, Y, X) float32, mask uint8 0/255)."""
+        from invesalius3_tpu.ops.windowing import get_lut_value_255
+
+        img = jnp.asarray(image)
+        if self.use_ww_wl:
+            img = get_lut_value_255(img, self.ww, self.wl)
+        norm = image_normalize(img)
+
+        shape = tuple(int(s) for s in norm.shape)
+        pad = [max(0, self.patch_size - s) for s in shape]
+        if any(pad):
+            norm = jnp.pad(norm, [(0, p) for p in pad])
+        padded_shape = tuple(int(s) for s in norm.shape)
+
+        origins_list = patch_grid(padded_shape, self.patch_size, self.overlap)
+        origins = jnp.asarray(origins_list, jnp.int32)
+
+        probs_all = []
+        n = len(origins_list)
+        for i in range(0, n, batch_size):
+            chunk = origins[i : i + batch_size]
+            patches = _gather_patches(norm, chunk, self.patch_size)
+            batch = patches[..., None]
+            out = self._apply(self.variables, batch)
+            probs_all.append(out[..., 0])
+            if progress_cb is not None:
+                progress_cb(min(1.0, (i + len(chunk)) / n))
+        probs = jnp.concatenate(probs_all, axis=0)
+        prob_vol = _scatter_patches(probs, origins, self.patch_size, padded_shape)
+        prob_vol = prob_vol[: shape[0], : shape[1], : shape[2]]
+
+        mask = np.where(np.asarray(prob_vol) >= probability_threshold, 255, 0).astype(np.uint8)
+        return np.asarray(prob_vol), mask
+
+
+# ---------------------------------------------------------------------------
+# Job orchestration (reference SegmentProcess, segment.py:297-420)
+# ---------------------------------------------------------------------------
+
+
+class SegmentJob(threading.Thread):
+    """Background segmentation job with progress + cancellation.
+
+    The reference runs one multiprocessing.Process per job with memmap IPC
+    and an exception Pipe (segment.py:313-380); here JAX dispatch is
+    already async, so a thread + callbacks carry the same contract:
+    ``progress`` in [0, 1], ``exception`` captured, ``stop()`` cancels
+    between patch batches.
+    """
+
+    def __init__(self, segmenter: "BrainSegmenter", image,
+                 probability_threshold: float = 0.5, batch_size: int = 8):
+        super().__init__(daemon=True)
+        self.segmenter = segmenter
+        self.image = image
+        self.threshold = probability_threshold
+        self.batch_size = batch_size
+        self.progress = 0.0
+        self.exception: Optional[BaseException] = None
+        self.probability: Optional[np.ndarray] = None
+        self.mask: Optional[np.ndarray] = None
+        self._stop = threading.Event()
+
+    def _on_progress(self, value: float) -> None:
+        self.progress = value
+        if self._stop.is_set():
+            raise _Cancelled()
+
+    def run(self) -> None:
+        try:
+            self.probability, self.mask = self.segmenter.segment(
+                self.image, self.threshold, self.batch_size, self._on_progress)
+            self.progress = 1.0
+        except _Cancelled:
+            pass
+        except BaseException as e:  # mirrored to the caller like the ref Pipe
+            self.exception = e
+
+    def stop(self) -> None:
+        self._stop.set()
+
+
+class _Cancelled(Exception):
+    pass

@@ -1,0 +1,102 @@
+"""Image filters producing new "image versions": gaussian, median, mean,
+unsharp mask.
+
+Reference: invesalius/data/filters.py:5-29 (scipy.ndimage gaussian_filter,
+median_filter, uniform_filter, and unsharp = img + k*(img - gaussian)),
+surfaced in the GUI as filtered image versions stored on the Project.
+
+TPU design: separable gaussian/mean as three 1-D convolutions (XLA fuses
+them); median via a sort over the window's 27 shifted copies (exact for
+3x3x3).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from invesalius3_tpu.ops.morphology import shift_nd
+
+
+def _gauss_kernel1d(sigma: float, truncate: float = 4.0) -> np.ndarray:
+    """scipy.ndimage.gaussian_filter1d kernel (radius = truncate*sigma)."""
+    radius = int(truncate * sigma + 0.5)
+    x = np.arange(-radius, radius + 1)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=("sigma", "truncate"))
+def gaussian(volume: jax.Array, sigma: float = 1.0, truncate: float = 4.0) -> jax.Array:
+    """Separable gaussian blur, reflect boundary (scipy default)."""
+    k = _gauss_kernel1d(sigma, truncate)
+    r = (len(k) - 1) // 2
+    out = volume.astype(jnp.float32)
+    for axis in range(3):
+        pad = [(0, 0)] * 3
+        pad[axis] = (r, r)
+        padded = jnp.pad(out, pad, mode="symmetric")
+        acc = jnp.zeros_like(out)
+        for i, w in enumerate(k):
+            acc = acc + w * jax.lax.slice_in_dim(padded, i, i + out.shape[axis], axis=axis)
+        out = acc
+    return out.astype(volume.dtype)
+
+
+@partial(jax.jit, static_argnames=("size",))
+def mean(volume: jax.Array, size: int = 3) -> jax.Array:
+    """Uniform (box) filter, reflect boundary."""
+    out = volume.astype(jnp.float32)
+    r = size // 2
+    for axis in range(3):
+        pad = [(0, 0)] * 3
+        pad[axis] = (r, size - 1 - r)
+        padded = jnp.pad(out, pad, mode="symmetric")
+        acc = jnp.zeros_like(out)
+        for i in range(size):
+            acc = acc + jax.lax.slice_in_dim(padded, i, i + out.shape[axis], axis=axis)
+        out = acc / size
+    return out.astype(volume.dtype)
+
+
+@partial(jax.jit, static_argnames=("size",))
+def median(volume: jax.Array, size: int = 3) -> jax.Array:
+    """Exact median over a size^3 window via sorting the shifted copies."""
+    r = size // 2
+    offs = [
+        (a, b, c)
+        for a in range(-r, size - r)
+        for b in range(-r, size - r)
+        for c in range(-r, size - r)
+    ]
+    pad = [(r, size - 1 - r)] * 3
+    padded = jnp.pad(volume, pad, mode="symmetric")
+
+    def window(off):
+        sl = tuple(
+            slice(r + o, r + o + volume.shape[i]) for i, o in enumerate(off)
+        )
+        return padded[sl]
+
+    stack = jnp.stack([window(o) for o in offs])
+    return jnp.median(stack, axis=0).astype(volume.dtype)
+
+
+@partial(jax.jit, static_argnames=("sigma",))
+def unsharp(volume: jax.Array, sigma: float = 1.0, amount: float = 1.0) -> jax.Array:
+    """img + amount * (img - gaussian(img)) (reference filters.py unsharp)."""
+    v = volume.astype(jnp.float32)
+    blurred = gaussian(v, sigma).astype(jnp.float32)
+    return (v + amount * (v - blurred)).astype(volume.dtype)
+
+
+FILTERS = {
+    "Gaussian": gaussian,
+    "Median": median,
+    "Mean": mean,
+    "Unsharp": unsharp,
+}

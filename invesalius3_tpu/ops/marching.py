@@ -245,6 +245,28 @@ def _extract(
     return pts, keys, n_tris, n_active
 
 
+@partial(jax.jit, static_argnames=())
+def _dedup_vertices(pts: jax.Array, keys: jax.Array):
+    """Device-side shared-vertex dedup by lattice-edge key.
+
+    pts: (M, 3) float32 coordinates, keys: (M, 2) int32 sorted lattice-id
+    pairs (invalid slots = -1, which sort to the front as one group).
+    Returns (verts (M, 3) padded, inverse (M,) int32 group ids, n_groups).
+    """
+    M = pts.shape[0]
+    order = jnp.lexsort((keys[:, 1], keys[:, 0]))
+    sk = keys[order]
+    new_group = jnp.concatenate([
+        jnp.ones((1,), jnp.int32),
+        ((sk[1:, 0] != sk[:-1, 0]) | (sk[1:, 1] != sk[:-1, 1])).astype(jnp.int32),
+    ])
+    group_of_sorted = jnp.cumsum(new_group) - 1  # (M,)
+    inverse = jnp.zeros((M,), jnp.int32).at[order].set(group_of_sorted)
+    verts = jnp.zeros((M, 3), jnp.float32).at[group_of_sorted].set(pts[order])
+    n_groups = group_of_sorted[-1] + 1
+    return verts, inverse, n_groups
+
+
 def marching_cubes(
     field: np.ndarray | jax.Array,
     iso: float,
@@ -276,14 +298,18 @@ def marching_cubes(
             max_tris=_next_pow2(max(n_tris, n_active_i * 4)),
         )
 
-    pts = np.asarray(pts[:n_tris]).reshape(-1, 3)  # (T*3, 3) zyx voxel units
-    keys = np.asarray(keys[:n_tris]).reshape(-1, 2)
-
-    # dedup shared vertices by edge key
-    uniq, inverse = np.unique(keys, axis=0, return_inverse=True)
-    verts = np.zeros((len(uniq), 3), np.float32)
-    verts[inverse] = pts  # any duplicate writes the same value
+    # device-side dedup of shared vertices by edge key, then transfer only
+    # the valid prefixes
+    verts_d, inverse_d, n_groups = _dedup_vertices(
+        pts.reshape(-1, 3), keys.reshape(-1, 2))
+    n_groups = int(n_groups)
+    verts = np.asarray(verts_d[:n_groups])
+    inverse = np.asarray(inverse_d[: n_tris * 3])
     faces = inverse.reshape(-1, 3).astype(np.int32)
+
+    # drop the invalid-slot group (keys == -1) if padding slots existed:
+    # they form group 0 only when any slot was invalid; valid triangles
+    # never reference it because we trimmed to n_tris.
 
     # voxel (z, y, x) -> world mm (x, y, z).  Swapping the z and x axes
     # mirrors space (det = -1), so face winding must flip to keep normals

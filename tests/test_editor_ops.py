@@ -1,0 +1,142 @@
+"""3D mask editor kernels (polygon raster, mask cut), voronoi/JFA, resize,
+styles state machine, brain peel, fastsurfer pipeline shape checks."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from invesalius3_tpu import events
+from invesalius3_tpu.core.styles import (
+    SLICE_STATE_EDITOR,
+    SLICE_STATE_WATERSHED,
+    STATE_DEFAULT,
+    STATE_ZOOM,
+    StyleStateManager,
+)
+from invesalius3_tpu.ops import rasterize, resize, voronoi
+
+
+def test_polygon2mask_matches_reference_rule():
+    # square polygon in (x, y): the reference's polygon2mask_rs ray-casting
+    pts = jnp.asarray([[2.0, 2.0], [2.0, 7.0], [7.0, 7.0], [7.0, 2.0]])
+    mask = np.asarray(rasterize.polygon2mask((10, 10), pts))
+    assert mask[4, 4]
+    assert not mask[0, 0]
+    assert not mask[9, 9]
+    # degenerate empty polygon -> all false? (reference returns empty mask)
+    pts2 = jnp.asarray([[0.0, 0.0], [0.0, 0.0], [0.0, 0.0]])
+    m2 = np.asarray(rasterize.polygon2mask((4, 4), pts2))
+    assert not m2.any()
+
+
+def test_mask_cut_depth_and_polygon():
+    # identity-ish projection: world x -> ndc x over [0, 2], looking down z
+    mask_vol = np.full((8, 8, 8), 255, np.uint8)
+    # NDC: map x in [0,8) to [-1,1): x_ndc = x/4 - 1; same for y
+    m = np.array([
+        [0.25, 0, 0, -1.0],  # ndc_x from world x
+        [0, 0.25, 0, -1.0],  # ndc_y from world y
+        [0, 0, 0.1, 0],
+        [0, 0, 0, 1.0],
+    ])
+    # wait: reference transforms p=(x*sx, y*sy, z*sz) with m rows in (x,y,z)
+    mv = np.eye(4)
+    poly_mask = np.zeros((16, 16), bool)
+    poly_mask[:, :8] = True  # left half of screen
+    out = np.asarray(rasterize.mask_cut(
+        jnp.asarray(mask_vol), (1.0, 1.0, 1.0), 1000.0,
+        jnp.asarray(poly_mask), jnp.asarray(m), jnp.asarray(mv), edit_mode=1))
+    # voxels with x <= 4 project to the left half -> cut
+    assert (out[:, :, :3] == 0).all()
+    assert (out[:, :, 5:] == 255).all()
+    # depth limit: camera far away (mv translation), tiny max_depth -> no cut
+    mv_far = np.eye(4)
+    mv_far[:3, 3] = [100.0, 100.0, 100.0]
+    out2 = np.asarray(rasterize.mask_cut(
+        jnp.asarray(mask_vol), (1.0, 1.0, 1.0), 0.5,
+        jnp.asarray(poly_mask), jnp.asarray(m), jnp.asarray(mv_far), edit_mode=1))
+    assert (out2 == 255).all()
+
+
+def test_jump_flooding_two_sites():
+    sites = jnp.asarray([[2, 2, 2], [9, 9, 9]], jnp.int32)
+    owners, dist = voronoi.jump_flooding(jnp.zeros((12, 12, 12), jnp.uint8), sites)
+    owners = np.asarray(owners)
+    assert owners[2, 2, 2] == 1 and owners[9, 9, 9] == 2
+    assert owners[0, 0, 0] == 1 and owners[11, 11, 11] == 2
+    assert (owners > 0).all()
+    # distances correct at a probe point
+    d = np.asarray(dist)
+    np.testing.assert_allclose(d[2, 2, 4], 2.0, atol=1e-5)
+
+
+def test_jump_flooding_matches_exact_voronoi():
+    rng = np.random.default_rng(4)
+    sites_np = rng.integers(0, 16, (5, 3)).astype(np.int32)
+    owners, _ = voronoi.jump_flooding(jnp.zeros((16, 16, 16), jnp.uint8),
+                                      jnp.asarray(sites_np))
+    owners = np.asarray(owners)
+    zz, yy, xx = np.mgrid[:16, :16, :16]
+    d2 = [(zz - s[0]) ** 2 + (yy - s[1]) ** 2 + (xx - s[2]) ** 2 for s in sites_np]
+    exact = np.argmin(np.stack(d2), axis=0) + 1
+    # JFA is exact except rare tie voxels; require > 99% agreement and
+    # exactness on strictly-decided voxels
+    d2s = np.sort(np.stack(d2), axis=0)
+    decided = d2s[0] != d2s[1]
+    np.testing.assert_array_equal(owners[decided], exact[decided])
+
+
+def test_resize_volume():
+    v = jnp.asarray(np.arange(8 * 8 * 8, dtype=np.float32).reshape(8, 8, 8))
+    out = np.asarray(resize.resize_volume(v, (4, 4, 4), order=1))
+    assert out.shape == (4, 4, 4)
+    np.testing.assert_allclose(out[0, 0, 0], 0.0)
+    np.testing.assert_allclose(out[-1, -1, -1], 511.0)
+    nearest = np.asarray(resize.resize_volume(v, (16, 16, 16), order=0))
+    assert nearest.shape == (16, 16, 16)
+
+
+def test_style_state_manager():
+    sm = StyleStateManager(bus=events.Publisher())
+    assert sm.current == STATE_DEFAULT
+    sm.add_state(STATE_ZOOM)
+    assert sm.current == STATE_ZOOM
+    sm.add_state(SLICE_STATE_EDITOR)
+    assert sm.current == SLICE_STATE_EDITOR
+    # same-level tool replaces
+    sm.add_state(SLICE_STATE_WATERSHED)
+    assert sm.current == SLICE_STATE_WATERSHED
+    sm.remove_state(SLICE_STATE_WATERSHED)
+    assert sm.current == STATE_DEFAULT or sm.current == STATE_ZOOM
+
+
+def test_brain_peel():
+    from invesalius3_tpu.ops.brain_peel import Brain
+
+    zz, yy, xx = np.mgrid[:24, :24, :24].astype(float)
+    r = np.sqrt((zz - 12) ** 2 + (yy - 12) ** 2 + (xx - 12) ** 2)
+    mask = np.where(r < 9, 255, 0).astype(np.uint8)
+    img = (1000 - r * 50).astype(np.int16)
+    brain = Brain(img, mask, n_peels=3, peel_depth_mm=1.5, smooth_iters=2)
+    assert len(brain.peels) >= 2
+    p0, p1 = brain.peels[0], brain.peels[1]
+    assert len(p0["verts"]) > len(p1["verts"])  # deeper peel is smaller
+    assert p0["intensity"].shape == (len(p0["verts"]),)
+    # intensity grows inward (image is brighter at center)
+    assert p1["intensity"].mean() > p0["intensity"].mean()
+
+
+def test_fastsurfer_pipeline_shapes():
+    from invesalius3_tpu.models.fastsurfer import FastSurferPipeline, conform, thick_slices
+
+    vol = np.random.default_rng(0).normal(size=(20, 22, 24)).astype(np.float32)
+    c = conform(vol, out_size=32)
+    assert c.shape == (32, 32, 32)
+    assert 0 <= c.min() and c.max() <= 255.0
+    ts = np.asarray(thick_slices(c, 0))
+    assert ts.shape == (32, 32, 32, 7)
+    pipe = FastSurferPipeline(num_classes=5, batch_size=8)
+    labels = pipe.run(vol, conform_size=32)
+    assert labels.shape == (32, 32, 32)
+    assert labels.max() < 5

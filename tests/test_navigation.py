@@ -1,0 +1,243 @@
+"""Navigation runtime: tracker (debug backends), coregistration math,
+markers, robot, measures, remote-control mirroring — all hardware-free,
+using the reference's own debug-tracker test seam."""
+
+import time
+
+import numpy as np
+import pytest
+
+from invesalius3_tpu import events
+from invesalius3_tpu.core import measures
+from invesalius3_tpu.navigation import coregistration as coreg
+from invesalius3_tpu.navigation.markers import Marker, MarkerType, MarkersControl
+from invesalius3_tpu.navigation.navigation import Navigation, NavigationHub
+from invesalius3_tpu.navigation.robot import Robot, RobotObjective
+from invesalius3_tpu.navigation.tracker import (
+    TRACKER_DEBUG_APPROACH,
+    TRACKER_DEBUG_RANDOM,
+    Tracker,
+)
+from invesalius3_tpu.ops import transforms as tr
+
+
+def test_debug_tracker_poll_loop():
+    t = Tracker()
+    assert t.connect(TRACKER_DEBUG_RANDOM, poll_hz=500)
+    time.sleep(0.05)
+    coords, flags = t.get_coordinates()
+    assert coords.shape == (3, 6)
+    assert flags.all()
+    assert coords.any()  # receiver thread delivered something
+    t.set_tracker_fiducial(0)
+    t.set_tracker_fiducial(1)
+    t.set_tracker_fiducial(2)
+    assert t.are_fiducials_set()
+    t.disconnect()
+    assert not t.connected
+
+
+def test_pose_matrix_roundtrip():
+    pose = np.array([10.0, -5.0, 30.0, 20.0, -40.0, 65.0])
+    m = coreg.pose_to_matrix(pose)
+    back = coreg.matrix_to_pose(m)
+    np.testing.assert_allclose(back, pose, atol=1e-9)
+
+
+def test_corregistrate_probe_static_and_dynamic():
+    m_change = tr.euler_matrix(0.1, 0.2, 0.3)
+    m_change[:3, 3] = [5, 6, 7]
+    probe = np.array([1.0, 2.0, 3.0, 10.0, 20.0, 30.0])
+    m_img = coreg.corregistrate_probe(m_change, probe, ref_pose=None)
+    want = m_change @ coreg.pose_to_matrix(probe)
+    np.testing.assert_allclose(m_img, want, atol=1e-12)
+    # dynamic: identical probe and reference -> pose relative to ref is I
+    m_img2 = coreg.corregistrate_probe(m_change, probe, ref_pose=probe)
+    np.testing.assert_allclose(m_img2, m_change, atol=1e-9)
+
+
+def test_image_to_tracker_inverts_corregistrate():
+    m_change = tr.euler_matrix(0.3, -0.1, 0.2)
+    m_change[:3, 3] = [4, -2, 9]
+    target_img = np.array([12.0, 34.0, 56.0, 5.0, 10.0, 15.0])
+    m_trk = coreg.image_to_tracker(m_change, target_img)
+    # going back through the probe path recovers the image pose
+    pose_trk = coreg.matrix_to_pose(m_trk)
+    m_img = coreg.corregistrate_probe(m_change, pose_trk)
+    np.testing.assert_allclose(m_img, coreg.pose_to_matrix(target_img), atol=1e-6)
+
+
+def test_full_navigation_session():
+    """End-to-end: fake tracker -> fiducial registration -> start ->
+    scene updates arrive on the bus -> stop (reference StartNavigation
+    pipeline with the debug tracker seam)."""
+    bus = events.Publisher()
+    nav = Navigation(bus=bus)
+    assert nav.tracker.connect(TRACKER_DEBUG_APPROACH, poll_hz=500)
+    time.sleep(0.05)
+
+    # image fiducials: a known rigid transform of the tracker ones
+    m_true = tr.euler_matrix(0.1, -0.2, 0.15)
+    m_true[:3, 3] = [3.0, -7.0, 11.0]
+    for i in range(3):
+        nav.tracker.set_tracker_fiducial(i)
+        time.sleep(0.02)
+    trk = nav.tracker.tracker_fiducials[:, :3]
+    img = (np.c_[trk, np.ones(3)] @ m_true.T)[:, :3]
+    for i in range(3):
+        nav.image.set(i, img[i])
+
+    fre = nav.estimate_tracker_to_image_transform()
+    assert fre < 1e-6  # exact rigid correspondence
+    np.testing.assert_allclose(nav.m_change, m_true, atol=1e-6)
+
+    got = []
+    bus.subscribe(lambda **kw: got.append(kw), "navigation.update_scene")
+    nav.start_navigation(poll_hz=200)
+    time.sleep(0.3)
+    nav.stop_navigation()
+    assert len(got) >= 3
+    assert "probe_pose_img" in got[0]
+    nav.tracker.disconnect()
+
+
+def test_markers_control_roundtrip(tmp_path):
+    mc = MarkersControl(bus=events.Publisher())
+    m1 = mc.add(Marker(marker_type=MarkerType.FIDUCIAL, position=(1, 2, 3), label="LE"))
+    m2 = mc.add(Marker(marker_type=MarkerType.COIL_TARGET, position=(4, 5, 6), label="T1"))
+    mc.set_target(m2.marker_id)
+    assert mc.target.label == "T1"
+    mc.set_target(m1.marker_id)
+    assert mc.target.label == "LE" and not m2.is_target
+
+    mc.save_json(tmp_path / "m.json")
+    mc2 = MarkersControl(bus=events.Publisher())
+    mc2.load_json(tmp_path / "m.json")
+    assert len(mc2.markers) == 2
+    assert mc2.markers[1].position == (4.0, 5.0, 6.0)
+
+    mc.save_csv(tmp_path / "m.csv")
+    mc3 = MarkersControl(bus=events.Publisher())
+    mc3.load_csv(tmp_path / "m.csv")
+    assert len(mc3.markers) == 2
+    assert mc3.markers[0].label == "LE"
+
+    mc.delete(m1.marker_id)
+    assert len(mc.markers) == 1
+
+
+def test_robot_target_flow():
+    bus = events.Publisher()
+    nav = Navigation(bus=bus)
+    nav.tracker.connect(TRACKER_DEBUG_RANDOM, poll_hz=500)
+    time.sleep(0.05)
+    nav.m_change = np.eye(4)
+    nav.use_dynamic_reference = False
+
+    calls = []
+
+    class FakeConnection:
+        def update_robot_target(self, robot_id, target):
+            calls.append((robot_id, target))
+
+    from invesalius3_tpu.net.neuronavigation_api import NeuronavigationApi
+
+    api = NeuronavigationApi(connection=FakeConnection(), bus=bus)
+    robot = Robot("r0", api=api, bus=bus)
+    robot.set_objective(RobotObjective.TRACK_TARGET)
+    target = np.array([10.0, 20.0, 30.0, 0.0, 0.0, 0.0])
+    m_trk = robot.send_target(nav, target)
+    assert calls and calls[0][0] == "r0"
+    np.testing.assert_allclose(m_trk[:3, 3], [10, 20, 30], atol=1e-9)
+    nav.tracker.disconnect()
+
+
+def test_navigation_hub_composes():
+    hub = NavigationHub(bus=events.Publisher())
+    assert hub.tracker is hub.navigation.tracker
+    assert hub.markers is not None
+
+
+# ---------------------------------------------------------------------------
+# measures
+# ---------------------------------------------------------------------------
+
+
+def test_linear_angular_measures():
+    mm = measures.MeasurementManager(bus=events.Publisher())
+    m = mm.add_linear((0, 0, 0), (3, 4, 0))
+    assert m.value == 5.0
+    a = mm.add_angular((1, 0, 0), (0, 0, 0), (0, 1, 0))
+    assert abs(a.value - 90.0) < 1e-9
+    d = mm.to_dict()
+    mm2 = measures.MeasurementManager(bus=events.Publisher())
+    mm2.load_dict(d)
+    assert len(mm2.measures) == 2
+
+
+def test_density_measures():
+    img = np.zeros((20, 20), np.int16)
+    img[5:15, 5:15] = 100
+    st = measures.density_ellipse(img, (10, 10), 3, 3)
+    assert st["mean"] == 100.0
+    st2 = measures.density_polygon(img, [(5, 5), (5, 14), (14, 14), (14, 5)])
+    assert st2["mean"] == 100.0
+    assert st2["area_px"] > 50
+
+
+def test_polygon2mask_square():
+    mask = measures.polygon2mask((10, 10), [(2, 2), (2, 7), (7, 7), (7, 2)])
+    assert mask[4, 4] and not mask[0, 0] and not mask[9, 9]
+
+
+def test_geodesic_on_strip():
+    # two triangles forming a unit square: path corner-to-corner along edges
+    verts = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float32)
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    d = measures.geodesic_distance(verts, faces, 0, 2)
+    assert abs(d - np.sqrt(2)) < 1e-6  # direct diagonal edge exists
+
+
+def test_remote_control_mirror():
+    """Internal events mirror out; inbound lines re-publish internally
+    (reference remote_control semantics over JSON-lines TCP)."""
+    import json
+    import socket as sk
+    import threading
+
+    from invesalius3_tpu.net.remote_control import RemoteControl
+
+    received = []
+    srv = sk.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def server():
+        conn, _ = srv.accept()
+        buf = b""
+        # read one outbound message
+        while b"\n" not in buf:
+            buf += conn.recv(4096)
+        received.append(json.loads(buf.split(b"\n")[0]))
+        # send one inbound message
+        conn.sendall(json.dumps({"topic": "remote.ping", "data": {"x": 1}}).encode() + b"\n")
+        time.sleep(0.2)
+        conn.close()
+
+    th = threading.Thread(target=server, daemon=True)
+    th.start()
+
+    bus = events.Publisher()
+    rc = RemoteControl("127.0.0.1", port, bus=bus)
+    inbound = []
+    bus.subscribe(lambda **kw: inbound.append(kw), "remote.ping")
+    rc.connect()
+    bus.send_message("test.topic", value=42)
+    th.join(timeout=2)
+    time.sleep(0.2)
+    rc.disconnect()
+    srv.close()
+    assert received and received[0]["topic"] == "test.topic"
+    assert received[0]["data"]["value"] == 42
+    assert inbound == [{"x": 1}]

@@ -1,0 +1,259 @@
+"""Oblique reslicing (apply_view_matrix_transform), interpolators, raycast
+rendering, filters, transforms, registration."""
+
+import numpy as np
+import pytest
+
+from invesalius3_tpu import constants as const
+from invesalius3_tpu.ops import filters, raycast, registration, reslice, transforms
+
+rng = np.random.default_rng(9)
+
+
+# ---------------------------------------------------------------------------
+# interpolators vs scalar oracles (interpolation.rs)
+# ---------------------------------------------------------------------------
+
+
+def _oracle_trilinear(v, x, y, z):
+    import math
+
+    def get(xi, yi, zi):
+        dz, dy, dx = v.shape
+        if xi < 0: xi += dx
+        elif xi >= dx: xi -= dx
+        if yi < 0: yi += dy
+        elif yi >= dy: yi -= dy
+        if zi < 0: zi += dz
+        elif zi >= dz: zi -= dz
+        return float(v[zi, yi, xi])
+
+    x0, y0, z0 = math.floor(x), math.floor(y), math.floor(z)
+    xd, yd, zd = x - x0, y - y0, z - z0
+    c00 = get(x0, y0, z0) * (1 - xd) + get(x0 + 1, y0, z0) * xd
+    c10 = get(x0, y0 + 1, z0) * (1 - xd) + get(x0 + 1, y0 + 1, z0) * xd
+    c01 = get(x0, y0, z0 + 1) * (1 - xd) + get(x0 + 1, y0, z0 + 1) * xd
+    c11 = get(x0, y0 + 1, z0 + 1) * (1 - xd) + get(x0 + 1, y0 + 1, z0 + 1) * xd
+    c0 = c00 * (1 - yd) + c10 * yd
+    c1 = c01 * (1 - yd) + c11 * yd
+    return c0 * (1 - zd) + c1 * zd
+
+
+def test_trilinear_matches_oracle():
+    v = rng.integers(0, 100, (6, 7, 8)).astype(np.int16)
+    pts = rng.uniform(0.5, 4.5, (20, 3))
+    import jax.numpy as jnp
+
+    got = np.asarray(reslice.trilinear(jnp.asarray(v), pts[:, 0], pts[:, 1], pts[:, 2]))
+    want = [_oracle_trilinear(v, *p) for p in pts]
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_tricubic_interpolates_smoothly():
+    # on a linear field, Catmull-Rom reproduces it exactly
+    zz, yy, xx = np.mgrid[:8, :8, :8].astype(np.float32)
+    v = 2 * xx + 3 * yy + 5 * zz
+    import jax.numpy as jnp
+
+    got = float(reslice.tricubic(jnp.asarray(v), jnp.asarray([3.25]), jnp.asarray([2.5]),
+                                 jnp.asarray([4.75]))[0])
+    assert abs(got - (2 * 3.25 + 3 * 2.5 + 5 * 4.75)) < 1e-3
+
+
+def test_lanczos_near_constant():
+    """The reference's Lanczos (interpolation.rs:140-188) is an
+    unnormalized 7-tap windowed sinc (the +a tap falls outside its loop
+    range), so constants reproduce only to ~1% — we match that behavior."""
+    import jax.numpy as jnp
+
+    v = np.full((10, 10, 10), 7.0, np.float32)
+    got = float(reslice.lanczos(jnp.asarray(v), jnp.asarray([4.3]), jnp.asarray([5.1]),
+                                jnp.asarray([4.9]))[0])
+    assert abs(got - 7.0) / 7.0 < 0.03
+    # at integer positions the center tap dominates exactly
+    got_int = float(reslice.lanczos(jnp.asarray(v), jnp.asarray([4.0]), jnp.asarray([5.0]),
+                                    jnp.asarray([4.0]))[0])
+    assert abs(got_int - 7.0) < 1e-4
+
+
+def test_apply_view_matrix_identity():
+    """Identity matrix reproduces the original slices (inside the valid
+    region; the boundary voxels fall outside the [0, dim-1) check)."""
+    v = rng.integers(0, 100, (8, 10, 12)).astype(np.int16)
+    import jax.numpy as jnp
+
+    out = np.asarray(
+        reslice.apply_view_matrix_transform(
+            jnp.asarray(v), (1.0, 1.0, 1.0), jnp.eye(4), 0, "AXIAL",
+            const.INTERP_NEAREST, float(v.min()), (8, 10, 12),
+        )
+    )
+    np.testing.assert_array_equal(out[:7, :9, :11], v[:7, :9, :11])
+
+
+def test_apply_view_matrix_translation():
+    v = rng.integers(0, 100, (8, 10, 12)).astype(np.int16)
+    m = np.eye(4)
+    m[0, 3] = 2.0  # shift z by 2 (world z = index * 1.0)
+    import jax.numpy as jnp
+
+    out = np.asarray(
+        reslice.apply_view_matrix_transform(
+            jnp.asarray(v), (1.0, 1.0, 1.0), jnp.asarray(m), 0, "AXIAL",
+            const.INTERP_NEAREST, -1, (8, 10, 12),
+        )
+    )
+    np.testing.assert_array_equal(out[:5, :9, :11], v[2:7, :9, :11])
+
+
+# ---------------------------------------------------------------------------
+# raycast
+# ---------------------------------------------------------------------------
+
+
+def _shell_ct(n=48):
+    zz, yy, xx = np.mgrid[:n, :n, :n].astype(np.float32)
+    c = (n - 1) / 2
+    r = np.sqrt((zz - c) ** 2 + (yy - c) ** 2 + (xx - c) ** 2)
+    ct = np.full((n, n, n), -1000, np.int16)
+    ct[(r >= 14) & (r < 18)] = 1200
+    return ct
+
+
+def test_raycast_composite_bone():
+    ct = _shell_ct()
+    img = raycast.render(ct, (1.0, 1.0, 1.0), raycast.builtin_preset("Bone"),
+                         image_size=64, n_steps=96)
+    assert img.shape == (64, 64, 3) and img.dtype == np.uint8
+    # shell visible in the center, background at corners
+    assert img[32, 32].max() > 60
+    assert img[0, 0].max() < 10
+
+
+def test_raycast_mip_mode():
+    ct = _shell_ct()
+    img = raycast.render(ct, (1.0, 1.0, 1.0), raycast.builtin_preset("MIP"),
+                         image_size=64, n_steps=96)
+    assert img[32, 32, 0] > img[0, 0, 0]
+
+
+def test_raycast_crop_plane():
+    ct = _shell_ct()
+    # crop everything with z < center: plane z - c >= 0
+    plane = np.array([1.0, 0.0, 0.0, -(ct.shape[0] // 2)], np.float32)
+    full = raycast.render(ct, preset=raycast.builtin_preset("Bone"),
+                          image_size=48, n_steps=64)
+    cropped = raycast.render(ct, preset=raycast.builtin_preset("Bone"),
+                             image_size=48, n_steps=64, crop_plane=plane)
+    assert cropped.sum() < full.sum()
+
+
+def test_raycast_preset_plist_roundtrip(tmp_path):
+    """Parse an advanced 16-bit CLUT preset in the reference's plist
+    format (structure per volume.py/presets)."""
+    import plistlib
+
+    preset = {
+        "name": "Test",
+        "advancedCLUT": True,
+        "16bitClutCurves": [
+            [{"x": 100.0, "y": 0.0}, {"x": 500.0, "y": 0.8}],
+        ],
+        "16bitClutColors": [
+            [{"red": 1.0, "green": 0.5, "blue": 0.2},
+             {"red": 1.0, "green": 1.0, "blue": 0.9}],
+        ],
+        "useShading": True,
+        "projection": 1,
+        "wl": 300.0,
+        "ww": 400.0,
+    }
+    p = tmp_path / "t.plist"
+    with open(p, "wb") as f:
+        plistlib.dump(preset, f)
+    rp = raycast.RaycastPreset.from_plist(p)
+    assert rp.name == "Test" and rp.use_shading
+    assert rp.lut_min == 100.0 and rp.lut_max == 500.0
+    # opacity ramps up across the curve
+    assert rp.rgba[-1, 3] > 0.7 and rp.rgba[0, 3] < 0.05
+
+
+# ---------------------------------------------------------------------------
+# filters
+# ---------------------------------------------------------------------------
+
+
+def test_gaussian_matches_scipy():
+    from scipy import ndimage
+
+    v = rng.normal(size=(10, 12, 14)).astype(np.float32)
+    got = np.asarray(filters.gaussian(v, 1.5))
+    want = ndimage.gaussian_filter(v, 1.5, mode="reflect")
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_median_matches_scipy():
+    from scipy import ndimage
+
+    v = rng.integers(0, 100, (8, 9, 10)).astype(np.int16)
+    got = np.asarray(filters.median(v, 3))
+    want = ndimage.median_filter(v, 3, mode="reflect")
+    np.testing.assert_array_equal(got, want)
+
+
+def test_mean_matches_scipy():
+    from scipy import ndimage
+
+    v = rng.normal(size=(8, 9, 10)).astype(np.float32)
+    got = np.asarray(filters.mean(v, 3))
+    want = ndimage.uniform_filter(v, 3, mode="reflect")
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# transforms + registration
+# ---------------------------------------------------------------------------
+
+
+def test_euler_roundtrip():
+    for axes in ("sxyz", "rzyx", "szyx"):
+        angles = rng.uniform(-1.2, 1.2, 3)
+        m = transforms.euler_matrix(*angles, axes=axes)
+        back = transforms.euler_from_matrix(m, axes=axes)
+        m2 = transforms.euler_matrix(*back, axes=axes)
+        np.testing.assert_allclose(m, m2, atol=1e-9)
+
+
+def test_quaternion_roundtrip():
+    angles = rng.uniform(-1.0, 1.0, 3)
+    m = transforms.euler_matrix(*angles, axes="sxyz")
+    q = transforms.quaternion_from_matrix(m)
+    m2 = transforms.quaternion_matrix(q)
+    np.testing.assert_allclose(m, m2, atol=1e-9)
+
+
+def test_rigid_transform_and_fre():
+    src = rng.normal(size=(4, 3)) * 50
+    m_true = transforms.euler_matrix(0.3, -0.2, 0.5)
+    m_true[:3, 3] = [10, -5, 3]
+    dst = (np.c_[src, np.ones(4)] @ m_true.T)[:, :3]
+    m_est = registration.estimate_rigid_transform(src, dst)
+    np.testing.assert_allclose(m_est, m_true, atol=1e-8)
+    fre = registration.calculate_fre(src, dst, m_est)
+    assert fre < 1e-8
+
+
+def test_icp_converges():
+    pts = rng.normal(size=(200, 3)) * 30
+    m_true = transforms.euler_matrix(0.05, 0.1, -0.08)
+    m_true[:3, 3] = [2.0, -1.0, 1.5]
+    moved = (np.c_[pts, np.ones(len(pts))] @ m_true.T)[:, :3]
+    m_est, err = registration.icp(pts, moved, max_iterations=60)
+    got = (np.c_[pts, np.ones(len(pts))] @ m_est.T)[:, :3]
+    assert np.abs(got - moved).max() < 0.2
+
+
+def test_base_creation_orthonormal():
+    fids = rng.normal(size=(3, 3)) * 40
+    m, q = registration.base_creation(fids)
+    np.testing.assert_allclose(m.T @ m, np.eye(3), atol=1e-9)

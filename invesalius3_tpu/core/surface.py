@@ -141,14 +141,22 @@ def create_surface_from_mask(
 
 
 def decimate(verts: np.ndarray, faces: np.ndarray, reduction: float):
-    """Quadric-style decimation via vertex clustering (host-side; the
-    reference uses vtkQuadricDecimation — surface_process.py:350-372).
+    """Mesh decimation to (1 - reduction) triangles (the reference uses
+    vtkQuadricDecimation — surface_process.py:350-372).
 
-    Clusters vertices on a grid sized to hit the requested triangle
-    reduction fraction, collapsing cluster members to their centroid.
+    Primary path: the native C++ QEM edge-collapse simplifier
+    (invesalius3_tpu/native/decimate.cpp).  Fallback when no compiler is
+    available: grid vertex clustering.
     """
     if reduction <= 0:
         return verts, faces
+    try:
+        from invesalius3_tpu import native
+
+        if native.available():
+            return native.decimate_qem(verts, faces, reduction)
+    except Exception:
+        pass  # fall through to clustering
     target_tris = max(4, int(len(faces) * (1.0 - reduction)))
     lo = verts.min(axis=0)
     hi = verts.max(axis=0)

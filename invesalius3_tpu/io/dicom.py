@@ -396,9 +396,10 @@ def load_dicom_dir(directory) -> List[DicomGroup]:
 # ---------------------------------------------------------------------------
 
 
-def group_to_volume(group: DicomGroup):
+def group_to_volume(group: DicomGroup, correct_tilt: bool = True):
     """Assemble a group into ((Z, Y, X) int16 array, spacing (sx, sy, sz),
-    affine 4x4)."""
+    affine 4x4); gantry tilt is shear-corrected when present (reference
+    dcm2memmap applies FixGantryTilt)."""
     files = group.sorted_files()
     f0 = files[0]
     frames = int(f0.get("NumberOfFrames", 1) or 1)
@@ -409,6 +410,12 @@ def group_to_volume(group: DicomGroup):
     else:
         slices = [f.rescaled_slice() for f in files]
         data = np.stack(slices)
+
+    tilt = float(f0.get("GantryDetectorTilt") or 0.0)
+    if correct_tilt and abs(tilt) > 0.01 and len(data) > 1:
+        ps = f0.get("PixelSpacing") or [1.0, 1.0]
+        sp = (float(ps[1]), float(ps[0]), group.z_spacing())
+        data = fix_gantry_tilt(data, sp, tilt)
 
     ps = f0.get("PixelSpacing") or [1.0, 1.0]
     sy, sx = float(ps[0]), float(ps[1])  # PixelSpacing is row\col
@@ -505,3 +512,36 @@ def write_dicom(path, pixels: "np.ndarray", tags: dict) -> None:
         f.write(b"\x00" * 128 + b"DICM")
         f.write(meta_len + meta_body)
         f.write(body)
+
+
+def fix_gantry_tilt(volume: "np.ndarray", spacing, tilt_degrees: float) -> "np.ndarray":
+    """Shear-correct a gantry-tilted acquisition: slice n shifts by
+    -tan(tilt) * n * sz / sy rows with spline interpolation (reference
+    imagedata_utils.py:143-155 FixGantryTilt, scipy.ndimage.shift per
+    slice).  Implemented as one vectorized linear resample along Y.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    sx, sy, sz = spacing
+    gntan = float(np.tan(np.radians(tilt_degrees)))
+    v = jnp.asarray(volume, jnp.float32)
+    Z, Y, X = v.shape
+    cval = jnp.min(v)
+
+    n = jnp.arange(Z, dtype=jnp.float32)[:, None, None]
+    offset = gntan * n * sz / sy  # rows to shift slice n by (negative dir)
+    yy = jnp.arange(Y, dtype=jnp.float32)[None, :, None]
+    src = yy + offset  # sample position (shift by -offset == sample at +offset)
+    y0 = jnp.floor(src).astype(jnp.int32)
+    t = src - y0
+    y0c = jnp.clip(y0, 0, Y - 1)
+    y1c = jnp.clip(y0 + 1, 0, Y - 1)
+    zz = jnp.arange(Z, dtype=jnp.int32)[:, None, None]
+    xx = jnp.arange(X, dtype=jnp.int32)[None, None, :]
+    a = v[zz, jnp.broadcast_to(y0c, (Z, Y, X)), xx]
+    b = v[zz, jnp.broadcast_to(y1c, (Z, Y, X)), xx]
+    out = a * (1 - t) + b * t
+    valid = (src >= 0) & (src <= Y - 1)
+    out = jnp.where(jnp.broadcast_to(valid, (Z, Y, X)), out, cval)
+    return np.asarray(out).astype(volume.dtype)

@@ -1,0 +1,107 @@
+"""Native (C++) host-side runtime components, loaded via ctypes.
+
+The reference's native layer is a Rust cdylib (invesalius_rs); here the
+TPU handles the compute path and the only genuinely host-bound pipeline
+stage — dynamic-topology mesh decimation — is C++ (decimate.cpp, a
+Garland-Heckbert QEM edge-collapse simplifier replacing
+vtkQuadricDecimation, reference surface_process.py:350-372).
+
+The shared library is compiled on first use with g++ (cached next to the
+sources); callers fall back to the pure-Python vertex-clustering
+decimation if no compiler is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+import sys
+import threading
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+_HERE = Path(__file__).resolve().parent
+_LIB_PATH = _HERE / f"_native_{sys.implementation.cache_tag}.so"
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+def _build() -> Optional[ctypes.CDLL]:
+    src = _HERE / "decimate.cpp"
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+        str(src), "-o", str(_LIB_PATH),
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+    except (subprocess.SubprocessError, FileNotFoundError):
+        return None
+    return ctypes.CDLL(str(_LIB_PATH))
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _build_failed:
+            return None
+        if _LIB_PATH.exists():
+            try:
+                _lib = ctypes.CDLL(str(_LIB_PATH))
+                _configure(_lib)
+                return _lib
+            except OSError:
+                _LIB_PATH.unlink()
+        lib = _build()
+        if lib is None:
+            _build_failed = True
+            return None
+        _configure(lib)
+        _lib = lib
+        return _lib
+
+
+def _configure(lib: ctypes.CDLL) -> None:
+    lib.decimate_qem.restype = ctypes.c_int
+    lib.decimate_qem.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+    ]
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def decimate_qem(verts: np.ndarray, faces: np.ndarray,
+                 reduction: float) -> Tuple[np.ndarray, np.ndarray]:
+    """QEM edge-collapse decimation to (1 - reduction) of the input
+    triangle count.  Raises RuntimeError if the native lib is missing."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native decimater unavailable (no g++)")
+    verts = np.ascontiguousarray(verts, np.float32)
+    faces = np.ascontiguousarray(faces, np.int32)
+    target = max(4, int(len(faces) * (1.0 - reduction)))
+    out_v = np.empty_like(verts)
+    out_f = np.empty_like(faces)
+    nv = ctypes.c_int64(0)
+    nf = ctypes.c_int64(0)
+    rc = lib.decimate_qem(
+        verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(verts),
+        faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(faces),
+        target,
+        out_v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_f.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.byref(nv), ctypes.byref(nf),
+    )
+    if rc != 0:
+        raise RuntimeError(f"decimate_qem failed with code {rc}")
+    return out_v[: nv.value].copy(), out_f[: nf.value].copy()

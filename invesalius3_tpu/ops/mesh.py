@@ -161,28 +161,14 @@ def find_staircase_artifacts(
     return np.asarray(flagged)
 
 
-def propagate_weights(
-    verts: np.ndarray,
-    neigh: np.ndarray,
-    deg: np.ndarray,
-    seeds: np.ndarray,
-    tmax: float,
-    bmin: float,
-    max_iters: int = 24,
-) -> np.ndarray:
-    """BFS weight propagation from staircase vertices (reference
-    mesh.rs:202-294): each vertex takes the squared distance to the seed
-    vertex that reaches it (within tmax), weight = (1 - d/tmax)(1-bmin)+bmin,
-    unreached -> bmin.  Data-parallel relaxation over the neighbor table."""
-    verts_j = jnp.asarray(verts, jnp.float32)
-    neigh_j = jnp.asarray(neigh)
-    valid = jnp.arange(neigh.shape[1])[None, :] < jnp.asarray(deg)[:, None]
-    seeds_j = jnp.asarray(seeds)
-
+@partial(jax.jit, static_argnames=("max_iters",))
+def _propagate_core(verts_j, neigh_j, deg_j, seeds_j, tmax, bmin,
+                    max_iters: int = 24):
+    valid = jnp.arange(neigh_j.shape[1])[None, :] < deg_j[:, None]
     inf = jnp.float32(np.inf)
     dist0 = jnp.where(seeds_j, 0.0, inf)
     seed_pos0 = jnp.where(seeds_j[:, None], verts_j, 0.0)
-    tmax_sq = jnp.float32(tmax * tmax)
+    tmax_sq = (tmax * tmax).astype(jnp.float32)
 
     def body(state):
         dist, seed_pos, it, _ = state
@@ -197,7 +183,9 @@ def propagate_weights(
         take = best_d < dist
         new_dist = jnp.where(take, best_d, dist)
         new_seed = jnp.where(
-            take[:, None], jnp.take_along_axis(nb_seed, best[:, None, None], axis=1)[:, 0], seed_pos
+            take[:, None],
+            jnp.take_along_axis(nb_seed, best[:, None, None], axis=1)[:, 0],
+            seed_pos,
         )
         return new_dist, new_seed, it + 1, jnp.any(take)
 
@@ -205,14 +193,34 @@ def propagate_weights(
     # any vertex farther than max_iters hops from a seed is past tmax for
     # all realistic edge lengths — the weight is bmin either way.
     state = (dist0, seed_pos0, jnp.int32(0), jnp.bool_(True))
-    state = jax.lax.while_loop(
-        lambda s: s[3] & (s[2] < max_iters), body, state)
-    dist = np.asarray(state[0])
+    state = jax.lax.while_loop(lambda s: s[3] & (s[2] < max_iters), body, state)
+    dist = state[0]
+    reached = jnp.isfinite(dist)
+    w = (1.0 - jnp.sqrt(jnp.where(reached, dist, 0.0)) / tmax) * (1.0 - bmin) + bmin
+    return jnp.where(reached, w, bmin).astype(jnp.float32)
 
-    w = np.full(len(verts), bmin, np.float64)
-    reached = np.isfinite(dist)
-    w[reached] = (1.0 - np.sqrt(dist[reached]) / tmax) * (1.0 - bmin) + bmin
-    return w.astype(np.float32)
+
+def propagate_weights(
+    verts: np.ndarray,
+    neigh: np.ndarray,
+    deg: np.ndarray,
+    seeds: np.ndarray,
+    tmax: float,
+    bmin: float,
+    max_iters: int = 24,
+) -> np.ndarray:
+    """BFS weight propagation from staircase vertices (reference
+    mesh.rs:202-294): each vertex takes the squared distance to the seed
+    vertex that reaches it (within tmax), weight = (1 - d/tmax)(1-bmin)+bmin,
+    unreached -> bmin.  Data-parallel relaxation over the neighbor table,
+    fully jitted (cached per mesh shape)."""
+    return np.asarray(
+        _propagate_core(
+            jnp.asarray(verts, jnp.float32), jnp.asarray(neigh),
+            jnp.asarray(deg), jnp.asarray(seeds),
+            jnp.float32(tmax), jnp.float32(bmin), max_iters,
+        )
+    )
 
 
 def ca_smoothing(

@@ -12,20 +12,21 @@ resolved by flood order).  That cost satisfies a Bellman relaxation:
 
     cost[v] = min over neighbors u of max(cost[u], f[v])
 
-which we solve by data-parallel fixpoint iteration: six directional
-scan sweeps per round (a ``lax.scan`` along each axis collapses whole
-monotone runs per round, chamfer-style) plus a neighbor relaxation, until
-no voxel changes.  Labels ride along with costs.  No priority queue, no
-subprocess — one jitted program.
+solved by data-parallel fixpoint iteration: six directional scan sweeps
+per round (a ``lax.scan`` along each axis collapses whole monotone runs,
+chamfer-style) plus a neighbor relaxation, until no voxel changes.  No
+priority queue, no subprocess — one jitted program.
 
-Ties in minimax cost (voxels beyond the ridge reachable from several
-markers at ridge height) are resolved by a secondary hop-distance cost —
-lexicographic (max-arc, path length), i.e. equal-speed flooding on
-plateaus.  scipy/skimage break these same ties by FIFO queue chronology,
-which is implementation-defined (their docs call plateau assignment
-arbitrary); on all strictly-decided voxels — the watershed criterion
-itself — this kernel is exact (tests/test_segmentation_ops.py proves
-100% agreement against a Dijkstra oracle).
+Ties in minimax cost are resolved by a secondary hop-distance
+(equal-speed flooding on plateaus).  Memory/layout trick: (cost, dist)
+pack into ONE int32 rank = cost * 2^15 + min(dist, 2^15-1) — the
+lexicographic compare becomes a plain integer compare and the state
+arrays halve.  Valid because every reference input is uint16 (or a
+uint16 morphological gradient), so cost < 2^16 and the pack fits int32.
+scipy/skimage break plateau ties by FIFO queue chronology, which their
+own docs call arbitrary; on all strictly-decided voxels — the watershed
+criterion itself — this kernel is exact (proven against a Dijkstra
+oracle in tests/test_segmentation_ops.py).
 """
 
 from __future__ import annotations
@@ -39,61 +40,62 @@ import jax.numpy as jnp
 from invesalius3_tpu.ops.morphology import morphological_gradient, shift_nd
 from invesalius3_tpu.ops.windowing import get_lut_value
 
-_INF = jnp.int32(2**30)
+_DIST_BITS = 15
+_DIST_MAX = (1 << _DIST_BITS) - 1
+_INF_RANK = jnp.int32(2**31 - 1)
 
 
-def _lex_less(c_a, d_a, c_b, d_b):
-    """(c_a, d_a) < (c_b, d_b) lexicographically."""
-    return (c_a < c_b) | ((c_a == c_b) & (d_a < d_b))
+def _pack(cost, dist):
+    return cost * (1 << _DIST_BITS) + jnp.minimum(dist, _DIST_MAX)
 
 
-def _sweep_axis(cost, dist, lab, f, axis: int, reverse: bool):
-    """One directional relaxation sweep along ``axis`` via lax.scan:
-    (cost, dist)[i] <- lexmin((cost, dist)[i], (max(cost[i-1], f[i]),
-    dist[i-1] + 1))."""
-    c = jnp.moveaxis(cost, axis, 0)
-    d = jnp.moveaxis(dist, axis, 0)
+def _relax_rank(parent_rank, f_here):
+    """Child candidate rank from a parent rank: cost = max(parent_cost, f),
+    dist = parent_dist + 1 (saturating)."""
+    pcost = parent_rank >> _DIST_BITS
+    pdist = parent_rank & _DIST_MAX
+    cand_cost = jnp.maximum(pcost, f_here)
+    cand_dist = jnp.minimum(pdist + 1, _DIST_MAX)
+    cand = cand_cost * (1 << _DIST_BITS) + cand_dist
+    # parents at INF stay INF (guard overflow of the shift arithmetic)
+    return jnp.where(parent_rank == _INF_RANK, _INF_RANK, cand)
+
+
+def _sweep_axis(rank, lab, f, axis: int, reverse: bool):
+    """One directional relaxation sweep along ``axis`` via lax.scan."""
+    r = jnp.moveaxis(rank, axis, 0)
     l = jnp.moveaxis(lab, axis, 0)
     v = jnp.moveaxis(f, axis, 0)
     if reverse:
-        c, d, l, v = c[::-1], d[::-1], l[::-1], v[::-1]
+        r, l, v = r[::-1], l[::-1], v[::-1]
 
     def step(carry, xs):
-        pc, pd, pl = carry
-        ci, di, li, vi = xs
-        cand_c = jnp.maximum(pc, vi)
-        cand_d = pd + 1
-        take = _lex_less(cand_c, cand_d, ci, di)
-        nc = jnp.where(take, cand_c, ci)
-        nd = jnp.where(take, cand_d, di)
+        pr, pl = carry
+        ri, li, vi = xs
+        cand = _relax_rank(pr, vi)
+        take = cand < ri
+        nr = jnp.where(take, cand, ri)
         nl = jnp.where(take, pl, li)
-        return (nc, nd, nl), (nc, nd, nl)
+        return (nr, nl), (nr, nl)
 
     init = (
-        jnp.full(c.shape[1:], _INF, c.dtype),
-        jnp.zeros(d.shape[1:], d.dtype),
+        jnp.full(r.shape[1:], _INF_RANK, r.dtype),
         jnp.zeros(l.shape[1:], l.dtype),
     )
-    _, (nc, nd, nl) = jax.lax.scan(step, init, (c, d, l, v))
+    _, (nr, nl) = jax.lax.scan(step, init, (r, l, v))
     if reverse:
-        nc, nd, nl = nc[::-1], nd[::-1], nl[::-1]
-    return (
-        jnp.moveaxis(nc, 0, axis),
-        jnp.moveaxis(nd, 0, axis),
-        jnp.moveaxis(nl, 0, axis),
-    )
+        nr, nl = nr[::-1], nl[::-1]
+    return jnp.moveaxis(nr, 0, axis), jnp.moveaxis(nl, 0, axis)
 
 
-def _neighbor_relax(cost, dist, lab, f, offsets):
+def _neighbor_relax(rank, lab, f, offsets):
     for off in offsets:
-        nc = jnp.maximum(shift_nd(cost, off, fill=_INF), f)
-        nd = shift_nd(dist, off, fill=_INF) + 1
+        cand = _relax_rank(shift_nd(rank, off, fill=_INF_RANK), f)
         nl = shift_nd(lab, off, fill=0)
-        take = _lex_less(nc, nd, cost, dist)
-        cost = jnp.where(take, nc, cost)
-        dist = jnp.where(take, nd, dist)
+        take = cand < rank
+        rank = jnp.where(take, cand, rank)
         lab = jnp.where(take, nl, lab)
-    return cost, dist, lab
+    return rank, lab
 
 
 @partial(jax.jit, static_argnames=("connectivity",))
@@ -103,18 +105,21 @@ def watershed_ift(
     """Watershed via image-foresting transform with max-arc cost.
 
     Args:
-      image: non-negative integer intensity (the reference feeds uint16).
+      image: non-negative integer intensity, values < 2^16 (the reference
+        feeds uint16; larger inputs are clipped).
       markers: int labels; >0 are seeds, 0 unknown.  (scipy's negative
         "barrier" markers are honored too: voxels with marker < 0 are
         frozen and keep their negative label.)
-    Returns int32 label volume.
+    Returns int16 label volume (int32 if markers were int32).
     """
-    f = image.astype(jnp.int32)
-    lab0 = markers.astype(jnp.int32)
+    # clip to 2^16-2 so max rank (cost=65534, dist=32767) stays < INF_RANK
+    f = jnp.clip(image.astype(jnp.int32), 0, 2**16 - 2)
+    lab_dtype = jnp.int32 if markers.dtype == jnp.int32 else jnp.int16
+    lab0 = markers.astype(lab_dtype)
     seeded = lab0 > 0
     barrier = lab0 < 0
-    cost0 = jnp.where(seeded | barrier, jnp.int32(0), _INF)
-    dist0 = jnp.where(seeded | barrier, jnp.int32(0), _INF)
+    frozen = seeded | barrier
+    rank0 = jnp.where(frozen, jnp.int32(0), _INF_RANK)
 
     if connectivity == 6:
         offs = [(1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1), (0, 0, -1)]
@@ -128,30 +133,29 @@ def watershed_ift(
         ]
 
     def round_(state):
-        cost, dist, lab, _ = state
-        pc, pd, pl = cost, dist, lab
+        rank, lab, _ = state
+        pr, pl = rank, lab
         for axis in range(3):
             for reverse in (False, True):
-                nc, nd, nl = _sweep_axis(cost, dist, lab, f, axis, reverse)
-                take = _lex_less(nc, nd, cost, dist)
-                cost = jnp.where(take, nc, cost)
-                dist = jnp.where(take, nd, dist)
+                nr, nl = _sweep_axis(rank, lab, f, axis, reverse)
+                take = nr < rank
+                rank = jnp.where(take, nr, rank)
                 lab = jnp.where(take, nl, lab)
-        cost, dist, lab = _neighbor_relax(cost, dist, lab, f, offs)
+        rank, lab = _neighbor_relax(rank, lab, f, offs)
         # frozen voxels never change
-        cost = jnp.where(seeded | barrier, jnp.int32(0), cost)
-        dist = jnp.where(seeded | barrier, jnp.int32(0), dist)
-        lab = jnp.where(seeded | barrier, lab0, lab)
-        changed = jnp.any(lab != pl) | jnp.any(cost != pc) | jnp.any(dist != pd)
-        return cost, dist, lab, changed
+        rank = jnp.where(frozen, jnp.int32(0), rank)
+        lab = jnp.where(frozen, lab0, lab)
+        changed = jnp.any(lab != pl) | jnp.any(rank != pr)
+        return rank, lab, changed
 
-    cost, dist, lab, _ = jax.lax.while_loop(
-        lambda s: s[3], round_, (cost0, dist0, lab0, jnp.bool_(True))
+    rank, lab, _ = jax.lax.while_loop(
+        lambda s: s[2], round_, (rank0, lab0, jnp.bool_(True))
     )
     return lab
 
 
-@partial(jax.jit, static_argnames=("connectivity", "mg_size", "algorithm", "use_ww_wl"))
+@partial(jax.jit, static_argnames=("connectivity", "mg_size", "algorithm",
+                                   "use_ww_wl", "multigrid_levels"))
 def watershed(
     image: jax.Array,
     markers: jax.Array,
@@ -161,6 +165,7 @@ def watershed(
     wl: float = 127.5,
     ww: float = 255.0,
     connectivity: int = 6,
+    multigrid_levels: int = None,
 ) -> jax.Array:
     """Full watershed tool semantics (reference watershed_process.py:19-61):
 
@@ -168,6 +173,9 @@ def watershed(
       (optionally WW/WL-mapped) image — skimage-equivalent basins.
     - otherwise ("Watershed (IFT)"): flood the image itself —
       scipy.watershed_ift-equivalent basins.
+
+    multigrid_levels: None = auto (coarse-to-fine for volumes >= 192^3;
+    pure accelerator, same fixpoint).
     """
     if use_ww_wl:
         img = get_lut_value(image, ww, wl).astype(jnp.int32)
@@ -175,4 +183,115 @@ def watershed(
         img = (image - jnp.min(image)).astype(jnp.int32)
     if algorithm == "Watershed":
         img = morphological_gradient(img, mg_size)
+    if multigrid_levels is None:
+        multigrid_levels = 3 if min(image.shape) >= 192 else 0
+    if multigrid_levels > 0:
+        return watershed_ift_multigrid(img, markers, connectivity,
+                                       multigrid_levels)
     return watershed_ift(img, markers, connectivity)
+
+
+# ---------------------------------------------------------------------------
+# Multigrid acceleration
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("connectivity",))
+def _watershed_refine(f, lab0, rank_init, lab_init, connectivity: int = 6):
+    """Fine-level relaxation from a valid upper-bound init (same fixpoint
+    as watershed_ift: Bellman relaxation converges to the true minimax
+    solution from ANY upper-bound initialization)."""
+    seeded = lab0 > 0
+    barrier = lab0 < 0
+    frozen = seeded | barrier
+    rank0 = jnp.where(frozen, jnp.int32(0), rank_init)
+    lab_start = jnp.where(frozen, lab0, lab_init)
+
+    if connectivity == 6:
+        offs = [(1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1), (0, 0, -1)]
+    else:
+        offs = [
+            (a, b, c)
+            for a in (-1, 0, 1)
+            for b in (-1, 0, 1)
+            for c in (-1, 0, 1)
+            if (a, b, c) != (0, 0, 0)
+        ]
+
+    def round_(state):
+        rank, lab, _ = state
+        pr, pl = rank, lab
+        for axis in range(3):
+            for reverse in (False, True):
+                nr, nl = _sweep_axis(rank, lab, f, axis, reverse)
+                take = nr < rank
+                rank = jnp.where(take, nr, rank)
+                lab = jnp.where(take, nl, lab)
+        rank, lab = _neighbor_relax(rank, lab, f, offs)
+        rank = jnp.where(frozen, jnp.int32(0), rank)
+        lab = jnp.where(frozen, lab0, lab)
+        changed = jnp.any(lab != pl) | jnp.any(rank != pr)
+        return rank, lab, changed
+
+    rank, lab, _ = jax.lax.while_loop(
+        lambda s: s[2], round_, (rank0, lab_start, jnp.bool_(True))
+    )
+    return rank, lab
+
+
+def _maxpool2(x):
+    return jax.lax.reduce_window(
+        x, -(2**31), jax.lax.max, (2, 2, 2), (2, 2, 2), padding="SAME")
+
+
+@partial(jax.jit, static_argnames=("connectivity", "levels"))
+def watershed_ift_multigrid(
+    image: jax.Array, markers: jax.Array, connectivity: int = 6,
+    levels: int = 2,
+) -> jax.Array:
+    """Coarse-to-fine watershed: solve on max-pooled f, upsample the rank
+    field as a *valid upper bound* (a coarse path's max-arc over max-pooled
+    cells dominates the best fine path through the same corridor, and every
+    voxel in a cell sits under the cell's pooled value), then refine.
+
+    The packed rank makes the init strictly improvable wherever a real
+    path exists (init carries dist = DIST_MAX; any true path has smaller
+    hop count), so fine labels always converge to the exact watershed_ift
+    fixpoint — the multigrid is a pure accelerator, not an approximation.
+    Volumes must have even dims per level (pad first if needed).
+    """
+    f = jnp.clip(image.astype(jnp.int32), 0, 2**16 - 2)
+    lab_dtype = jnp.int32 if markers.dtype == jnp.int32 else jnp.int16
+    lab0 = markers.astype(lab_dtype)
+
+    def solve(f_lvl, lab_lvl, level):
+        if level == 0 or min(f_lvl.shape) <= 32:
+            seeded = lab_lvl > 0
+            barrier = lab_lvl < 0
+            rank_init = jnp.full(f_lvl.shape, _INF_RANK, jnp.int32)
+            rank, lab = _watershed_refine(f_lvl, lab_lvl, rank_init, lab_lvl,
+                                          connectivity)
+            return rank, lab
+        f_c = _maxpool2(f_lvl)
+        # coarse seeds: max label in each cell (collisions pick the larger
+        # label; exact fine labels are re-derived during refinement)
+        lab_c = jax.lax.reduce_window(
+            lab_lvl, jnp.array(-(2**15), lab_lvl.dtype), jax.lax.max,
+            (2, 2, 2), (2, 2, 2), padding="SAME")
+        rank_c, lab_sol_c = solve(f_c, lab_c, level - 1)
+        # upsample: every fine voxel inherits its cell's (upper-bound) rank
+        # with dist saturated, and the coarse label as a hint
+        up = lambda a: jnp.repeat(jnp.repeat(jnp.repeat(
+            a, 2, axis=0), 2, axis=1), 2, axis=2)[
+            : f_lvl.shape[0], : f_lvl.shape[1], : f_lvl.shape[2]]
+        cost_up = up(rank_c >> _DIST_BITS)
+        rank_init = jnp.where(
+            cost_up >= (_INF_RANK >> _DIST_BITS),
+            _INF_RANK,
+            cost_up * (1 << _DIST_BITS) + _DIST_MAX,
+        )
+        lab_init = up(lab_sol_c)
+        return _watershed_refine(f_lvl, lab_lvl, rank_init, lab_init, connectivity)
+
+    _, lab = solve(f, lab0, levels)
+    return lab

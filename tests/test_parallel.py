@@ -1,0 +1,113 @@
+"""Multi-chip sharded ops on the virtual 8-device CPU mesh: halo
+exchange, sharded floodfill/dilation, active-cell count, patch-batch
+sharding, SegmentJob lifecycle."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from invesalius3_tpu.ops.morphology import binary_dilation, structure_3d
+from invesalius3_tpu.parallel import sharded_ops
+from invesalius3_tpu.parallel.mesh_utils import make_mesh, shard_volume, z_sharding
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device CPU mesh")
+
+
+@pytest.fixture(scope="module")
+def zmesh():
+    return make_mesh(8, ("z",))
+
+
+def test_shard_volume_pads_and_places(zmesh):
+    v = jnp.ones((13, 8, 8), jnp.int16)  # 13 not divisible by 8
+    sv = shard_volume(v, zmesh)
+    assert sv.shape == (16, 8, 8)
+    assert sv.sharding.spec == z_sharding(zmesh).spec
+
+
+def test_sharded_dilation_matches_single_device(zmesh):
+    rng = np.random.default_rng(0)
+    x = rng.random((16, 16, 16)) > 0.8
+    want = np.asarray(binary_dilation(jnp.asarray(x), structure_3d(6)))
+    f = sharded_ops.sharded_binary_dilation(zmesh, structure_3d(6))
+    got = np.asarray(f(shard_volume(jnp.asarray(x), zmesh)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_dilation_26conn(zmesh):
+    rng = np.random.default_rng(1)
+    x = rng.random((16, 12, 12)) > 0.85
+    want = np.asarray(binary_dilation(jnp.asarray(x), structure_3d(26)))
+    f = sharded_ops.sharded_binary_dilation(zmesh, structure_3d(26))
+    got = np.asarray(f(shard_volume(jnp.asarray(x), zmesh)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_floodfill_crosses_shard_boundaries(zmesh):
+    # a thin bone rod spanning all 8 shards must floodfill end to end
+    vol = np.full((32, 8, 8), -1000, np.int16)
+    vol[:, 4, 4] = 1500
+    seeds = np.zeros(vol.shape, bool)
+    seeds[0, 4, 4] = True
+    f = sharded_ops.sharded_floodfill_threshold(zmesh, structure_3d(6))
+    got = np.asarray(f(
+        shard_volume(jnp.asarray(vol), zmesh),
+        shard_volume(jnp.asarray(seeds), zmesh),
+        jnp.int16(1200), jnp.int16(3000)))
+    assert got[:, 4, 4].all()
+    assert got.sum() == 32
+
+
+def test_sharded_active_cell_count(zmesh):
+    from invesalius3_tpu.ops.marching import count_active_cells
+
+    vol = np.zeros((32, 16, 16), bool)
+    vol[10:20, 4:10, 4:10] = True  # block crossing shard boundaries
+    want = int(count_active_cells(jnp.asarray(vol, jnp.float32), 0.5))
+    f = sharded_ops.sharded_active_cell_count(zmesh)
+    got = int(np.asarray(f(shard_volume(jnp.asarray(vol), zmesh)))[0])
+    assert got == want
+
+
+def test_patch_batch_data_sharding():
+    """U-Net patch batches shard over a 'data' axis without recompilation
+    differences (the models/segment multi-chip path)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devices = np.asarray(jax.devices()[:8])
+    mesh = Mesh(devices, ("data",))
+    x = jnp.ones((8, 8, 8, 8, 1), jnp.float32)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+
+    @jax.jit
+    def f(v):
+        return jnp.mean(v, axis=(1, 2, 3, 4))
+
+    out = f(xs)
+    assert out.shape == (8,)
+    np.testing.assert_allclose(np.asarray(out), 1.0)
+
+
+def test_segment_job_progress_and_cancel():
+    from invesalius3_tpu.models.segment import BrainSegmenter, SegmentJob
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 500, (50, 50, 50)).astype(np.int16)
+    seg = BrainSegmenter(patch_size=48)
+    job = SegmentJob(seg, img, batch_size=4)
+    job.start()
+    job.join(timeout=600)
+    assert not job.is_alive()
+    assert job.exception is None
+    assert job.progress == 1.0
+    assert job.mask is not None and job.mask.shape == img.shape
+
+    job2 = SegmentJob(seg, img, batch_size=1)
+    job2._stop.set()  # cancel before start
+    job2.start()
+    job2.join(timeout=600)
+    assert job2.mask is None  # cancelled cleanly, no exception
+    assert job2.exception is None

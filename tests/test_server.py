@@ -1,0 +1,94 @@
+"""Headless viewer server: the GUI-equivalent HTTP surface end-to-end."""
+
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+from invesalius3_tpu.core.slice import Slice
+from invesalius3_tpu.core.volume import Volume
+from invesalius3_tpu.server import ViewerServer
+
+
+@pytest.fixture(scope="module")
+def server():
+    zz, yy, xx = np.mgrid[:16, :24, :24].astype(np.float32)
+    r = np.sqrt((zz - 8) ** 2 + (yy - 12) ** 2 + (xx - 12) ** 2)
+    ct = np.full((16, 24, 24), -1000, np.int16)
+    ct[r < 8] = 1400
+    slc = Slice(Volume.from_numpy(ct, spacing=(1.0, 1.0, 1.0)))
+    srv = ViewerServer(slc).start()
+    yield srv
+    srv.stop()
+
+
+def _get(server, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{server.port}{path}") as r:
+        return r.status, r.headers.get("Content-Type"), r.read()
+
+
+def _post(server, path, body):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}{path}",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_status(server):
+    code, ctype, body = _get(server, "/api/status")
+    assert code == 200
+    st = json.loads(body)
+    assert st["volume_shape"] == [16, 24, 24]
+
+
+def test_threshold_and_masks(server):
+    code, out = _post(server, "/api/threshold", {"tmin": 226, "tmax": 3071})
+    assert code == 200 and out["voxels"] > 0
+    code, _, body = _get(server, "/api/masks")
+    masks = json.loads(body)
+    assert len(masks) >= 1
+    assert masks[0]["threshold_range"] == [226, 3071]
+
+
+def test_slice_png(server):
+    code, ctype, body = _get(server, "/api/slice/AXIAL/8?ww=2000&wl=300")
+    assert code == 200 and ctype == "image/png"
+    assert body[:8] == b"\x89PNG\r\n\x1a\n"
+    # MIP projection via query
+    code, _, body2 = _get(server, "/api/slice/AXIAL/0?projection=1&slabs=8")
+    assert code == 200
+
+
+def test_render_png(server):
+    code, ctype, body = _get(server, "/api/render?size=64&steps=32&preset=Bone")
+    assert code == 200 and body[:4] == b"\x89PNG"
+
+
+def test_surface_create_and_download(server):
+    code, out = _post(server, "/api/surface", {"algorithm": "Default"})
+    assert code == 200 and out["triangles"] > 0
+    idx = out["index"]
+    code, ctype, body = _get(server, f"/api/surface/{idx}.stl")
+    assert code == 200
+    assert len(body) == 84 + 50 * out["triangles"]  # binary STL layout
+
+
+def test_floodfill_endpoint(server):
+    code, out = _post(server, "/api/floodfill",
+                      {"seed": [8, 12, 12], "tmin": 226, "tmax": 3071})
+    assert code == 200 and out["voxels"] > 0
+
+
+def test_error_surface(server):
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _get(server, "/api/slice/AXIAL/notanumber")
+    assert exc.value.code == 500
+    with pytest.raises(urllib.error.HTTPError) as exc2:
+        _get(server, "/api/nope")
+    assert exc2.value.code == 404

@@ -54,6 +54,12 @@ def meanip(volume: jax.Array, axis: int = 0) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+def _use_pallas() -> bool:
+    import os
+
+    return jax.default_backend() == "tpu" and not os.environ.get("INV3_NO_PALLAS")
+
+
 @partial(jax.jit, static_argnames=("axis",))
 def lmip(volume: jax.Array, axis: int, tmin: float, tmax: float) -> jax.Array:
     """First local maximum after the ray enters [tmin, tmax].
@@ -61,7 +67,14 @@ def lmip(volume: jax.Array, axis: int, tmin: float, tmax: float) -> jax.Array:
     Per-ray semantics (identical to the reference scalar loop): track the
     running max; once a value inside [tmin, tmax] has been seen ("start"),
     the first strictly-decreasing step ends the ray.
+
+    On TPU the VMEM-resident Pallas kernel handles the walk (one HBM read
+    of the volume total); elsewhere the lax.scan formulation runs.
     """
+    if _use_pallas():
+        from invesalius3_tpu.ops import pallas_kernels
+
+        return pallas_kernels.lmip_axis0(_lead(volume, axis), tmin, tmax)
     lanes = _lead(volume, axis)
     first = lanes[0]
     init_carry = (
@@ -96,8 +109,13 @@ def mida(volume: jax.Array, axis: int, wl: float, ww: float) -> jax.Array:
 
     Front-to-back accumulation where each new running-max of the normalized
     intensity (``fpi``) re-weights what's behind it (``bt = 1 - delta``);
-    the ray terminates when accumulated alpha reaches 1.
+    the ray terminates when accumulated alpha reaches 1.  TPU: Pallas
+    VMEM-column kernel; elsewhere: lax.scan.
     """
+    if _use_pallas():
+        from invesalius3_tpu.ops import pallas_kernels
+
+        return pallas_kernels.mida_axis0(_lead(volume, axis), wl, ww)
     lanes = _lead(volume, axis).astype(jnp.float32)
     img_min = jnp.min(lanes)
     img_max = jnp.max(lanes)

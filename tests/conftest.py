@@ -17,6 +17,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# sitecustomize may have registered the axon TPU backend before this file
+# ran; force the platform at the config level too so default_backend() is
+# cpu regardless of import order.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 # persistent compilation cache: the suite's 3D kernels take minutes to

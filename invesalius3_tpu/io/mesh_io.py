@@ -345,3 +345,34 @@ def import_surface(path) -> Tuple[np.ndarray, np.ndarray]:
     if ext not in READERS:
         raise ValueError(f"unsupported mesh format: {ext}")
     return READERS[ext](path)
+
+
+# ---------------------------------------------------------------------------
+# Custom neuronavigation ".bin" format (reference converters.py:206
+# convert_custom_bin_to_vtk / surface.py:437 OnImportCustomBinFile):
+# header int32[3] = (?, n_points, n_triangles), then float32 points (in
+# meters; scaled x1000 to mm on read), then int32 triangle indices.
+# ---------------------------------------------------------------------------
+
+
+def read_neuronav_bin(path) -> Tuple[np.ndarray, np.ndarray]:
+    numbers = np.fromfile(path, count=3, dtype=np.int32)
+    points = np.fromfile(path, dtype=np.float32)
+    elements = np.fromfile(path, dtype=np.int32)
+    n_pts, n_tris = int(numbers[1]), int(numbers[2])
+    verts = (points[3 : n_pts * 3 + 3] * 1000.0).reshape(n_pts, 3)
+    faces = elements[n_pts * 3 + 3 :].reshape(n_tris, 3)
+    return verts.astype(np.float32), faces.astype(np.int32)
+
+
+def write_neuronav_bin(path, verts: np.ndarray, faces: np.ndarray) -> None:
+    verts = np.asarray(verts, np.float32) / 1000.0  # mm -> meters
+    faces = np.asarray(faces, np.int32)
+    with open(path, "wb") as f:
+        np.asarray([0, len(verts), len(faces)], np.int32).tofile(f)
+        verts.astype(np.float32).tofile(f)
+        faces.tofile(f)
+
+
+WRITERS[".bin"] = write_neuronav_bin
+READERS[".bin"] = read_neuronav_bin

@@ -100,3 +100,24 @@ FILTERS = {
     "Mean": mean,
     "Unsharp": unsharp,
 }
+
+
+@partial(jax.jit, static_argnames=())
+def convolve_non_zero(volume: jax.Array, kernel: jax.Array, cval: float = 0.0) -> jax.Array:
+    """Correlate (the reference's "convolve" indexes v[p - c + k] * k[k],
+    i.e. correlation) only at voxels whose value is non-zero, with constant
+    out-of-bounds fill (reference invesalius_rs/src/transforms_py.rs:52-95
+    convolve_non_zero) — one fused conv + where on TPU."""
+    v = volume.astype(jnp.float32)
+    k = kernel.astype(jnp.float32)
+    kd, kh, kw = k.shape
+    pad = ((kd // 2, kd - 1 - kd // 2), (kh // 2, kh - 1 - kh // 2),
+           (kw // 2, kw - 1 - kw // 2))
+    padded = jnp.pad(v, pad, constant_values=cval)
+    out = jax.lax.conv_general_dilated(
+        padded[None, None], k[None, None],
+        window_strides=(1, 1, 1), padding="VALID",
+        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+        precision=jax.lax.Precision.HIGHEST,
+    )[0, 0]
+    return jnp.where(volume != 0, out, 0.0)

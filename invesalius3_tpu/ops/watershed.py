@@ -62,12 +62,11 @@ def _relax_rank(parent_rank, f_here):
 
 
 def _sweep_axis(rank, lab, f, axis: int, reverse: bool):
-    """One directional relaxation sweep along ``axis`` via lax.scan."""
+    """One directional relaxation sweep along ``axis`` via lax.scan
+    (scan's native ``reverse`` avoids materializing flipped copies)."""
     r = jnp.moveaxis(rank, axis, 0)
     l = jnp.moveaxis(lab, axis, 0)
     v = jnp.moveaxis(f, axis, 0)
-    if reverse:
-        r, l, v = r[::-1], l[::-1], v[::-1]
 
     def step(carry, xs):
         pr, pl = carry
@@ -82,9 +81,7 @@ def _sweep_axis(rank, lab, f, axis: int, reverse: bool):
         jnp.full(r.shape[1:], _INF_RANK, r.dtype),
         jnp.zeros(l.shape[1:], l.dtype),
     )
-    _, (nr, nl) = jax.lax.scan(step, init, (r, l, v))
-    if reverse:
-        nr, nl = nr[::-1], nl[::-1]
+    _, (nr, nl) = jax.lax.scan(step, init, (r, l, v), reverse=reverse)
     return jnp.moveaxis(nr, 0, axis), jnp.moveaxis(nl, 0, axis)
 
 
@@ -154,8 +151,6 @@ def watershed_ift(
     return lab
 
 
-@partial(jax.jit, static_argnames=("connectivity", "mg_size", "algorithm",
-                                   "use_ww_wl", "multigrid_levels"))
 def watershed(
     image: jax.Array,
     markers: jax.Array,
@@ -196,46 +191,54 @@ def watershed(
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("connectivity",))
-def _watershed_refine(f, lab0, rank_init, lab_init, connectivity: int = 6):
+def _offsets_for(connectivity: int):
+    if connectivity == 6:
+        return [(1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1), (0, 0, -1)]
+    return [
+        (a, b, c)
+        for a in (-1, 0, 1)
+        for b in (-1, 0, 1)
+        for c in (-1, 0, 1)
+        if (a, b, c) != (0, 0, 0)
+    ]
+
+
+@partial(jax.jit, static_argnames=("connectivity",), donate_argnums=(0, 1))
+def _refine_round(rank, lab, f, lab0, frozen, connectivity: int = 6):
+    """One relaxation round (6 sweeps + neighbor relax) with rank/lab
+    buffers donated — keeps the 512^3 peak memory down vs a fused
+    while_loop holding every sweep's intermediates live."""
+    pr, pl = rank, lab
+    for axis in range(3):
+        for reverse in (False, True):
+            nr, nl = _sweep_axis(rank, lab, f, axis, reverse)
+            take = nr < rank
+            rank = jnp.where(take, nr, rank)
+            lab = jnp.where(take, nl, lab)
+    rank, lab = _neighbor_relax(rank, lab, f, _offsets_for(connectivity))
+    rank = jnp.where(frozen, jnp.int32(0), rank)
+    lab = jnp.where(frozen, lab0, lab)
+    changed = jnp.any(lab != pl) | jnp.any(rank != pr)
+    return rank, lab, changed
+
+
+def _watershed_refine(f, lab0, rank_init, lab_init, connectivity: int = 6,
+                      max_rounds: int = 1000):
     """Fine-level relaxation from a valid upper-bound init (same fixpoint
     as watershed_ift: Bellman relaxation converges to the true minimax
-    solution from ANY upper-bound initialization)."""
+    solution from ANY upper-bound initialization).  Host-level round loop:
+    one tiny sync per round buys donated buffers and a far smaller live
+    set than a device-side while_loop."""
     seeded = lab0 > 0
     barrier = lab0 < 0
     frozen = seeded | barrier
-    rank0 = jnp.where(frozen, jnp.int32(0), rank_init)
-    lab_start = jnp.where(frozen, lab0, lab_init)
-
-    if connectivity == 6:
-        offs = [(1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1), (0, 0, -1)]
-    else:
-        offs = [
-            (a, b, c)
-            for a in (-1, 0, 1)
-            for b in (-1, 0, 1)
-            for c in (-1, 0, 1)
-            if (a, b, c) != (0, 0, 0)
-        ]
-
-    def round_(state):
-        rank, lab, _ = state
-        pr, pl = rank, lab
-        for axis in range(3):
-            for reverse in (False, True):
-                nr, nl = _sweep_axis(rank, lab, f, axis, reverse)
-                take = nr < rank
-                rank = jnp.where(take, nr, rank)
-                lab = jnp.where(take, nl, lab)
-        rank, lab = _neighbor_relax(rank, lab, f, offs)
-        rank = jnp.where(frozen, jnp.int32(0), rank)
-        lab = jnp.where(frozen, lab0, lab)
-        changed = jnp.any(lab != pl) | jnp.any(rank != pr)
-        return rank, lab, changed
-
-    rank, lab, _ = jax.lax.while_loop(
-        lambda s: s[2], round_, (rank0, lab_start, jnp.bool_(True))
-    )
+    rank = jnp.where(frozen, jnp.int32(0), rank_init)
+    lab = jnp.where(frozen, lab0, lab_init)
+    for _ in range(max_rounds):
+        rank, lab, changed = _refine_round(rank, lab, f, lab0, frozen,
+                                           connectivity)
+        if not bool(changed):
+            break
     return rank, lab
 
 
@@ -244,7 +247,6 @@ def _maxpool2(x):
         x, -(2**31), jax.lax.max, (2, 2, 2), (2, 2, 2), padding="SAME")
 
 
-@partial(jax.jit, static_argnames=("connectivity", "levels"))
 def watershed_ift_multigrid(
     image: jax.Array, markers: jax.Array, connectivity: int = 6,
     levels: int = 2,
@@ -266,8 +268,6 @@ def watershed_ift_multigrid(
 
     def solve(f_lvl, lab_lvl, level):
         if level == 0 or min(f_lvl.shape) <= 32:
-            seeded = lab_lvl > 0
-            barrier = lab_lvl < 0
             rank_init = jnp.full(f_lvl.shape, _INF_RANK, jnp.int32)
             rank, lab = _watershed_refine(f_lvl, lab_lvl, rank_init, lab_lvl,
                                           connectivity)

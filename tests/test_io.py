@@ -184,3 +184,29 @@ def test_bitmap_natural_sort(tmp_path):
         Image.fromarray(arr, "L").save(tmp_path / name)
     vol, _ = bitmap.load_bitmap_dir(tmp_path)
     np.testing.assert_array_equal(vol[:, 0, 0], [1, 2, 10])
+
+
+def test_neuronav_bin_roundtrip(tmp_path):
+    from invesalius3_tpu.io import mesh_io
+
+    verts = (rng.random((10, 3)) * 50).astype(np.float32)
+    faces = np.array([[0, 1, 2], [2, 3, 4], [5, 6, 7]], np.int32)
+    p = tmp_path / "m.bin"
+    mesh_io.write_neuronav_bin(p, verts, faces)
+    rv, rf = mesh_io.read_neuronav_bin(p)
+    np.testing.assert_allclose(rv, verts, atol=1e-3)
+    np.testing.assert_array_equal(rf, faces)
+
+
+def test_gantry_tilt_correction():
+    """A tilted bar straightens: slice n shifts by tan(tilt)*n*sz/sy rows
+    (reference imagedata_utils.FixGantryTilt semantics)."""
+    vol = np.full((8, 32, 8), -1000, np.int16)
+    # a bar drawn tilted: row = 16 + n (i.e. tan = 1 voxel/slice)
+    for n in range(8):
+        vol[n, 16 + n, :] = 1000
+    tilt = np.degrees(np.arctan(1.0))  # out[y] = in[y + n] undoes the +n drift
+    out = dicom.fix_gantry_tilt(vol, (1.0, 1.0, 1.0), tilt)
+    # bar now at constant row 16
+    for n in range(1, 7):
+        assert out[n, 16, 4] > 900, (n, out[n, :, 4].argmax())

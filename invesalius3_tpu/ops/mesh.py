@@ -238,7 +238,10 @@ def ca_smoothing(
 
     normals = np.asarray(face_normals(jnp.asarray(verts), jnp.asarray(faces)))
     flagged = find_staircase_artifacts(verts, faces, normals, t)
-    neigh, deg = vertex_adjacency(faces, len(verts))
+    if len(faces) > 200_000:  # device adjacency (duplicated neighbors)
+        neigh, deg = vertex_adjacency_fast(faces, len(verts))
+    else:
+        neigh, deg = vertex_adjacency(faces, len(verts))
     weights = propagate_weights(verts, neigh, deg, flagged, tmax, bmin)
     out = taubin_smooth(
         jnp.asarray(verts, jnp.float32),
@@ -285,3 +288,50 @@ def keep_largest_component(
     keep_f = keep_v[faces].all(axis=1)
     new_faces = remap[faces[keep_f]].astype(np.int32)
     return verts[keep_v], new_faces
+
+
+# ---------------------------------------------------------------------------
+# Device-side adjacency (large meshes)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("n_vertices", "max_deg"))
+def _adjacency_device(faces: jax.Array, n_vertices: int, max_deg: int):
+    """Padded neighbor table built fully on device.
+
+    Trick: on a closed manifold triangle mesh every directed edge (a, b)
+    appears exactly twice in the face list, and duplicated neighbors leave
+    neighbor-MEANS (taubin) and neighbor-ARGMINS (weight propagation)
+    unchanged — so no dedup pass is needed at all; degrees simply double.
+    """
+    e_src = jnp.concatenate([faces[:, 0], faces[:, 1], faces[:, 2],
+                             faces[:, 1], faces[:, 2], faces[:, 0]])
+    e_dst = jnp.concatenate([faces[:, 1], faces[:, 2], faces[:, 0],
+                             faces[:, 0], faces[:, 1], faces[:, 2]])
+    order = jnp.argsort(e_src)
+    src_s = e_src[order]
+    dst_s = e_dst[order]
+    deg = jnp.zeros((n_vertices,), jnp.int32).at[e_src].add(1)
+    starts = jnp.cumsum(deg) - deg
+    pos = jnp.arange(src_s.shape[0], dtype=jnp.int32) - starts[src_s]
+    # masked-out (overflow) writes are routed to a dummy row V, sliced off
+    table = jnp.tile(jnp.arange(n_vertices + 1, dtype=jnp.int32)[:, None],
+                     (1, max_deg))
+    ok = pos < max_deg  # degree overflow: drop excess (non-manifold spikes)
+    table = table.at[jnp.where(ok, src_s, n_vertices),
+                     jnp.where(ok, pos, 0)].set(dst_s)
+    table = jnp.minimum(table[:n_vertices], n_vertices - 1)
+    deg = jnp.minimum(deg, max_deg)
+    return table, deg
+
+
+def vertex_adjacency_fast(faces: np.ndarray, n_vertices: int):
+    """Adjacency via the device path (neighbors duplicated x2; see
+    _adjacency_device).  Falls back to the exact host table for tiny
+    meshes where jit overhead dominates."""
+    faces_j = jnp.asarray(faces, jnp.int32)
+    deg_counts = np.bincount(np.asarray(faces).ravel(), minlength=n_vertices)
+    max_deg = int(deg_counts.max()) * 2 if len(deg_counts) else 2
+    max_deg = max(8, ((max_deg + 7) // 8) * 8)  # bucket to limit recompiles
+    table, deg = _adjacency_device(faces_j, n_vertices, max_deg)
+    return table, deg

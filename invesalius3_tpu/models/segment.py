@@ -198,3 +198,130 @@ class SegmentJob(threading.Thread):
 
 class _Cancelled(Exception):
     pass
+
+
+# ---------------------------------------------------------------------------
+# Model family (reference segment.py:505-1165 process subclasses)
+# ---------------------------------------------------------------------------
+
+
+class TracheaSegmenter(BrainSegmenter):
+    """Trachea CT segmentation (reference TracheaSegmentProcess :919):
+    same 48^3 patch U-Net, image pre-windowed with WW/WL before
+    normalization."""
+
+    WEIGHT_NAME = "trachea_ct"
+
+    def __init__(self, variables=None, **kw):
+        kw.setdefault("use_ww_wl", True)
+        kw.setdefault("ww", 2000.0)
+        kw.setdefault("wl", -500.0)
+        super().__init__(variables=variables, **kw)
+
+
+class MandibleSegmenter(BrainSegmenter):
+    """Mandible CT segmentation (reference MandibleCTSegmentProcess :956,
+    TorchScript backend in the reference; here the same Flax U-Net with
+    converted weights)."""
+
+    WEIGHT_NAME = "mandible_jit_ct"
+
+    def __init__(self, variables=None, patch_size: int = 96, **kw):
+        super().__init__(variables=variables, patch_size=patch_size, **kw)
+
+
+class ImplantSegmenter:
+    """Cranioplasty implant generation (reference ImplantCTSegmentProcess
+    :1050 + run_cranioplasty_implant :30): slice-wise 2D patches of
+    480x480 with overlap, binary or gray input method, U-Net-2D."""
+
+    PATCH = 480
+
+    def __init__(self, variables=None, model=None, method: str = "binary",
+                 overlap: float = 0.5, patch_size: int = 480):
+        import flax.linen as nn
+
+        class Unet2D(nn.Module):
+            features: int = 16
+
+            @nn.compact
+            def __call__(self, x, train: bool = False):
+                f = self.features
+
+                def block(x, feats):
+                    x = nn.Conv(feats, (3, 3), dtype=jnp.bfloat16)(x)
+                    x = nn.BatchNorm(use_running_average=not train,
+                                     dtype=jnp.float32)(x)
+                    x = nn.relu(x)
+                    return x
+
+                e1 = block(x, f)
+                e2 = block(nn.max_pool(e1, (2, 2), (2, 2)), f * 2)
+                e3 = block(nn.max_pool(e2, (2, 2), (2, 2)), f * 4)
+                u2 = nn.ConvTranspose(f * 2, (2, 2), (2, 2), dtype=jnp.bfloat16)(e3)
+                d2 = block(jnp.concatenate([u2, e2], -1), f * 2)
+                u1 = nn.ConvTranspose(f, (2, 2), (2, 2), dtype=jnp.bfloat16)(d2)
+                d1 = block(jnp.concatenate([u1, e1], -1), f)
+                out = nn.Conv(1, (1, 1))(d1)
+                return jax.nn.sigmoid(out.astype(jnp.float32))
+
+        self.model = model or Unet2D()
+        self.method = method
+        self.overlap = overlap
+        self.patch_size = patch_size
+        if variables is None:
+            variables = self.model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, patch_size, patch_size, 1)), train=False)
+        self.variables = variables
+
+        @jax.jit
+        def _apply(v, batch):
+            return self.model.apply(v, batch, train=False)
+
+        self._apply = _apply
+
+    def segment(self, image, probability_threshold: float = 0.5,
+                batch_size: int = 2, progress_cb=None):
+        """Per-slice 2D patch inference.  'binary' method feeds the bone
+        mask (image >= 300 HU) as input; 'gray' feeds WW/WL-normalized
+        intensity (reference implant methods)."""
+        img = jnp.asarray(image)
+        if self.method == "binary":
+            data = (img >= 300).astype(jnp.float32)
+        else:
+            from invesalius3_tpu.ops.windowing import get_lut_value_255
+
+            data = get_lut_value_255(img, 2000.0, 300.0) / 255.0
+
+        Z, Y, X = data.shape
+        p = self.patch_size
+        pads = [(0, max(0, p - Y)), (0, max(0, p - X))]
+        data = jnp.pad(data, [(0, 0)] + pads)
+        Yp, Xp = data.shape[1:]
+        # 2D grid per slice (reference: 480^2 patches, overlap 0.5)
+        grid2d = patch_grid((1, Yp, Xp), p, self.overlap)
+        origins = [(gy, gx) for (_, gy, gx) in grid2d]
+
+        prob = jnp.zeros((Z, Yp, Xp), jnp.float32)
+        n_total = Z * len(origins)
+        done = 0
+        for z in range(Z):
+            for (gy, gx) in origins:
+                patch = jax.lax.dynamic_slice(data[z], (gy, gx), (p, p))
+                out = self._apply(self.variables, patch[None, ..., None])[0, ..., 0]
+                prob = jax.lax.dynamic_update_slice(prob, out[None], (z, gy, gx))
+                done += 1
+                if progress_cb:
+                    progress_cb(done / n_total)
+        prob = prob[:, :Y, :X]
+        mask = np.where(np.asarray(prob) >= probability_threshold, 255, 0).astype(np.uint8)
+        return np.asarray(prob), mask
+
+
+SEGMENTERS = {
+    "brain_mri_t1": BrainSegmenter,
+    "trachea_ct": TracheaSegmenter,
+    "mandible_jit_ct": MandibleSegmenter,
+    "cranioplasty_implant": ImplantSegmenter,
+}

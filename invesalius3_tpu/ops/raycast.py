@@ -318,3 +318,27 @@ def render(
         background=preset.background,
     )
     return np.asarray(jnp.clip(img, 0.0, 1.0) * 255.0).astype(np.uint8)
+
+
+def render_mask_preview(
+    mask,
+    spacing=(1.0, 1.0, 1.0),
+    colour=(0.33, 1.0, 0.33),
+    azimuth: float = 0.0,
+    elevation: float = 0.0,
+    image_size: int = 256,
+    n_steps: int = 128,
+) -> np.ndarray:
+    """3D preview of a mask during editing (reference
+    invesalius/data/volume_mask.py: GPU raycast of the mask with its
+    colour): a raycast with a two-node LUT over the 0/255 mask values."""
+    lut = np.zeros((256, 4), np.float32)
+    lut[127:, 0] = colour[0]
+    lut[127:, 1] = colour[1]
+    lut[127:, 2] = colour[2]
+    lut[127:, 3] = 0.9
+    preset = RaycastPreset(
+        name="MaskPreview", lut_min=0.0, lut_max=255.0, rgba=lut,
+        use_shading=True)
+    return render(mask, spacing, preset, azimuth=azimuth, elevation=elevation,
+                  image_size=image_size, n_steps=n_steps)

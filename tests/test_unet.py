@@ -136,3 +136,17 @@ def test_image_normalize():
     x = np.array([10.0, 20.0, 30.0])
     got = np.asarray(segment.image_normalize(x))
     np.testing.assert_allclose(got, [0.0, 0.5, 1.0], atol=1e-6)
+
+
+def test_segmenter_family():
+    from invesalius3_tpu.models.segment import (
+        SEGMENTERS, ImplantSegmenter, TracheaSegmenter)
+
+    img = np.random.default_rng(0).integers(-1000, 2000, (3, 64, 64)).astype(np.int16)
+    seg = ImplantSegmenter(patch_size=64)
+    prob, mask = seg.segment(img)
+    assert prob.shape == img.shape and set(np.unique(mask)) <= {0, 255}
+    assert set(SEGMENTERS) == {"brain_mri_t1", "trachea_ct", "mandible_jit_ct",
+                               "cranioplasty_implant"}
+    t = TracheaSegmenter(patch_size=48)
+    assert t.use_ww_wl and t.wl == -500.0

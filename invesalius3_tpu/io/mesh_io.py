@@ -41,12 +41,16 @@ def write_stl(path, verts: np.ndarray, faces: np.ndarray, binary: bool = True,
             header = (name.encode()[:80]).ljust(80, b"\0")
             f.write(header)
             f.write(struct.pack("<I", len(faces)))
-            tri = np.zeros(len(faces), dtype=np.dtype(
-                [("n", "<f4", 3), ("v", "<f4", (3, 3)), ("attr", "<u2")]
-            ))
-            tri["n"] = normals
-            tri["v"] = verts[faces]
-            f.write(tri.tobytes())
+            # contiguous byte-buffer assembly: structured-field assignment
+            # (tri["v"] = ...) is a strided copy that costs ~40 s at 7M
+            # triangles; plain uint8 block copies are ~100x faster
+            n = len(faces)
+            buf = np.empty((n, 50), np.uint8)
+            buf[:, 0:12] = normals.astype("<f4").reshape(n, 3).view(np.uint8).reshape(n, 12)
+            tv = np.ascontiguousarray(verts[faces], dtype="<f4")
+            buf[:, 12:48] = tv.reshape(n, 9).view(np.uint8).reshape(n, 36)
+            buf[:, 48:50] = 0
+            f.write(buf.tobytes())
     else:
         with open(path, "w") as f:
             f.write(f"solid {name}\n")

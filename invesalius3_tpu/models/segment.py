@@ -175,11 +175,11 @@ class SegmentJob(threading.Thread):
         self.exception: Optional[BaseException] = None
         self.probability: Optional[np.ndarray] = None
         self.mask: Optional[np.ndarray] = None
-        self._stop = threading.Event()
+        self._stop_event = threading.Event()
 
     def _on_progress(self, value: float) -> None:
         self.progress = value
-        if self._stop.is_set():
+        if self._stop_event.is_set():
             raise _Cancelled()
 
     def run(self) -> None:
@@ -193,7 +193,7 @@ class SegmentJob(threading.Thread):
             self.exception = e
 
     def stop(self) -> None:
-        self._stop.set()
+        self._stop_event.set()
 
 
 class _Cancelled(Exception):

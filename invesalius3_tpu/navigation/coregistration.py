@@ -137,7 +137,7 @@ class CoordinateCorregistrate(threading.Thread):
         self.data = data
         self.coord_queue = coord_queue
         self.period = 1.0 / poll_hz
-        self._stop = threading.Event()
+        self._stop_event = threading.Event()
 
     def compute_once(self) -> dict:
         coords, flags = self.tracker.get_coordinates()
@@ -158,7 +158,7 @@ class CoordinateCorregistrate(threading.Thread):
         }
 
     def run(self):
-        while not self._stop.is_set():
+        while not self._stop_event.is_set():
             t0 = time.monotonic()
             self.coord_queue.put_latest(self.compute_once())
             dt = time.monotonic() - t0
@@ -166,4 +166,4 @@ class CoordinateCorregistrate(threading.Thread):
                 time.sleep(self.period - dt)
 
     def stop(self):
-        self._stop.set()
+        self._stop_event.set()

@@ -52,7 +52,7 @@ class VisualizeEFieldThread(threading.Thread):
         self.roi_vertices = jnp.asarray(roi_vertices) if roi_vertices is not None else None
         self.roi_ids = roi_ids
         self.bus = bus or events.bus
-        self._stop = threading.Event()
+        self._stop_event = threading.Event()
 
     def compute_once(self, item: dict) -> Optional[np.ndarray]:
         coils = item.get("coils_img", {})
@@ -78,7 +78,7 @@ class VisualizeEFieldThread(threading.Thread):
         return None if norms is None else np.asarray(norms)
 
     def run(self):
-        while not self._stop.is_set():
+        while not self._stop_event.is_set():
             try:
                 item = self.pose_queue.get(timeout=0.1)
             except queue.Empty:
@@ -89,4 +89,4 @@ class VisualizeEFieldThread(threading.Thread):
                                       max_id=int(np.argmax(norms)))
 
     def stop(self):
-        self._stop.set()
+        self._stop_event.set()

@@ -89,12 +89,12 @@ class UpdateNavigationScene(threading.Thread):
         self.bus = bus or events.bus
         self.render_period = 1.0 / render_max_hz
         self.slice_period = 1.0 / slice_max_hz
-        self._stop = threading.Event()
+        self._stop_event = threading.Event()
         self._last_render = 0.0
         self._last_slice = 0.0
 
     def run(self):
-        while not self._stop.is_set():
+        while not self._stop_event.is_set():
             try:
                 item = self.coord_queue.get(timeout=0.1)
             except queue.Empty:
@@ -109,7 +109,7 @@ class UpdateNavigationScene(threading.Thread):
                     "navigation.update_slices", position=item["probe_pose_img"][:3])
 
     def stop(self):
-        self._stop.set()
+        self._stop_event.set()
 
 
 class Navigation:

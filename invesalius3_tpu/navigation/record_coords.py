@@ -18,13 +18,13 @@ class RecordCoords(threading.Thread):
         self.tracker = tracker
         self.path = Path(path)
         self.period = 1.0 / poll_hz
-        self._stop = threading.Event()
+        self._stop_event = threading.Event()
 
     def run(self):
         with open(self.path, "w", newline="") as f:
             w = csv.writer(f)
             w.writerow(["timestamp", "sensor", "x", "y", "z", "alpha", "beta", "gamma"])
-            while not self._stop.is_set():
+            while not self._stop_event.is_set():
                 coords, _ = self.tracker.get_coordinates()
                 ts = time.time()
                 for i, c in enumerate(coords):
@@ -32,4 +32,4 @@ class RecordCoords(threading.Thread):
                 time.sleep(self.period)
 
     def stop(self):
-        self._stop.set()
+        self._stop_event.set()

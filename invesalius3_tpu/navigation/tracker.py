@@ -112,16 +112,16 @@ class ReceiveCoordinates(threading.Thread):
         self.connection = connection
         self.shared = shared
         self.period = 1.0 / poll_hz
-        self._stop = threading.Event()
+        self._stop_event = threading.Event()
 
     def run(self):
-        while not self._stop.is_set():
+        while not self._stop_event.is_set():
             coords, flags = self.connection.get_coordinates()
             self.shared.set_coordinates(coords, flags)
             time.sleep(self.period)
 
     def stop(self):
-        self._stop.set()
+        self._stop_event.set()
 
 
 class Tracker:

@@ -101,7 +101,7 @@ class ComputeTractsThread(threading.Thread):
         self.step_size = step_size
         self.n_steps = n_steps
         self.bus = bus or events.bus
-        self._stop = threading.Event()
+        self._stop_event = threading.Event()
 
     def compute_once(self, coil_pos_vox: np.ndarray):
         seeds = jnp.asarray(seed_grid(np.asarray(coil_pos_vox), self.n_tracts),
@@ -112,7 +112,7 @@ class ComputeTractsThread(threading.Thread):
         return np.asarray(paths), np.asarray(valid)
 
     def run(self):
-        while not self._stop.is_set():
+        while not self._stop_event.is_set():
             try:
                 item = self.pose_queue.get(timeout=0.1)
             except queue.Empty:
@@ -122,4 +122,4 @@ class ComputeTractsThread(threading.Thread):
             self.bus.send_message("navigation.tracts", paths=paths, valid=valid)
 
     def stop(self):
-        self._stop.set()
+        self._stop_event.set()

@@ -61,12 +61,12 @@ class MidiPedal(PedalBase):
             raise RuntimeError("no MIDI input ports found")
         self.port_name = port_name or names[0]
         self._thread = threading.Thread(target=self._loop, daemon=True)
-        self._stop = threading.Event()
+        self._stop_event = threading.Event()
         self._thread.start()
 
     def _loop(self) -> None:
         with self._mido.open_input(self.port_name) as port:
-            while not self._stop.is_set():
+            while not self._stop_event.is_set():
                 for msg in port.iter_pending():
                     if msg.type == "note_on":
                         self._dispatch(True)
@@ -74,7 +74,7 @@ class MidiPedal(PedalBase):
                         self._dispatch(False)
 
     def stop(self) -> None:
-        self._stop.set()
+        self._stop_event.set()
 
 
 class PedalConnector:

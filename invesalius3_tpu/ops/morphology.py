@@ -226,3 +226,19 @@ def paint_brush_trajectory(
 
     out, _ = jax.lax.scan(body, mask, centers)
     return out
+
+
+@partial(jax.jit, static_argnames=("limits",))
+def crop_mask(mask: jax.Array, limits: Tuple[int, int, int, int, int, int]) -> jax.Array:
+    """Zero everything outside the (zi, zf, yi, yf, xi, xf) box — the crop
+    tool (reference data/geometry.py crop Box + CropMaskInteractorStyle,
+    styles.py:2596: mask voxels outside the box are cleared)."""
+    zi, zf, yi, yf, xi, xf = limits
+    Z, Y, X = mask.shape
+    zz = jnp.arange(Z)[:, None, None]
+    yy = jnp.arange(Y)[None, :, None]
+    xx = jnp.arange(X)[None, None, :]
+    inside = (
+        (zz >= zi) & (zz <= zf) & (yy >= yi) & (yy <= yf) & (xx >= xi) & (xx <= xf)
+    )
+    return jnp.where(inside, mask, jnp.asarray(0, mask.dtype))

@@ -140,3 +140,45 @@ def test_fastsurfer_pipeline_shapes():
     labels = pipe.run(vol, conform_size=32)
     assert labels.shape == (32, 32, 32)
     assert labels.max() < 5
+
+
+def test_crop_mask():
+    from invesalius3_tpu.ops.morphology import crop_mask
+
+    m = np.full((8, 8, 8), 255, np.uint8)
+    out = np.asarray(crop_mask(jnp.asarray(m), (2, 5, 1, 6, 3, 7)))
+    assert out[3, 3, 5] == 255
+    assert out[0, 3, 5] == 0 and out[7, 3, 5] == 0
+    assert out[3, 0, 5] == 0 and out[3, 3, 0] == 0
+
+
+def test_serial_port_fake():
+    from invesalius3_tpu import events
+    from invesalius3_tpu.navigation.serial_port import SerialPortConnection
+
+    class FakePort:
+        def __init__(self):
+            self.rts = []
+            self.data = [b"", b"\x01"]
+
+        def setRTS(self, v):
+            self.rts.append(v)
+
+        def read(self, n):
+            return self.data.pop(0) if self.data else b""
+
+        def close(self):
+            pass
+
+    bus = events.Publisher()
+    got = []
+    bus.subscribe(lambda **kw: got.append("pulse"), "serial.pulse_sent")
+    bus.subscribe(lambda **kw: got.append("trig"), "serial.trigger_received")
+    conn = SerialPortConnection(serial_port=FakePort(), bus=bus, poll_hz=200)
+    conn.start()
+    conn.send_pulse()
+    import time
+
+    time.sleep(0.1)
+    conn.stop()
+    assert "pulse" in got and "trig" in got

@@ -106,7 +106,7 @@ def test_segment_job_progress_and_cancel():
     assert job.mask is not None and job.mask.shape == img.shape
 
     job2 = SegmentJob(seg, img, batch_size=1)
-    job2._stop.set()  # cancel before start
+    job2._stop_event.set()  # cancel before start
     job2.start()
     job2.join(timeout=600)
     assert job2.mask is None  # cancelled cleanly, no exception

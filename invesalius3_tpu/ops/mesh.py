@@ -223,6 +223,25 @@ def propagate_weights(
     )
 
 
+@partial(jax.jit, static_argnames=())
+def _staircase_core(verts_j, faces_j, normals_j, t, stack_orientation):
+    axes = jnp.stack([
+        stack_orientation,
+        jnp.asarray([0.0, 1.0, 0.0], jnp.float32),
+        jnp.asarray([1.0, 0.0, 0.0], jnp.float32),
+    ])
+    of = 1.0 - jnp.abs(normals_j @ axes.T)  # (F, 3)
+    V = verts_j.shape[0]
+    vmax = jnp.full((V, 3), -jnp.inf)
+    vmin = jnp.full((V, 3), jnp.inf)
+    for c in range(3):
+        vmax = vmax.at[faces_j[:, c]].max(of)
+        vmin = vmin.at[faces_j[:, c]].min(of)
+    spread = vmax - vmin
+    has_face = jnp.isfinite(spread).all(axis=1)
+    return has_face & (spread >= t).any(axis=1)
+
+
 def ca_smoothing(
     verts: np.ndarray,
     faces: np.ndarray,
@@ -230,28 +249,30 @@ def ca_smoothing(
     tmax: float = 3.0,
     bmin: float = 0.5,
     n_iters: int = 10,
+    propagate_iters: int = 12,
 ) -> np.ndarray:
     """Full context-aware smoothing (reference mesh.rs:27-87 /
     invesalius_rs/__init__.py ca_smoothing): detect staircase vertices,
-    propagate weights, weighted Taubin with lambda=0.5, mu=-0.53."""
-    import jax.numpy as jnp  # local alias for clarity
+    propagate weights, weighted Taubin with lambda=0.5, mu=-0.53.
 
-    normals = np.asarray(face_normals(jnp.asarray(verts), jnp.asarray(faces)))
-    flagged = find_staircase_artifacts(verts, faces, normals, t)
+    Everything stays on device end to end (one final readback).
+    ``propagate_iters`` bounds the BFS depth: weights only matter within
+    ``tmax`` mm of a seed, i.e. ~tmax/min_edge_length hops."""
+    verts_j = jnp.asarray(verts, jnp.float32)
+    faces_j = jnp.asarray(faces)
+    normals_j = face_normals(verts_j, faces_j)
+    flagged = _staircase_core(verts_j, faces_j, normals_j, jnp.float32(t),
+                              jnp.asarray([0.0, 0.0, 1.0], jnp.float32))
     if len(faces) > 200_000:  # device adjacency (duplicated neighbors)
         neigh, deg = vertex_adjacency_fast(faces, len(verts))
+        neigh_j, deg_j = neigh, deg
     else:
         neigh, deg = vertex_adjacency(faces, len(verts))
-    weights = propagate_weights(verts, neigh, deg, flagged, tmax, bmin)
-    out = taubin_smooth(
-        jnp.asarray(verts, jnp.float32),
-        jnp.asarray(neigh),
-        jnp.asarray(deg),
-        jnp.asarray(weights),
-        0.5,
-        -0.53,
-        n_iters,
-    )
+        neigh_j, deg_j = jnp.asarray(neigh), jnp.asarray(deg)
+    weights = _propagate_core(
+        verts_j, neigh_j, deg_j, flagged,
+        jnp.float32(tmax), jnp.float32(bmin), propagate_iters)
+    out = taubin_smooth(verts_j, neigh_j, deg_j, weights, 0.5, -0.53, n_iters)
     return np.asarray(out)
 
 

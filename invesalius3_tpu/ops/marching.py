@@ -74,6 +74,7 @@ TET_EDGES = np.array([(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)], np.int32)
 
 # Case table: for each of 16 inside-bitmasks, up to 2 triangles of 3 edge
 # ids (-1 = unused).  Winding is normalized numerically afterwards.
+# int8 keeps the per-active-cell gather at (A, 6, 2, 3) bytes, not 4x that.
 _T = -1
 TET_TRIS = np.array(
     [
@@ -94,8 +95,12 @@ TET_TRIS = np.array(
         [[0, 1, 2], [_T] * 3],                 # 1110 (v0 out)
         [[_T] * 3, [_T] * 3],                  # 1111
     ],
-    np.int32,
+    np.int8,
 )
+
+# triangles emitted per tet case (for the exact count pass)
+TET_TRI_COUNT = np.array([int(t[0][0] >= 0) + int(t[1][0] >= 0) for t in TET_TRIS],
+                         np.int8)
 
 
 def _cell_strides(shape: Tuple[int, int, int]) -> np.ndarray:
@@ -116,6 +121,29 @@ def count_active_cells(field: jax.Array, iso: float, iso_greater: bool = True) -
         agg_all = agg_all & corner
     active = agg_any & ~agg_all
     return jnp.sum(active.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("iso_greater",))
+def count_triangles(field: jax.Array, iso: float, iso_greater: bool = True) -> jax.Array:
+    """Exact triangle count (one streaming pass over the 6 tets per cell) —
+    lets the host wrapper size the compaction bucket tightly instead of
+    overallocating 4x actives."""
+    Z, Y, X = field.shape
+    inside = field > iso if iso_greater else field < iso
+    corners = []
+    for dz, dy, dx in CUBE_OFFSETS:
+        corners.append(inside[dz : dz + Z - 1, dy : dy + Y - 1, dx : dx + X - 1])
+    counts = jnp.asarray(TET_TRI_COUNT)
+    total = jnp.zeros((), jnp.int32)
+    for tet in TETS:
+        case = (
+            corners[tet[0]].astype(jnp.int32)
+            + 2 * corners[tet[1]].astype(jnp.int32)
+            + 4 * corners[tet[2]].astype(jnp.int32)
+            + 8 * corners[tet[3]].astype(jnp.int32)
+        )
+        total = total + jnp.sum(counts[case].astype(jnp.int32))
+    return total
 
 
 @partial(jax.jit, static_argnames=("max_active", "max_tris", "iso_greater"))
@@ -287,7 +315,8 @@ def marching_cubes(
         n_act = int(count_active_cells(field, iso))
         max_active = max(1024, _next_pow2(n_act))
     if max_tris is None:
-        max_tris = max(2048, max_active * 4)
+        n_tri = int(count_triangles(field, iso))
+        max_tris = max(2048, _next_pow2(n_tri))
 
     pts, keys, n_tris, n_active = _extract(field, iso, max_active, max_tris)
     n_tris = int(n_tris)

@@ -318,41 +318,44 @@ def keep_largest_component(
 
 @partial(jax.jit, static_argnames=("n_vertices", "max_deg"))
 def _adjacency_device(faces: jax.Array, n_vertices: int, max_deg: int):
-    """Padded neighbor table built fully on device.
-
-    Trick: on a closed manifold triangle mesh every directed edge (a, b)
-    appears exactly twice in the face list, and duplicated neighbors leave
-    neighbor-MEANS (taubin) and neighbor-ARGMINS (weight propagation)
-    unchanged — so no dedup pass is needed at all; degrees simply double.
-    """
+    """Padded, DEDUPLICATED neighbor table built fully on device:
+    lexsort the directed edge list by (src, dst), mark first occurrences,
+    compute each unique edge's slot as (global unique rank - group-start
+    unique rank), and scatter.  One sort, a few scans/scatters — the halved
+    table width halves every downstream smoothing gather."""
     e_src = jnp.concatenate([faces[:, 0], faces[:, 1], faces[:, 2],
                              faces[:, 1], faces[:, 2], faces[:, 0]])
     e_dst = jnp.concatenate([faces[:, 1], faces[:, 2], faces[:, 0],
                              faces[:, 0], faces[:, 1], faces[:, 2]])
-    order = jnp.argsort(e_src)
+    order = jnp.lexsort((e_dst, e_src))
     src_s = e_src[order]
     dst_s = e_dst[order]
-    deg = jnp.zeros((n_vertices,), jnp.int32).at[e_src].add(1)
-    starts = jnp.cumsum(deg) - deg
-    pos = jnp.arange(src_s.shape[0], dtype=jnp.int32) - starts[src_s]
-    # masked-out (overflow) writes are routed to a dummy row V, sliced off
+    is_new = jnp.concatenate([
+        jnp.ones((1,), jnp.bool_),
+        (src_s[1:] != src_s[:-1]) | (dst_s[1:] != dst_s[:-1]),
+    ])
+    uniq_rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    big = jnp.int32(2**30)
+    group_start = jnp.full((n_vertices,), big, jnp.int32).at[src_s].min(uniq_rank)
+    pos = uniq_rank - group_start[src_s]
+    deg = jnp.zeros((n_vertices,), jnp.int32).at[src_s].add(is_new.astype(jnp.int32))
+    # masked (duplicate or overflow) writes are routed to a dummy row
+    ok = is_new & (pos < max_deg)
     table = jnp.tile(jnp.arange(n_vertices + 1, dtype=jnp.int32)[:, None],
                      (1, max_deg))
-    ok = pos < max_deg  # degree overflow: drop excess (non-manifold spikes)
     table = table.at[jnp.where(ok, src_s, n_vertices),
                      jnp.where(ok, pos, 0)].set(dst_s)
-    table = jnp.minimum(table[:n_vertices], n_vertices - 1)
+    table = table[:n_vertices]
     deg = jnp.minimum(deg, max_deg)
     return table, deg
 
 
 def vertex_adjacency_fast(faces: np.ndarray, n_vertices: int):
-    """Adjacency via the device path (neighbors duplicated x2; see
-    _adjacency_device).  Falls back to the exact host table for tiny
-    meshes where jit overhead dominates."""
+    """Adjacency via the device path (exact, deduplicated).  max_deg is
+    bucketed to limit recompiles."""
     faces_j = jnp.asarray(faces, jnp.int32)
     deg_counts = np.bincount(np.asarray(faces).ravel(), minlength=n_vertices)
-    max_deg = int(deg_counts.max()) * 2 if len(deg_counts) else 2
+    max_deg = int(deg_counts.max()) if len(deg_counts) else 1
     max_deg = max(8, ((max_deg + 7) // 8) * 8)  # bucket to limit recompiles
     table, deg = _adjacency_device(faces_j, n_vertices, max_deg)
     return table, deg

@@ -45,14 +45,29 @@ class AppState:
         self.slice = slc
         self.surfaces = {}
         self.recent_events = []
-        events.subscribe(self._tap, events.ALL_TOPICS)
 
-    def _tap(self, topic=None, **kw):
-        pass  # topic delivery needs wants_topic; use explicit hook below
+        @events.wants_topic
+        def tap(topic=None, **kw):
+            self.record_event(topic, _jsonable_shallow(kw))
+
+        self._tap = tap  # keep a reference (bus stores it)
+        slc.bus.subscribe(tap, events.ALL_TOPICS)
 
     def record_event(self, topic, data):
         self.recent_events.append({"topic": topic, "data": data})
         self.recent_events = self.recent_events[-200:]
+
+
+def _jsonable_shallow(kw: dict) -> dict:
+    out = {}
+    for k, v in kw.items():
+        if isinstance(v, (str, int, float, bool)) or v is None:
+            out[k] = v
+        elif isinstance(v, (list, tuple)) and len(v) <= 16:
+            out[k] = [x if isinstance(x, (str, int, float, bool)) else repr(x) for x in v]
+        else:
+            out[k] = repr(v)[:120]
+    return out
 
 
 def _png_bytes(rgb: np.ndarray) -> bytes:

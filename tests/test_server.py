@@ -92,3 +92,12 @@ def test_error_surface(server):
     with pytest.raises(urllib.error.HTTPError) as exc2:
         _get(server, "/api/nope")
     assert exc2.value.code == 404
+
+
+def test_events_endpoint_records(server):
+    # trigger a bus event via a threshold POST, then read /api/events
+    _post(server, "/api/threshold", {"tmin": 0, "tmax": 100})
+    code, _, body = _get(server, "/api/events")
+    evs = json.loads(body)
+    assert any(e["topic"].startswith("slice.mask") or e["topic"] == "mask.created"
+               for e in evs)

@@ -124,15 +124,21 @@ def count_active_cells(field: jax.Array, iso: float, iso_greater: bool = True) -
 
 
 @partial(jax.jit, static_argnames=("iso_greater",))
-def count_triangles(field: jax.Array, iso: float, iso_greater: bool = True) -> jax.Array:
-    """Exact triangle count (one streaming pass over the 6 tets per cell) —
-    lets the host wrapper size the compaction bucket tightly instead of
-    overallocating 4x actives."""
+def count_cells_and_triangles(field: jax.Array, iso: float,
+                              iso_greater: bool = True):
+    """(n_active_cells, n_triangles) in one fused pass over the cell
+    corners — sizes both compaction buckets tightly."""
     Z, Y, X = field.shape
     inside = field > iso if iso_greater else field < iso
     corners = []
     for dz, dy, dx in CUBE_OFFSETS:
         corners.append(inside[dz : dz + Z - 1, dy : dy + Y - 1, dx : dx + X - 1])
+    agg_any = corners[0]
+    agg_all = corners[0]
+    for c in corners[1:]:
+        agg_any = agg_any | c
+        agg_all = agg_all & c
+    n_active = jnp.sum((agg_any & ~agg_all).astype(jnp.int32))
     counts = jnp.asarray(TET_TRI_COUNT)
     total = jnp.zeros((), jnp.int32)
     for tet in TETS:
@@ -143,7 +149,11 @@ def count_triangles(field: jax.Array, iso: float, iso_greater: bool = True) -> j
             + 8 * corners[tet[3]].astype(jnp.int32)
         )
         total = total + jnp.sum(counts[case].astype(jnp.int32))
-    return total
+    return n_active, total
+
+
+def count_triangles(field: jax.Array, iso: float, iso_greater: bool = True):
+    return count_cells_and_triangles(field, iso, iso_greater)[1]
 
 
 @partial(jax.jit, static_argnames=("max_active", "max_tris", "iso_greater"))
@@ -311,12 +321,12 @@ def marching_cubes(
     deduplicates vertices by lattice-edge key.
     """
     field = jnp.asarray(field)
-    if max_active is None:
-        n_act = int(count_active_cells(field, iso))
-        max_active = max(1024, _next_pow2(n_act))
-    if max_tris is None:
-        n_tri = int(count_triangles(field, iso))
-        max_tris = max(2048, _next_pow2(n_tri))
+    if max_active is None or max_tris is None:
+        n_act, n_tri = (int(x) for x in count_cells_and_triangles(field, iso))
+        if max_active is None:
+            max_active = max(1024, _next_pow2(n_act))
+        if max_tris is None:
+            max_tris = max(2048, _next_pow2(int(n_tri)))
 
     pts, keys, n_tris, n_active = _extract(field, iso, max_active, max_tris)
     n_tris = int(n_tris)

@@ -160,3 +160,82 @@ def mida_axis0(volume: jax.Array, wl, ww) -> jax.Array:
         interpret=_interpret(),
     )(params, vol)
     return out[:Y, :X].astype(volume.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Watershed Z-sweep: forward + backward minimax relaxation along axis 0 in
+# one kernel — the whole (Z, 16, 128) column stays in VMEM, replacing two
+# lax.scan sweeps whose carries round-trip HBM every step.
+# ---------------------------------------------------------------------------
+
+_WS_TY = 16  # int16-compatible sublane tile
+_WS_TX = 128
+_DIST_BITS = 15
+_DIST_MAX = (1 << _DIST_BITS) - 1
+_INF_RANK = 2**31 - 1
+
+
+def _ws_relax(parent_rank, f_here):
+    pcost = parent_rank >> _DIST_BITS
+    pdist = parent_rank & _DIST_MAX
+    cand = jnp.maximum(pcost, f_here) * (1 << _DIST_BITS) + jnp.minimum(
+        pdist + 1, _DIST_MAX)
+    return jnp.where(parent_rank == _INF_RANK, _INF_RANK, cand)
+
+
+def _ws_sweep_z_kernel(rank_ref, lab_ref, f_ref, rank_out, lab_out):
+    Z = rank_ref.shape[0]
+    rank_out[:] = rank_ref[:]
+    lab_out[:] = lab_ref[:]
+
+    def fwd(z, _):
+        cand = _ws_relax(rank_out[z - 1], f_ref[z])
+        cur = rank_out[z]
+        take = cand < cur
+        rank_out[z] = jnp.where(take, cand, cur)
+        lab_out[z] = jnp.where(take, lab_out[z - 1], lab_out[z])
+        return 0
+
+    jax.lax.fori_loop(1, Z, fwd, 0)
+
+    def bwd(i, _):
+        z = Z - 2 - i
+        cand = _ws_relax(rank_out[z + 1], f_ref[z])
+        cur = rank_out[z]
+        take = cand < cur
+        rank_out[z] = jnp.where(take, cand, cur)
+        lab_out[z] = jnp.where(take, lab_out[z + 1], lab_out[z])
+        return 0
+
+    jax.lax.fori_loop(0, Z - 1, bwd, 0)
+
+
+@partial(jax.jit, static_argnames=())
+def watershed_sweep_z(rank: jax.Array, lab: jax.Array, f: jax.Array):
+    """Bidirectional Z-axis minimax sweep (packed-rank semantics identical
+    to ops.watershed._sweep_axis fwd+bwd).  lab must be int32 (int16 tiling
+    differs; the caller casts)."""
+    Z, Y, X = rank.shape
+    py = (-Y) % _WS_TY
+    px = (-X) % _WS_TX
+    if py or px:
+        rank = jnp.pad(rank, ((0, 0), (0, py), (0, px)),
+                       constant_values=_INF_RANK)
+        lab = jnp.pad(lab, ((0, 0), (0, py), (0, px)))
+        f = jnp.pad(f, ((0, 0), (0, py), (0, px)))
+    Yp, Xp = rank.shape[1:]
+    grid = (Yp // _WS_TY, Xp // _WS_TX)
+    spec3 = pl.BlockSpec((Z, _WS_TY, _WS_TX), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM)
+    nr, nl = pl.pallas_call(
+        _ws_sweep_z_kernel,
+        grid=grid,
+        in_specs=[spec3, spec3, spec3],
+        out_specs=(spec3, spec3),
+        out_shape=(
+            jax.ShapeDtypeStruct((Z, Yp, Xp), jnp.int32),
+            jax.ShapeDtypeStruct((Z, Yp, Xp), jnp.int32),
+        ),
+        interpret=_interpret(),
+    )(rank, lab, f)
+    return nr[:, :Y, :X], nl[:, :Y, :X]

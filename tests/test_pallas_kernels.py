@@ -31,3 +31,28 @@ def test_mida_pallas_matches_scan():
     want = np.asarray(projections.mida(vol, 0, 500.0, 1000.0))
     got = np.asarray(pallas_kernels.mida_axis0(jnp.asarray(vol), 500.0, 1000.0))
     np.testing.assert_allclose(got.astype(np.int64), want.astype(np.int64), atol=1)
+
+
+def test_watershed_sweep_z_matches_scan():
+    """The Pallas bidirectional Z sweep equals two _sweep_axis passes."""
+    from invesalius3_tpu.ops import watershed as ws
+
+    r = np.random.default_rng(3)
+    f = jnp.asarray(r.integers(0, 1000, (12, 20, 130)).astype(np.int32))
+    lab = jnp.zeros((12, 20, 130), jnp.int32)
+    lab = lab.at[2, 5, 5].set(1).at[9, 15, 100].set(2)
+    rank = jnp.where(lab > 0, jnp.int32(0), jnp.int32(2**31 - 1))
+
+    # scan reference: fwd then bwd along axis 0 with merge
+    r1, l1 = ws._sweep_axis(rank, lab, f, 0, False)
+    take = r1 < rank
+    rank_s = jnp.where(take, r1, rank)
+    lab_s = jnp.where(take, l1, lab)
+    r2, l2 = ws._sweep_axis(rank_s, lab_s, f, 0, True)
+    take2 = r2 < rank_s
+    rank_s = jnp.where(take2, r2, rank_s)
+    lab_s = jnp.where(take2, l2, lab_s)
+
+    nr, nl = pallas_kernels.watershed_sweep_z(rank, lab, f)
+    np.testing.assert_array_equal(np.asarray(nr), np.asarray(rank_s))
+    np.testing.assert_array_equal(np.asarray(nl), np.asarray(lab_s))

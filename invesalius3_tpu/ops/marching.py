@@ -139,16 +139,17 @@ def count_cells_and_triangles(field: jax.Array, iso: float,
         agg_any = agg_any | c
         agg_all = agg_all & c
     n_active = jnp.sum((agg_any & ~agg_all).astype(jnp.int32))
-    counts = jnp.asarray(TET_TRI_COUNT)
+    # closed form: a tet with s inside-corners emits min(s, 4-s) triangles
+    # (0,1,2,1,0 for s = 0..4) — no case-table gathers, uint8 arithmetic
     total = jnp.zeros((), jnp.int32)
     for tet in TETS:
-        case = (
-            corners[tet[0]].astype(jnp.int32)
-            + 2 * corners[tet[1]].astype(jnp.int32)
-            + 4 * corners[tet[2]].astype(jnp.int32)
-            + 8 * corners[tet[3]].astype(jnp.int32)
+        s = (
+            corners[tet[0]].astype(jnp.uint8)
+            + corners[tet[1]].astype(jnp.uint8)
+            + corners[tet[2]].astype(jnp.uint8)
+            + corners[tet[3]].astype(jnp.uint8)
         )
-        total = total + jnp.sum(counts[case].astype(jnp.int32))
+        total = total + jnp.sum(jnp.minimum(s, 4 - s).astype(jnp.int32))
     return n_active, total
 
 

@@ -54,6 +54,16 @@ def parse_command_line(argv=None) -> argparse.Namespace:
                    choices=["Default", "ca_smoothing", "Binary"])
     p.add_argument("--spacing", help="override spacing 'sx,sy,sz' (bitmap import)")
     p.add_argument("--debug", action="store_true", help="log every bus event")
+    p.add_argument("--remote-host", dest="remote_host",
+                   help="mirror the event bus to host:port (reference --remote-host)")
+    p.add_argument("--use-pedal", dest="use_pedal", action="store_true",
+                   help="enable MIDI pedal input (reference --use-pedal)")
+    p.add_argument("--cranioplasty", nargs=2, metavar=("INPUT", "OUTPUT"),
+                   help="run cranioplasty implant segmentation on a volume "
+                        "and export the implant surface (reference "
+                        "run_cranioplasty_implant)")
+    p.add_argument("--serve", type=int, metavar="PORT", default=None,
+                   help="start the HTTP viewer server on PORT and block")
     return p.parse_args(argv)
 
 
@@ -110,7 +120,21 @@ def main(argv=None) -> int:
 
     session = Session()
     session.mark_running()
+    remote = None
+    if args.remote_host:
+        from invesalius3_tpu.net.remote_control import RemoteControl
+
+        host, _, port = args.remote_host.partition(":")
+        remote = RemoteControl(host, int(port or 5000))
+        remote.connect()
+        print(f"remote control mirroring to {args.remote_host}", file=sys.stderr)
+    if args.use_pedal:
+        from invesalius3_tpu.net.pedal_connection import PedalConnector
+
+        PedalConnector(use_midi=True)
     try:
+        if args.cranioplasty:
+            return run_cranioplasty(args.cranioplasty[0], args.cranioplasty[1])
         volume = import_data(args)
         print(f"volume: {volume.shape} {volume.dtype} spacing={volume.spacing}",
               file=sys.stderr)
@@ -170,9 +194,46 @@ def main(argv=None) -> int:
             else:
                 project.export_to_nifti(out)
             print(f"exported project to {out}", file=sys.stderr)
+
+        if args.serve is not None:
+            from invesalius3_tpu.server import ViewerServer
+
+            srv = ViewerServer(slc, port=args.serve)
+            srv.start()
+            print(f"viewer server on http://127.0.0.1:{srv.port}", file=sys.stderr)
+            try:
+                import time
+
+                while True:
+                    time.sleep(3600)
+            except KeyboardInterrupt:
+                srv.stop()
         return 0
     finally:
+        if remote is not None:
+            remote.disconnect()
         session.exit()
+
+
+def run_cranioplasty(input_path, output_path) -> int:
+    """Headless cranioplasty implant flow (reference segment.py:30
+    run_cranioplasty_implant + app.py --cranioplasty)."""
+    from invesalius3_tpu.io.nifti import read_nifti
+    from invesalius3_tpu.models.segment import ImplantSegmenter
+    from invesalius3_tpu.core.mask import Mask
+    from invesalius3_tpu.core.surface import create_surface_from_mask
+    import jax.numpy as jnp
+
+    img = read_nifti(input_path)
+    seg = ImplantSegmenter(method="binary")
+    prob, mask_arr = seg.segment(img.data)
+    m = Mask()
+    m.data = jnp.asarray(mask_arr)
+    surf = create_surface_from_mask(m, img.spacing, name="implant")
+    surf.export(output_path)
+    print(f"implant exported to {output_path}: {len(surf.faces)} triangles",
+          file=sys.stderr)
+    return 0
 
 
 if __name__ == "__main__":

@@ -139,10 +139,50 @@ def builtin_preset(name: str = "Bone") -> RaycastPreset:
         lo, hi = -1024.0, 3071.0
         rgba = np.tile(np.linspace(0, 1, lut_size, dtype=np.float32)[:, None], (1, 4))
         return RaycastPreset("MIP", lo, hi, rgba, projection_mode="mip")
+    if name == "Dark Bone":
+        lo, hi = 100.0, 2500.0
+        values = np.linspace(lo, hi, lut_size)
+        a = np.clip((values - 300.0) / 700.0, 0, 1) * 0.95
+        g = np.clip((values - 300.0) / 2200.0, 0, 1)
+        rgba = np.stack([g * 0.9, g * 0.85, g * 0.8, a], axis=1).astype(np.float32)
+        return RaycastPreset("Dark Bone", lo, hi, rgba, use_shading=True)
+    if name == "Bone + Skin":
+        lo, hi = -800.0, 2000.0
+        values = np.linspace(lo, hi, lut_size)
+        skin = np.clip(1.0 - np.abs(values + 400.0) / 250.0, 0, 1)
+        bone = np.clip((values - 200.0) / 500.0, 0, 1)
+        a = np.maximum(skin * 0.25, bone * 0.9)
+        r = np.where(bone > skin, 0.95, 0.85)
+        g = np.where(bone > skin, 0.92, 0.55)
+        b = np.where(bone > skin, 0.85, 0.45)
+        rgba = np.stack([r, g, b, a], axis=1).astype(np.float32)
+        return RaycastPreset("Bone + Skin", lo, hi, rgba, use_shading=True)
+    if name == "Airways":
+        # air cavities: invert — low HU visible
+        lo, hi = -1024.0, -300.0
+        values = np.linspace(lo, hi, lut_size)
+        a = np.clip((-values - 500.0) / 400.0, 0, 1) * 0.6
+        rgba = np.stack([np.full(lut_size, 0.4), np.full(lut_size, 0.7),
+                         np.full(lut_size, 1.0), a], axis=1).astype(np.float32)
+        return RaycastPreset("Airways", lo, hi, rgba, use_shading=True)
+    if name == "High Contrast":
+        lo, hi = -200.0, 1200.0
+        values = np.linspace(lo, hi, lut_size)
+        t = np.clip((values - lo) / (hi - lo), 0, 1)
+        a = t**3 * 0.95
+        rgba = np.stack([t, t * 0.6 + 0.2, 0.2 + 0.1 * t, a], axis=1).astype(np.float32)
+        return RaycastPreset("High Contrast", lo, hi, rgba, use_shading=True)
+    if name == "Black & White":
+        lo, hi = -1024.0, 3071.0
+        t = np.linspace(0, 1, lut_size, dtype=np.float32)
+        a = np.clip((t - 0.3) / 0.3, 0, 1) * 0.9
+        rgba = np.stack([t, t, t, a], axis=1).astype(np.float32)
+        return RaycastPreset("Black & White", lo, hi, rgba, use_shading=False)
     raise KeyError(name)
 
 
-BUILTIN_PRESETS = ("Bone", "Soft Tissue", "MIP")
+BUILTIN_PRESETS = ("Bone", "Soft Tissue", "MIP", "Dark Bone", "Bone + Skin",
+                   "Airways", "High Contrast", "Black & White")
 
 
 # ---------------------------------------------------------------------------

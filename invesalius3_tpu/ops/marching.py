@@ -157,21 +157,15 @@ def count_triangles(field: jax.Array, iso: float, iso_greater: bool = True):
     return count_cells_and_triangles(field, iso, iso_greater)[1]
 
 
-@partial(jax.jit, static_argnames=("max_active", "max_tris", "iso_greater"))
-def _extract(
-    field: jax.Array,
-    iso: float,
-    max_active: int,
-    max_tris: int,
-    iso_greater: bool = True,
-):
-    """Core extraction: returns (tri_coords (max_tris, 3, 3) f32 in voxel
-    (z, y, x) units, edge keys (max_tris, 3, 2) i32 lattice-corner pairs,
-    n_tris, n_active)."""
+@partial(jax.jit, static_argnames=("max_active", "iso_greater"))
+def _extract_cells(field: jax.Array, iso: float, max_active: int,
+                   iso_greater: bool = True):
+    """Stage A: find + compact active cells, gather their 8 corner values /
+    inside bits.  Separate jit so the full-volume buffers free before the
+    triangle stages run (a single fused program peaked at 26 GB at 512^3)."""
     Z, Y, X = field.shape
     inside = field > iso if iso_greater else field < iso
 
-    # --- phase 1: active cells ------------------------------------------------
     agg_any = jnp.zeros((Z - 1, Y - 1, X - 1), jnp.bool_)
     agg_all = jnp.ones((Z - 1, Y - 1, X - 1), jnp.bool_)
     for dz, dy, dx in CUBE_OFFSETS:
@@ -184,13 +178,11 @@ def _extract(
     valid_cell = cell_ids >= 0
     cell_ids_safe = jnp.maximum(cell_ids, 0)
 
-    # cell -> (z, y, x)
     cz = cell_ids_safe // ((Y - 1) * (X - 1))
     rem = cell_ids_safe % ((Y - 1) * (X - 1))
     cy = rem // (X - 1)
     cx = rem % (X - 1)
 
-    # --- phase 2: gather 8 corner values / inside bits ------------------------
     # gather in the input dtype (a full-volume float32 copy would cost 4x
     # the bytes of a uint8 mask), cast the small gathered block after
     flat_f = field.reshape(-1)
@@ -201,34 +193,55 @@ def _extract(
     corner_lin = jnp.stack(corner_lin, axis=1)  # (A, 8) lattice ids
     vals = flat_f[corner_lin].astype(jnp.float32)  # (A, 8)
     ins = flat_in[corner_lin]  # (A, 8) bool
+    return corner_lin, vals, ins, valid_cell, n_active
 
-    # --- phase 3: per-tet case lookup, emit edge codes -------------------------
-    tets = jnp.asarray(TETS)  # (6, 4)
-    tet_edges = jnp.asarray(TET_EDGES)  # (6, 2)
-    tet_tris = jnp.asarray(TET_TRIS)  # (16, 2, 3)
+
+@partial(jax.jit, static_argnames=("max_tris",))
+def _emit_slots(ins: jax.Array, valid_cell: jax.Array, max_tris: int):
+    """Stage B: per-tet case codes + valid-triangle compaction."""
+    tets = jnp.asarray(TETS)
+    tet_tris = jnp.asarray(TET_TRIS)
 
     tet_in = ins[:, tets]  # (A, 6, 4)
     case = (
-        tet_in[..., 0].astype(jnp.int32)
-        + 2 * tet_in[..., 1].astype(jnp.int32)
-        + 4 * tet_in[..., 2].astype(jnp.int32)
-        + 8 * tet_in[..., 3].astype(jnp.int32)
-    )  # (A, 6)
-    tris = tet_tris[case]  # (A, 6, 2, 3) edge ids or -1
-    tri_valid = (tris[..., 0] >= 0) & valid_cell[:, None, None]  # (A, 6, 2)
-
+        tet_in[..., 0].astype(jnp.uint8)
+        + 2 * tet_in[..., 1].astype(jnp.uint8)
+        + 4 * tet_in[..., 2].astype(jnp.uint8)
+        + 8 * tet_in[..., 3].astype(jnp.uint8)
+    )  # (A, 6) uint8
+    first_edge = tet_tris[case.astype(jnp.int32)][..., 0]  # (A, 6, 2) int8
+    tri_valid = (first_edge >= 0) & valid_cell[:, None, None]  # (A, 6, 2)
     n_tris = jnp.sum(tri_valid.astype(jnp.int32))
-
-    # --- phase 4: compact valid triangles --------------------------------------
     flat_valid = tri_valid.reshape(-1)  # (A*12,)
     (tri_slots,) = jnp.nonzero(flat_valid, size=max_tris, fill_value=-1)
+    return case, tri_slots, n_tris
+
+
+@partial(jax.jit, static_argnames=("vol_shape",))
+def _materialize(
+    corner_lin: jax.Array,  # (A, 8)
+    vals: jax.Array,  # (A, 8)
+    ins: jax.Array,  # (A, 8)
+    case: jax.Array,  # (A, 6) uint8
+    tri_slots: jax.Array,  # (T,)
+    iso: float,
+    vol_shape,
+):
+    """Stage C: triangle coordinates, outward orientation, dedup keys —
+    everything T-sized."""
+    Z, Y, X = vol_shape
+    tets = jnp.asarray(TETS)
+    tet_edges = jnp.asarray(TET_EDGES)
+    tet_tris = jnp.asarray(TET_TRIS)
+
     slot_ok = tri_slots >= 0
     slots = jnp.maximum(tri_slots, 0)
     a_idx = slots // 12
     t_idx = (slots % 12) // 2
     k_idx = slots % 2
 
-    edge_ids = tris[a_idx, t_idx, k_idx]  # (T, 3) local tet edge ids
+    tri_case = case[a_idx, t_idx].astype(jnp.int32)  # (T,)
+    edge_ids = tet_tris[tri_case, k_idx]  # (T, 3) local tet edge ids
 
     # local tet edge -> (cube corner a, cube corner b)
     tet_of = tets[t_idx]  # (T, 4) cube corner ids
@@ -282,7 +295,7 @@ def _extract(
 
     pts = jnp.where(slot_ok[:, None, None], pts, 0.0)
     keys = jnp.where(slot_ok[:, None, None], keys, -1)
-    return pts, keys, n_tris, n_active
+    return pts, keys
 
 
 @partial(jax.jit, static_argnames=())
@@ -329,7 +342,9 @@ def marching_cubes(
         if max_tris is None:
             max_tris = max(2048, _next_pow2(int(n_tri)))
 
-    pts, keys, n_tris, n_active = _extract(field, iso, max_active, max_tris)
+    corner_lin, vals, ins, valid_cell, n_active = _extract_cells(
+        field, iso, max_active)
+    case, tri_slots, n_tris = _emit_slots(ins, valid_cell, max_tris)
     n_tris = int(n_tris)
     n_active_i = int(n_active)
     if n_active_i > max_active or n_tris > max_tris:  # bucket overflow: retry
@@ -338,6 +353,9 @@ def marching_cubes(
             max_active=_next_pow2(n_active_i),
             max_tris=_next_pow2(max(n_tris, n_active_i * 4)),
         )
+    pts, keys = _materialize(corner_lin, vals, ins, case, tri_slots,
+                             float(iso), tuple(int(s) for s in field.shape))
+    del corner_lin, vals, ins, case, tri_slots
 
     # device-side dedup of shared vertices by edge key, then transfer only
     # the valid prefixes

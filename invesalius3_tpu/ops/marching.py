@@ -353,8 +353,23 @@ def marching_cubes(
             max_active=_next_pow2(n_active_i),
             max_tris=_next_pow2(max(n_tris, n_active_i * 4)),
         )
-    pts, keys = _materialize(corner_lin, vals, ins, case, tri_slots,
-                             float(iso), tuple(int(s) for s in field.shape))
+    # materialize in fixed-size chunks: XLA's remat of the T-sized gather
+    # chains blew past HBM when compiled as one 8M-triangle program
+    CHUNK = 1 << 20
+    vol_shape = tuple(int(s) for s in field.shape)
+    if max_tris <= CHUNK:
+        pts, keys = _materialize(corner_lin, vals, ins, case, tri_slots,
+                                 float(iso), vol_shape)
+    else:
+        pts_parts, key_parts = [], []
+        for i in range(0, max_tris, CHUNK):
+            p, k = _materialize(corner_lin, vals, ins, case,
+                                jax.lax.dynamic_slice_in_dim(tri_slots, i, CHUNK),
+                                float(iso), vol_shape)
+            pts_parts.append(p)
+            key_parts.append(k)
+        pts = jnp.concatenate(pts_parts, axis=0)
+        keys = jnp.concatenate(key_parts, axis=0)
     del corner_lin, vals, ins, case, tri_slots
 
     # device-side dedup of shared vertices by edge key, then transfer only

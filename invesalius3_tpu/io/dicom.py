@@ -37,6 +37,7 @@ TAGS = {
     (0x0008, 0x0018): "SOPInstanceUID",
     (0x0008, 0x0060): "Modality",
     (0x0008, 0x103E): "SeriesDescription",
+    (0x0008, 0x1030): "StudyDescription",
     (0x0008, 0x0020): "StudyDate",
     (0x0008, 0x0030): "StudyTime",
     (0x0010, 0x0010): "PatientName",

@@ -18,6 +18,7 @@ import struct
 from typing import Optional
 
 VERIFICATION_SOP = "1.2.840.10008.1.1"
+STUDY_ROOT_FIND = "1.2.840.10008.5.1.4.1.2.2.1"
 IMPLICIT_VR_LE = "1.2.840.10008.1.2"
 
 
@@ -72,11 +73,12 @@ class DicomNet:
             + app_context + pres_context + user_info
         )
         sock.sendall(_pdu(0x01, payload))
-        head = sock.recv(6)
-        if len(head) < 6:
+        head = _recv_exact(sock, 6)
+        if head is None:
             return False
-        pdu_type = head[0]
-        return pdu_type == 0x02  # A-ASSOCIATE-AC
+        (length,) = struct.unpack(">I", head[2:6])
+        _recv_exact(sock, length)  # consume the full AC/RJ payload
+        return head[0] == 0x02  # A-ASSOCIATE-AC
 
     def RunCEcho(self, timeout: float = 5.0) -> bool:
         """C-ECHO: associate on the Verification SOP class (reference
@@ -107,11 +109,104 @@ class DicomNet:
         except OSError:
             return False
 
-    def RunCFind(self, patient_name: str = "*"):
-        raise NotImplementedError(
-            "C-FIND query lands with the DIMSE conformance pass; "
-            "C-ECHO association works today")
+    def RunCFind(self, patient_name: str = "*", level: str = "STUDY",
+                 timeout: float = 10.0):
+        """Study-root C-FIND (reference dicom.py:46): returns a list of
+        matched identifier dicts ({tag_name: value})."""
+        results = []
+        try:
+            with socket.create_connection((self.host, self.port), timeout=timeout) as s:
+                if not self._associate(s, STUDY_ROOT_FIND):
+                    return results
+
+                def el(elem: int, payload: bytes, group: int = 0x0000) -> bytes:
+                    return struct.pack("<HHI", group, elem, len(payload)) + payload
+
+                # command set
+                cmd = b"".join([
+                    el(0x0002, _uid(STUDY_ROOT_FIND)),
+                    el(0x0100, struct.pack("<H", 0x0020)),  # C-FIND-RQ
+                    el(0x0110, struct.pack("<H", 1)),
+                    el(0x0700, struct.pack("<H", 0)),  # priority MEDIUM
+                    el(0x0800, struct.pack("<H", 0x0000)),  # dataset follows
+                ])
+                cmd = el(0x0000, struct.pack("<I", len(cmd))) + cmd
+
+                # identifier dataset (implicit VR LE)
+                def ds_el(group, elem, text):
+                    b = text.encode("ascii")
+                    if len(b) % 2:
+                        b += b" "
+                    return struct.pack("<HHI", group, elem, len(b)) + b
+
+                ident = b"".join([
+                    ds_el(0x0008, 0x0052, level),  # QueryRetrieveLevel
+                    ds_el(0x0010, 0x0010, patient_name),
+                    ds_el(0x0010, 0x0020, ""),  # PatientID (return)
+                    ds_el(0x0020, 0x000D, ""),  # StudyInstanceUID (return)
+                    ds_el(0x0008, 0x1030, ""),  # StudyDescription (return)
+                ])
+                s.sendall(_pdu(0x04, struct.pack(">IB", len(cmd) + 2, 1) + b"\x03" + cmd))
+                s.sendall(_pdu(0x04, struct.pack(">IB", len(ident) + 2, 1) + b"\x02" + ident))
+
+                # read response PDUs until final status
+                buf = b""
+                while True:
+                    head = _recv_exact(s, 6)
+                    if head is None or head[0] != 0x04:
+                        break
+                    (length,) = struct.unpack(">I", head[2:6])
+                    payload = _recv_exact(s, length)
+                    if payload is None:
+                        break
+                    pos = 0
+                    pending = False
+                    while pos + 6 <= len(payload):
+                        (pdv_len,) = struct.unpack(">I", payload[pos : pos + 4])
+                        mch = payload[pos + 5]
+                        data = payload[pos + 6 : pos + 4 + pdv_len]
+                        pos += 4 + pdv_len
+                        if mch & 0x01:  # command
+                            status = _read_implicit_tag(data, 0x0000, 0x0900)
+                            if status is not None and status in (0xFF00, 0xFF01):
+                                pending = True
+                            elif status is not None:
+                                s.sendall(_pdu(0x05, b"\x00" * 4))
+                                return results
+                        else:  # dataset (a match)
+                            from invesalius3_tpu.io.dicom import _parse_elements
+
+                            tags, _, _ = _parse_elements(data, 0, False, False)
+                            results.append(tags)
+                    del pending
+        except OSError:
+            pass
+        return results
 
     def RunCMove(self, study_uid: str, dest_folder):
         raise NotImplementedError(
-            "C-MOVE retrieve lands with the DIMSE conformance pass")
+            "C-MOVE retrieve requires a local storage SCP listener; "
+            "lands with the DIMSE conformance pass")
+
+
+def _recv_exact(sock: socket.socket, n: int):
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            return None
+        buf += chunk
+    return buf
+
+
+def _read_implicit_tag(data: bytes, group: int, elem: int):
+    pos = 0
+    while pos + 8 <= len(data):
+        g, e, length = struct.unpack_from("<HHI", data, pos)
+        pos += 8
+        if (g, e) == (group, elem):
+            if length >= 2:
+                return struct.unpack_from("<H", data, pos)[0]
+            return None
+        pos += length
+    return None

@@ -124,3 +124,73 @@ def test_dicom_net_cecho_refused():
 
     net = DicomNet("127.0.0.1", 1)  # nothing listens on port 1
     assert net.RunCEcho(timeout=0.5) is False
+
+
+def test_dicom_net_cfind_fake_scp():
+    """C-FIND against a loopback fake SCP: association accepted, one
+    pending match with an identifier dataset, then success."""
+    import socket as sk
+    import struct
+    import threading
+    import time
+
+    from invesalius3_tpu.net.dicom_net import DicomNet, _pdu
+
+    def el(group, elem, payload):
+        return struct.pack("<HHI", group, elem, len(payload)) + payload
+
+    srv = sk.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def scp():
+        conn, _ = srv.accept()
+        # read associate-rq
+        head = conn.recv(6)
+        (ln,) = struct.unpack(">I", head[2:6])
+        conn.recv(ln)
+        # accept (payload content is not inspected by the client beyond type)
+        conn.sendall(_pdu(0x02, b"\x00" * 68))
+        # read command + identifier PDUs
+        for _ in range(2):
+            h = conn.recv(6)
+            (ln,) = struct.unpack(">I", h[2:6])
+            got = b""
+            while len(got) < ln:
+                got += conn.recv(ln - len(got))
+        # pending response command
+        cmd = b"".join([
+            el(0x0000, 0x0100, struct.pack("<H", 0x8020)),  # C-FIND-RSP
+            el(0x0000, 0x0800, struct.pack("<H", 0x0000)),  # dataset follows
+            el(0x0000, 0x0900, struct.pack("<H", 0xFF00)),  # PENDING
+        ])
+        cmd = el(0x0000, 0x0000, struct.pack("<I", len(cmd))) + cmd
+        ident = b"".join([
+            el(0x0010, 0x0010, b"DOE^JOHN"),
+            el(0x0010, 0x0020, b"PAT1"),
+            el(0x0020, 0x000D, b"1.2.3.4 "),
+        ])
+        pdv1 = struct.pack(">IB", len(cmd) + 2, 1) + b"\x03" + cmd
+        pdv2 = struct.pack(">IB", len(ident) + 2, 1) + b"\x02" + ident
+        conn.sendall(_pdu(0x04, pdv1) + _pdu(0x04, pdv2))
+        # final success command
+        done = b"".join([
+            el(0x0000, 0x0100, struct.pack("<H", 0x8020)),
+            el(0x0000, 0x0800, struct.pack("<H", 0x0101)),  # no dataset
+            el(0x0000, 0x0900, struct.pack("<H", 0x0000)),  # SUCCESS
+        ])
+        done = el(0x0000, 0x0000, struct.pack("<I", len(done))) + done
+        conn.sendall(_pdu(0x04, struct.pack(">IB", len(done) + 2, 1) + b"\x03" + done))
+        time.sleep(0.2)
+        conn.close()
+
+    th = threading.Thread(target=scp, daemon=True)
+    th.start()
+    net = DicomNet("127.0.0.1", port)
+    results = net.RunCFind("DOE*")
+    th.join(timeout=3)
+    srv.close()
+    assert len(results) == 1
+    assert results[0]["PatientName"] == "DOE^JOHN"
+    assert results[0]["StudyInstanceUID"] == "1.2.3.4"

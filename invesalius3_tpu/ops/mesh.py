@@ -64,13 +64,25 @@ def vertex_adjacency(faces: np.ndarray, n_vertices: int) -> Tuple[np.ndarray, np
 
 
 @jax.jit
-def face_normals(verts: jax.Array, faces: jax.Array) -> jax.Array:
-    p0 = verts[faces[:, 0]]
-    p1 = verts[faces[:, 1]]
-    p2 = verts[faces[:, 2]]
-    n = jnp.cross(p1 - p0, p2 - p0)
-    norm = jnp.linalg.norm(n, axis=1, keepdims=True)
+def _face_normals_t(verts3v: jax.Array, faces: jax.Array) -> jax.Array:
+    """(3, F) normals from (3, V) verts — lane-friendly layout."""
+    p0 = verts3v[:, faces[:, 0]]  # (3, F)
+    p1 = verts3v[:, faces[:, 1]]
+    p2 = verts3v[:, faces[:, 2]]
+    u = p1 - p0
+    w = p2 - p0
+    n = jnp.stack([
+        u[1] * w[2] - u[2] * w[1],
+        u[2] * w[0] - u[0] * w[2],
+        u[0] * w[1] - u[1] * w[0],
+    ])
+    norm = jnp.sqrt(jnp.sum(n * n, axis=0, keepdims=True))
     return n / jnp.where(norm == 0, 1.0, norm)
+
+
+def face_normals(verts: jax.Array, faces: jax.Array) -> jax.Array:
+    return _face_normals_t(jnp.asarray(verts, jnp.float32).T,
+                           jnp.asarray(faces)).T
 
 
 # ---------------------------------------------------------------------------
@@ -80,13 +92,23 @@ def face_normals(verts: jax.Array, faces: jax.Array) -> jax.Array:
 
 @jax.jit
 def mass_properties(verts: jax.Array, faces: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """(volume, area) by the divergence theorem over the closed mesh."""
-    p0 = verts[faces[:, 0]]
-    p1 = verts[faces[:, 1]]
-    p2 = verts[faces[:, 2]]
-    cross = jnp.cross(p1 - p0, p2 - p0)
-    area = jnp.sum(jnp.linalg.norm(cross, axis=1)) / 2.0
-    vol = jnp.abs(jnp.sum(jnp.einsum("ij,ij->i", p0, jnp.cross(p1, p2))) / 6.0)
+    """(volume, area) by the divergence theorem over the closed mesh
+    (transposed gathers: see _calc_d layout note)."""
+    v3 = jnp.asarray(verts, jnp.float32).T  # (3, V)
+    p0 = v3[:, faces[:, 0]]
+    p1 = v3[:, faces[:, 1]]
+    p2 = v3[:, faces[:, 2]]
+
+    def cross3(a, b):
+        return jnp.stack([
+            a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0],
+        ])
+
+    c = cross3(p1 - p0, p2 - p0)
+    area = jnp.sum(jnp.sqrt(jnp.sum(c * c, axis=0))) / 2.0
+    vol = jnp.abs(jnp.sum(p0 * cross3(p1, p2)) / 6.0)
     return vol, area
 
 
@@ -97,15 +119,32 @@ def mass_properties(verts: jax.Array, faces: jax.Array) -> Tuple[jax.Array, jax.
 
 def _calc_d(verts: jax.Array, neigh: jax.Array, deg: jax.Array) -> jax.Array:
     """d_i = mean_j (v_i - v_j) over neighbors (reference mesh.rs:296-334;
-    border handling is a no-op there, matching is_border == false)."""
-    nb = verts[neigh]  # (V, max_deg, 3)
-    valid = (jnp.arange(neigh.shape[1])[None, :] < deg[:, None]).astype(verts.dtype)
-    diff = (verts[:, None, :] - nb) * valid[..., None]
+    border handling is a no-op there, matching is_border == false).
+
+    TPU layout: verts is (3, V) and neigh is (D, V) — the big dimension
+    rides the 128-lane axis.  A (V, 3)/(V, D) layout pads the trailing dim
+    to 128 and inflates every gather ~8-42x.
+    """
+    nb = verts[:, neigh]  # (3, D, V)
+    valid = (jnp.arange(neigh.shape[0])[:, None] < deg[None, :]).astype(verts.dtype)
+    diff = (verts[:, None, :] - nb) * valid[None, :, :]
     cnt = jnp.maximum(deg.astype(verts.dtype), 1.0)
-    return jnp.sum(diff, axis=1) / cnt[:, None]
+    return jnp.sum(diff, axis=1) / cnt[None, :]
 
 
 @partial(jax.jit, static_argnames=("steps",))
+def _taubin_core(verts3v, neigh_dv, deg, weights, lam, mu, steps: int):
+    def one_step(v, _):
+        d = _calc_d(v, neigh_dv, deg)
+        v = v + weights[None, :] * lam * d
+        d = _calc_d(v, neigh_dv, deg)
+        v = v + weights[None, :] * mu * d
+        return v, None
+
+    out, _ = jax.lax.scan(one_step, verts3v, None, length=steps)
+    return out
+
+
 def taubin_smooth(
     verts: jax.Array,
     neigh: jax.Array,
@@ -116,17 +155,13 @@ def taubin_smooth(
     steps: int = 10,
 ) -> jax.Array:
     """Weighted two-phase Taubin iteration, sign convention identical to the
-    reference Rust (v += w * lambda * mean(v - neighbors))."""
-
-    def one_step(v, _):
-        d = _calc_d(v, neigh, deg)
-        v = v + weights[:, None] * lam * d
-        d = _calc_d(v, neigh, deg)
-        v = v + weights[:, None] * mu * d
-        return v, None
-
-    out, _ = jax.lax.scan(one_step, verts, None, length=steps)
-    return out
+    reference Rust (v += w * lambda * mean(v - neighbors)).  Accepts
+    (V, 3) verts + (V, D) neigh and transposes to lane-friendly layouts."""
+    v3 = jnp.asarray(verts, jnp.float32).T  # (3, V)
+    n_dv = jnp.asarray(neigh).T  # (D, V)
+    out = _taubin_core(v3, n_dv, jnp.asarray(deg), jnp.asarray(weights),
+                       jnp.float32(lam), jnp.float32(mu), steps)
+    return out.T
 
 
 # ---------------------------------------------------------------------------
@@ -162,31 +197,29 @@ def find_staircase_artifacts(
 
 
 @partial(jax.jit, static_argnames=("max_iters",))
-def _propagate_core(verts_j, neigh_j, deg_j, seeds_j, tmax, bmin,
-                    max_iters: int = 24):
-    valid = jnp.arange(neigh_j.shape[1])[None, :] < deg_j[:, None]
+def _propagate_core_t(verts3v, neigh_dv, deg_j, seeds_j, tmax, bmin,
+                      max_iters: int = 24):
+    """Lane-friendly layout: verts (3, V), neigh (D, V) — see _calc_d."""
+    valid = jnp.arange(neigh_dv.shape[0])[:, None] < deg_j[None, :]  # (D, V)
     inf = jnp.float32(np.inf)
-    dist0 = jnp.where(seeds_j, 0.0, inf)
-    seed_pos0 = jnp.where(seeds_j[:, None], verts_j, 0.0)
+    dist0 = jnp.where(seeds_j, 0.0, inf)  # (V,)
+    seed_pos0 = jnp.where(seeds_j[None, :], verts3v, 0.0)  # (3, V)
     tmax_sq = (tmax * tmax).astype(jnp.float32)
 
     def body(state):
         dist, seed_pos, it, _ = state
-        nb_dist = dist[neigh_j]  # (V, D)
-        nb_seed = seed_pos[neigh_j]  # (V, D, 3)
+        nb_dist = dist[neigh_dv]  # (D, V)
+        nb_seed = seed_pos[:, neigh_dv]  # (3, D, V)
         # candidate: distance from MY position to the neighbor's seed
-        d_sq = jnp.sum((verts_j[:, None, :] - nb_seed) ** 2, axis=-1)
+        d_sq = jnp.sum((verts3v[:, None, :] - nb_seed) ** 2, axis=0)  # (D, V)
         ok = valid & jnp.isfinite(nb_dist) & (d_sq <= tmax_sq)
         d_sq = jnp.where(ok, d_sq, inf)
-        best = jnp.argmin(d_sq, axis=1)
-        best_d = jnp.take_along_axis(d_sq, best[:, None], axis=1)[:, 0]
+        best = jnp.argmin(d_sq, axis=0)  # (V,)
+        best_d = jnp.min(d_sq, axis=0)
         take = best_d < dist
         new_dist = jnp.where(take, best_d, dist)
-        new_seed = jnp.where(
-            take[:, None],
-            jnp.take_along_axis(nb_seed, best[:, None, None], axis=1)[:, 0],
-            seed_pos,
-        )
+        chosen = jnp.take_along_axis(nb_seed, best[None, None, :], axis=1)[:, 0, :]
+        new_seed = jnp.where(take[None, :], chosen, seed_pos)
         return new_dist, new_seed, it + 1, jnp.any(take)
 
     # max_iters caps the BFS depth: distances are capped at tmax anyway, so
@@ -198,6 +231,14 @@ def _propagate_core(verts_j, neigh_j, deg_j, seeds_j, tmax, bmin,
     reached = jnp.isfinite(dist)
     w = (1.0 - jnp.sqrt(jnp.where(reached, dist, 0.0)) / tmax) * (1.0 - bmin) + bmin
     return jnp.where(reached, w, bmin).astype(jnp.float32)
+
+
+def _propagate_core(verts_j, neigh_j, deg_j, seeds_j, tmax, bmin,
+                    max_iters: int = 24):
+    """(V, 3)/(V, D) wrapper over the transposed core."""
+    return _propagate_core_t(
+        jnp.asarray(verts_j, jnp.float32).T, jnp.asarray(neigh_j).T,
+        deg_j, seeds_j, tmax, bmin, max_iters)
 
 
 def propagate_weights(
@@ -224,22 +265,31 @@ def propagate_weights(
 
 
 @partial(jax.jit, static_argnames=())
-def _staircase_core(verts_j, faces_j, normals_j, t, stack_orientation):
+def _staircase_core_t(normals3f, faces_j, n_vertices_pad, t, stack_orientation):
+    """normals (3, F); per-axis deviation spreads scatter into (3, V)."""
     axes = jnp.stack([
         stack_orientation,
         jnp.asarray([0.0, 1.0, 0.0], jnp.float32),
         jnp.asarray([1.0, 0.0, 0.0], jnp.float32),
-    ])
-    of = 1.0 - jnp.abs(normals_j @ axes.T)  # (F, 3)
-    V = verts_j.shape[0]
-    vmax = jnp.full((V, 3), -jnp.inf)
-    vmin = jnp.full((V, 3), jnp.inf)
+    ])  # (3 axes, 3 comps)
+    of = 1.0 - jnp.abs(axes @ normals3f)  # (3 axes, F)
+    V = n_vertices_pad.shape[0]
+    vmax = jnp.full((3, V), -jnp.inf)
+    vmin = jnp.full((3, V), jnp.inf)
     for c in range(3):
-        vmax = vmax.at[faces_j[:, c]].max(of)
-        vmin = vmin.at[faces_j[:, c]].min(of)
-    spread = vmax - vmin
-    has_face = jnp.isfinite(spread).all(axis=1)
-    return has_face & (spread >= t).any(axis=1)
+        idx = faces_j[:, c]
+        vmax = vmax.at[:, idx].max(of)
+        vmin = vmin.at[:, idx].min(of)
+    spread = vmax - vmin  # (3, V)
+    has_face = jnp.isfinite(spread).all(axis=0)
+    return has_face & (spread >= t).any(axis=0)
+
+
+def _staircase_core(verts_j, faces_j, normals_j, t, stack_orientation):
+    """(V, 3)/(F, 3) wrapper."""
+    return _staircase_core_t(
+        jnp.asarray(normals_j, jnp.float32).T, faces_j,
+        jnp.zeros((verts_j.shape[0],), jnp.uint8), t, stack_orientation)
 
 
 def ca_smoothing(
@@ -258,22 +308,24 @@ def ca_smoothing(
     Everything stays on device end to end (one final readback).
     ``propagate_iters`` bounds the BFS depth: weights only matter within
     ``tmax`` mm of a seed, i.e. ~tmax/min_edge_length hops."""
-    verts_j = jnp.asarray(verts, jnp.float32)
+    verts3v = jnp.asarray(verts, jnp.float32).T  # (3, V) lane-friendly
     faces_j = jnp.asarray(faces)
-    normals_j = face_normals(verts_j, faces_j)
-    flagged = _staircase_core(verts_j, faces_j, normals_j, jnp.float32(t),
-                              jnp.asarray([0.0, 0.0, 1.0], jnp.float32))
-    if len(faces) > 200_000:  # device adjacency (duplicated neighbors)
-        neigh, deg = vertex_adjacency_fast(faces, len(verts))
-        neigh_j, deg_j = neigh, deg
+    normals3f = _face_normals_t(verts3v, faces_j)
+    flagged = _staircase_core_t(
+        normals3f, faces_j, jnp.zeros((verts3v.shape[1],), jnp.uint8),
+        jnp.float32(t), jnp.asarray([0.0, 0.0, 1.0], jnp.float32))
+    if len(faces) > 200_000:  # device adjacency (deduplicated)
+        neigh, deg_j = vertex_adjacency_fast(faces, len(verts))
+        neigh_dv = jnp.asarray(neigh).T  # (D, V)
     else:
         neigh, deg = vertex_adjacency(faces, len(verts))
-        neigh_j, deg_j = jnp.asarray(neigh), jnp.asarray(deg)
-    weights = _propagate_core(
-        verts_j, neigh_j, deg_j, flagged,
+        neigh_dv, deg_j = jnp.asarray(neigh).T, jnp.asarray(deg)
+    weights = _propagate_core_t(
+        verts3v, neigh_dv, deg_j, flagged,
         jnp.float32(tmax), jnp.float32(bmin), propagate_iters)
-    out = taubin_smooth(verts_j, neigh_j, deg_j, weights, 0.5, -0.53, n_iters)
-    return np.asarray(out)
+    out = _taubin_core(verts3v, neigh_dv, deg_j, weights,
+                       jnp.float32(0.5), jnp.float32(-0.53), n_iters)
+    return np.asarray(out.T)
 
 
 # ---------------------------------------------------------------------------

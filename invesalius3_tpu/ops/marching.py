@@ -184,117 +184,150 @@ def _extract_cells(field: jax.Array, iso: float, max_active: int,
     cx = rem % (X - 1)
 
     # gather in the input dtype (a full-volume float32 copy would cost 4x
-    # the bytes of a uint8 mask), cast the small gathered block after
+    # the bytes of a uint8 mask), cast the small gathered block after.
+    # Layout: (8, A) — corners on sublanes, cells on lanes (an (A, 8)
+    # array pads its trailing dim to 128 and inflates 16x on TPU).
     flat_f = field.reshape(-1)
     flat_in = inside.reshape(-1)
     corner_lin = []
     for dz, dy, dx in CUBE_OFFSETS:
         corner_lin.append((cz + dz) * (Y * X) + (cy + dy) * X + (cx + dx))
-    corner_lin = jnp.stack(corner_lin, axis=1)  # (A, 8) lattice ids
-    vals = flat_f[corner_lin].astype(jnp.float32)  # (A, 8)
-    ins = flat_in[corner_lin]  # (A, 8) bool
+    corner_lin = jnp.stack(corner_lin, axis=0)  # (8, A) lattice ids
+    vals = flat_f[corner_lin].astype(jnp.float32)  # (8, A)
+    ins = flat_in[corner_lin]  # (8, A) bool
     return corner_lin, vals, ins, valid_cell, n_active
 
 
 @partial(jax.jit, static_argnames=("max_tris",))
 def _emit_slots(ins: jax.Array, valid_cell: jax.Array, max_tris: int):
-    """Stage B: per-tet case codes + valid-triangle compaction."""
-    tets = jnp.asarray(TETS)
-    tet_tris = jnp.asarray(TET_TRIS)
+    """Stage B: per-tet case codes + valid-triangle compaction.
 
-    tet_in = ins[:, tets]  # (A, 6, 4)
+    ins is (8, A); case comes out (6, A) and the flat slot order is
+    tet-major: slot = t * 2A + k * A + a.
+    """
+    tet_in = ins[jnp.asarray(TETS)]  # (6, 4, A)
     case = (
-        tet_in[..., 0].astype(jnp.uint8)
-        + 2 * tet_in[..., 1].astype(jnp.uint8)
-        + 4 * tet_in[..., 2].astype(jnp.uint8)
-        + 8 * tet_in[..., 3].astype(jnp.uint8)
-    )  # (A, 6) uint8
-    first_edge = tet_tris[case.astype(jnp.int32)][..., 0]  # (A, 6, 2) int8
-    tri_valid = (first_edge >= 0) & valid_cell[:, None, None]  # (A, 6, 2)
+        tet_in[:, 0].astype(jnp.uint8)
+        + 2 * tet_in[:, 1].astype(jnp.uint8)
+        + 4 * tet_in[:, 2].astype(jnp.uint8)
+        + 8 * tet_in[:, 3].astype(jnp.uint8)
+    )  # (6, A) uint8
+    tri_count_tbl = jnp.asarray(TET_TRI_COUNT)  # (16,)
+    n_per_tet = tri_count_tbl[case.astype(jnp.int32)]  # (6, A) int8
+    # slot (t, k, a) valid iff k < n_per_tet[t, a]
+    tri_valid = (
+        jnp.arange(2, dtype=jnp.int8)[None, :, None] < n_per_tet[:, None, :]
+    ) & valid_cell[None, None, :]  # (6, 2, A)
     n_tris = jnp.sum(tri_valid.astype(jnp.int32))
-    flat_valid = tri_valid.reshape(-1)  # (A*12,)
+    flat_valid = tri_valid.reshape(-1)  # (12A,) tet-major
     (tri_slots,) = jnp.nonzero(flat_valid, size=max_tris, fill_value=-1)
     return case, tri_slots, n_tris
 
 
 @partial(jax.jit, static_argnames=("vol_shape",))
 def _materialize(
-    corner_lin: jax.Array,  # (A, 8)
-    vals: jax.Array,  # (A, 8)
-    ins: jax.Array,  # (A, 8)
-    case: jax.Array,  # (A, 6) uint8
+    corner_lin: jax.Array,  # (8, A)
+    vals: jax.Array,  # (8, A)
+    ins: jax.Array,  # (8, A)
+    case: jax.Array,  # (6, A) uint8
     tri_slots: jax.Array,  # (T,)
     iso: float,
     vol_shape,
 ):
-    """Stage C: triangle coordinates, outward orientation, dedup keys —
-    everything T-sized."""
+    """Stage C: triangle coordinates, outward orientation, dedup keys.
+
+    Everything is computed as 1-D (T,) arrays with the three triangle
+    corners unrolled in Python — a (T, 3)-shaped array pads its trailing
+    dim to 128 lanes on TPU (42x bandwidth), and (T, 3, 3) pads ~114x (a
+    single such copy demanded 25.7 GB at 512^3).
+
+    Returns (pts (3 corners, 3 zyx, T) f32, keys (3 corners, 2, T) i32).
+    """
     Z, Y, X = vol_shape
-    tets = jnp.asarray(TETS)
-    tet_edges = jnp.asarray(TET_EDGES)
-    tet_tris = jnp.asarray(TET_TRIS)
+    tets = jnp.asarray(TETS)  # (6, 4) small table
+    tet_edges = jnp.asarray(TET_EDGES)  # (6, 2)
+    tet_tris = jnp.asarray(TET_TRIS.astype(np.int32))  # (16, 2, 3)
 
     slot_ok = tri_slots >= 0
     slots = jnp.maximum(tri_slots, 0)
-    a_idx = slots // 12
-    t_idx = (slots % 12) // 2
-    k_idx = slots % 2
+    # tet-major flat order from _emit_slots: slot = t*2A + k*A + a
+    A = corner_lin.shape[1]
+    t_idx = slots // (2 * A)
+    k_idx = (slots // A) % 2
+    a_idx = slots % A
 
-    tri_case = case[a_idx, t_idx].astype(jnp.int32)  # (T,)
-    edge_ids = tet_tris[tri_case, k_idx]  # (T, 3) local tet edge ids
+    tri_case = case[t_idx, a_idx].astype(jnp.int32)  # (T,)
 
-    # local tet edge -> (cube corner a, cube corner b)
-    tet_of = tets[t_idx]  # (T, 4) cube corner ids
-    ea = tet_edges[edge_ids][..., 0]  # (T, 3) local tet corner
-    eb = tet_edges[edge_ids][..., 1]
-    ca = jnp.take_along_axis(tet_of, ea, axis=1)  # (T, 3) cube corner ids
-    cb = jnp.take_along_axis(tet_of, eb, axis=1)
+    def lat_z(lin):
+        return (lin // (Y * X)).astype(jnp.float32)
 
-    lat = corner_lin[a_idx]  # (T, 8) lattice ids of this cell's corners
-    la = jnp.take_along_axis(lat, ca, axis=1)  # (T, 3) lattice id of corner a
-    lb = jnp.take_along_axis(lat, cb, axis=1)
+    def lat_y(lin):
+        return ((lin // X) % Y).astype(jnp.float32)
 
-    va = vals[a_idx]
-    fa = jnp.take_along_axis(va, ca, axis=1)  # (T, 3) field at corner a
-    fb = jnp.take_along_axis(va, cb, axis=1)
+    def lat_x(lin):
+        return (lin % X).astype(jnp.float32)
 
-    # interpolation parameter along a -> b
-    denom = fb - fa
-    t = jnp.where(denom == 0, 0.5, (jnp.float32(iso) - fa) / jnp.where(denom == 0, 1.0, denom))
-    t = jnp.clip(t, 0.0, 1.0)
+    # per-corner 1-D pipelines
+    pcs = []  # corner -> (z, y, x) float coords, each (T,)
+    lakeys = []  # corner -> (lo, hi) lattice-id pair
+    for c in range(3):
+        e = tet_tris[tri_case, k_idx, c]  # (T,) local tet edge id
+        ea = tet_edges[e, 0]  # (T,) local tet corner
+        eb = tet_edges[e, 1]
+        ca = tets[t_idx, ea]  # (T,) cube corner id
+        cb = tets[t_idx, eb]
+        la = corner_lin[ca, a_idx]  # (T,) lattice id
+        lb = corner_lin[cb, a_idx]
+        fa = vals[ca, a_idx]
+        fb = vals[cb, a_idx]
+        denom = fb - fa
+        t = jnp.where(denom == 0, 0.5,
+                      (jnp.float32(iso) - fa) / jnp.where(denom == 0, 1.0, denom))
+        t = jnp.clip(t, 0.0, 1.0)
+        pz = lat_z(la) + t * (lat_z(lb) - lat_z(la))
+        py = lat_y(la) + t * (lat_y(lb) - lat_y(la))
+        px = lat_x(la) + t * (lat_x(lb) - lat_x(la))
+        pcs.append((pz, py, px))
+        lakeys.append((jnp.minimum(la, lb), jnp.maximum(la, lb)))
 
-    # lattice id -> (z, y, x) float coords
-    def lat_zyx(lin):
-        z = (lin // (Y * X)).astype(jnp.float32)
-        y = ((lin // X) % Y).astype(jnp.float32)
-        x = (lin % X).astype(jnp.float32)
-        return jnp.stack([z, y, x], axis=-1)
+    # inside-corner centroid of the tet (unrolled over the 4 tet corners)
+    czs = cys = cxs = wsum = None
+    for j in range(4):
+        cj = tets[t_idx, j]  # (T,) cube corner id
+        lj = corner_lin[cj, a_idx]
+        wj = ins[cj, a_idx].astype(jnp.float32)
+        z_, y_, x_ = lat_z(lj) * wj, lat_y(lj) * wj, lat_x(lj) * wj
+        if czs is None:
+            czs, cys, cxs, wsum = z_, y_, x_, wj
+        else:
+            czs, cys, cxs, wsum = czs + z_, cys + y_, cxs + x_, wsum + wj
+    wsum = jnp.maximum(wsum, 1.0)
+    icz, icy, icx = czs / wsum, cys / wsum, cxs / wsum
 
-    pa = lat_zyx(la)  # (T, 3, 3)
-    pb = lat_zyx(lb)
-    pts = pa + t[..., None] * (pb - pa)  # (T, 3 verts, 3 zyx)
+    (p0z, p0y, p0x), (p1z, p1y, p1x), (p2z, p2y, p2x) = pcs
+    e1z, e1y, e1x = p1z - p0z, p1y - p0y, p1x - p0x
+    e2z, e2y, e2x = p2z - p0z, p2y - p0y, p2x - p0x
+    nz = e1y * e2x - e1x * e2y
+    ny = e1x * e2z - e1z * e2x
+    nx = e1z * e2y - e1y * e2z
+    tcz = (p0z + p1z + p2z) / 3.0
+    tcy = (p0y + p1y + p2y) / 3.0
+    tcx = (p0x + p1x + p2x) / 3.0
+    outward = nz * (tcz - icz) + ny * (tcy - icy) + nx * (tcx - icx) >= 0
 
-    # --- phase 5: outward orientation ------------------------------------------
-    # inside-corner centroid of the tet
-    tet_corner_lat = jnp.take_along_axis(lat, tet_of, axis=1)  # (T, 4)
-    tet_corner_pos = lat_zyx(tet_corner_lat)  # (T, 4, 3)
-    tet_corner_in = jnp.take_along_axis(ins[a_idx].astype(jnp.float32), tet_of, axis=1)
-    w = tet_corner_in / jnp.maximum(jnp.sum(tet_corner_in, axis=1, keepdims=True), 1.0)
-    inside_centroid = jnp.sum(tet_corner_pos * w[..., None], axis=1)  # (T, 3)
+    # winding flip under inward orientation: corners (0, 1, 2) -> (0, 2, 1)
+    out_p = [pcs[0], [jnp.where(outward, a, b) for a, b in zip(pcs[1], pcs[2])],
+             [jnp.where(outward, a, b) for a, b in zip(pcs[2], pcs[1])]]
+    out_k = [lakeys[0],
+             (jnp.where(outward, lakeys[1][0], lakeys[2][0]),
+              jnp.where(outward, lakeys[1][1], lakeys[2][1])),
+             (jnp.where(outward, lakeys[2][0], lakeys[1][0]),
+              jnp.where(outward, lakeys[2][1], lakeys[1][1]))]
 
-    e1 = pts[:, 1] - pts[:, 0]
-    e2 = pts[:, 2] - pts[:, 0]
-    nrm = jnp.cross(e1, e2)
-    tri_centroid = jnp.mean(pts, axis=1)
-    outward = jnp.sum(nrm * (tri_centroid - inside_centroid), axis=1) >= 0
-    pts = jnp.where(outward[:, None, None], pts, pts[:, ::-1, :])
-
-    # edge keys for vertex dedup (sorted lattice-id pairs), swapped with pts
-    keys = jnp.stack([jnp.minimum(la, lb), jnp.maximum(la, lb)], axis=-1)  # (T,3,2)
-    keys = jnp.where(outward[:, None, None], keys, keys[:, ::-1, :])
-
-    pts = jnp.where(slot_ok[:, None, None], pts, 0.0)
-    keys = jnp.where(slot_ok[:, None, None], keys, -1)
+    pts = jnp.stack([jnp.stack([jnp.where(slot_ok, comp, 0.0) for comp in corner])
+                     for corner in out_p])  # (3 corners, 3 zyx, T)
+    keys = jnp.stack([jnp.stack([jnp.where(slot_ok, comp, -1) for comp in corner])
+                      for corner in out_k])  # (3 corners, 2, T)
     return pts, keys
 
 
@@ -302,20 +335,21 @@ def _materialize(
 def _dedup_vertices(pts: jax.Array, keys: jax.Array):
     """Device-side shared-vertex dedup by lattice-edge key.
 
-    pts: (M, 3) float32 coordinates, keys: (M, 2) int32 sorted lattice-id
-    pairs (invalid slots = -1, which sort to the front as one group).
-    Returns (verts (M, 3) padded, inverse (M,) int32 group ids, n_groups).
+    pts: (3 zyx, M) float32, keys: (2, M) int32 sorted lattice-id pairs
+    (invalid slots = -1, one group at the front after sorting).
+    Returns (verts (3, M) padded, inverse (M,) int32 group ids, n_groups).
     """
-    M = pts.shape[0]
-    order = jnp.lexsort((keys[:, 1], keys[:, 0]))
-    sk = keys[order]
+    M = pts.shape[1]
+    order = jnp.lexsort((keys[1], keys[0]))
+    k0 = keys[0][order]
+    k1 = keys[1][order]
     new_group = jnp.concatenate([
         jnp.ones((1,), jnp.int32),
-        ((sk[1:, 0] != sk[:-1, 0]) | (sk[1:, 1] != sk[:-1, 1])).astype(jnp.int32),
+        ((k0[1:] != k0[:-1]) | (k1[1:] != k1[:-1])).astype(jnp.int32),
     ])
     group_of_sorted = jnp.cumsum(new_group) - 1  # (M,)
     inverse = jnp.zeros((M,), jnp.int32).at[order].set(group_of_sorted)
-    verts = jnp.zeros((M, 3), jnp.float32).at[group_of_sorted].set(pts[order])
+    verts = jnp.zeros((3, M), jnp.float32).at[:, group_of_sorted].set(pts[:, order])
     n_groups = group_of_sorted[-1] + 1
     return verts, inverse, n_groups
 
@@ -353,9 +387,8 @@ def marching_cubes(
             max_active=_next_pow2(n_active_i),
             max_tris=_next_pow2(max(n_tris, n_active_i * 4)),
         )
-    # materialize in fixed-size chunks: XLA's remat of the T-sized gather
-    # chains blew past HBM when compiled as one 8M-triangle program
-    CHUNK = 1 << 20
+    # materialize in fixed-size chunks: caps the per-program live set
+    CHUNK = 1 << 21
     vol_shape = tuple(int(s) for s in field.shape)
     if max_tris <= CHUNK:
         pts, keys = _materialize(corner_lin, vals, ins, case, tri_slots,
@@ -368,22 +401,25 @@ def marching_cubes(
                                 float(iso), vol_shape)
             pts_parts.append(p)
             key_parts.append(k)
-        pts = jnp.concatenate(pts_parts, axis=0)
-        keys = jnp.concatenate(key_parts, axis=0)
+        pts = jnp.concatenate(pts_parts, axis=2)
+        keys = jnp.concatenate(key_parts, axis=2)
     del corner_lin, vals, ins, case, tri_slots
+
+    # flatten vertices corner-major: m = corner * T + t
+    T = pts.shape[2]
+    pts_m = pts.transpose(1, 0, 2).reshape(3, 3 * T)  # (3 zyx, M)
+    keys_m = keys.transpose(1, 0, 2).reshape(2, 3 * T)  # (2, M)
 
     # device-side dedup of shared vertices by edge key, then transfer only
     # the valid prefixes
-    verts_d, inverse_d, n_groups = _dedup_vertices(
-        pts.reshape(-1, 3), keys.reshape(-1, 2))
+    verts_d, inverse_d, n_groups = _dedup_vertices(pts_m, keys_m)
     n_groups = int(n_groups)
-    verts = np.asarray(verts_d[:n_groups])
-    inverse = np.asarray(inverse_d[: n_tris * 3])
-    faces = inverse.reshape(-1, 3).astype(np.int32)
+    verts = np.asarray(verts_d[:, :n_groups]).T  # (V, 3) zyx
+    inverse = np.asarray(inverse_d).reshape(3, T)
+    faces = inverse[:, :n_tris].T.astype(np.int32)
 
-    # drop the invalid-slot group (keys == -1) if padding slots existed:
-    # they form group 0 only when any slot was invalid; valid triangles
-    # never reference it because we trimmed to n_tris.
+    # the invalid-slot group (keys == -1) becomes one orphan vertex when
+    # padding slots exist; valid faces never reference it.
 
     # voxel (z, y, x) -> world mm (x, y, z).  Swapping the z and x axes
     # mirrors space (det = -1), so face winding must flip to keep normals

@@ -33,3 +33,20 @@ def create_conf_folders() -> None:
     for p in (user_dir(), user_log_dir(), user_presets_dir(),
               user_plugins_dir(), models_dir()):
         p.mkdir(parents=True, exist_ok=True)
+
+
+def check_for_updates(current_version: str, timeout: float = 3.0):
+    """Release update check (reference utils.py:311 UpdateCheck phones the
+    project site).  Returns the latest version string or None; silently
+    None in offline/zero-egress environments."""
+    import json
+    import urllib.request
+
+    try:
+        with urllib.request.urlopen(
+            "https://api.github.com/repos/invesalius/invesalius3/releases/latest",
+            timeout=timeout,
+        ) as r:
+            return json.load(r).get("tag_name")
+    except Exception:
+        return None

@@ -26,6 +26,19 @@ def timeit(fn, reps=3):
     return best
 
 
+def synced(compute):
+    """The axon PJRT plugin's block_until_ready can return optimistically;
+    a scalar reduction + host read forces real execution (one ~ms round
+    trip, negligible vs the op)."""
+    import jax.numpy as jnp
+
+    def run():
+        out = compute()
+        return float(jnp.max(out).astype(jnp.float32))
+
+    return run
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -49,21 +62,20 @@ def main():
 
     # threshold (reference: numpy broadcast over memmap, slice_.py:1722)
     cpu = timeit(lambda: ((ct >= 226) & (ct <= 3071)) * np.uint8(255))
-    tpu = timeit(lambda: jax.block_until_ready(
-        threshold.threshold_new_mask(ct_j, 226, 3071)))
+    tpu = timeit(synced(lambda: threshold.threshold_new_mask(ct_j, 226, 3071)))
     record("threshold", cpu, tpu)
 
     # gaussian filter (reference: scipy.ndimage, filters.py)
     cpu = timeit(lambda: ndimage.gaussian_filter(ct.astype(np.float32), 2.0), reps=1)
-    tpu = timeit(lambda: jax.block_until_ready(filters.gaussian(ct_j, 2.0)), reps=1)
+    tpu = timeit(synced(lambda: filters.gaussian(ct_j, 2.0)), reps=1)
     record("gaussian_sigma2", cpu, tpu)
 
     # morphological gradient (reference: scipy.ndimage, watershed_process.py)
     u16 = (ct - ct.min()).astype(np.uint16)
     u16_j = jnp.asarray(u16)
     cpu = timeit(lambda: ndimage.morphological_gradient(u16, size=(3, 3, 3)), reps=1)
-    tpu = timeit(lambda: jax.block_until_ready(
-        morphology.morphological_gradient(u16_j.astype(jnp.int32), (3, 3, 3))), reps=1)
+    tpu = timeit(synced(lambda: morphology.morphological_gradient(
+        u16_j.astype(jnp.int32), (3, 3, 3))), reps=1)
     record("morph_gradient", cpu, tpu)
 
     # binary dilation (reference: scipy via floodfill structuring elements)
@@ -72,14 +84,14 @@ def main():
     st = morphology.structure_3d(6)
     dil = jax.jit(lambda m: morphology.binary_dilation(m, st))
     cpu = timeit(lambda: ndimage.binary_dilation(mask, st), reps=1)
-    tpu = timeit(lambda: jax.block_until_ready(dil(mask_j)), reps=1)
+    tpu = timeit(synced(lambda: dil(mask_j)), reps=1)
     record("binary_dilation", cpu, tpu)
 
     # MIP slab projection over 64 slices (reference: numpy max, slice_.py:884)
     slab = ct[: min(64, n)]
     slab_j = jnp.asarray(slab)
     cpu = timeit(lambda: slab.max(0))
-    tpu = timeit(lambda: jax.block_until_ready(projections.maxip(slab_j, 0)))
+    tpu = timeit(synced(lambda: projections.maxip(slab_j, 0)))
     record("maxip_slab64", cpu, tpu)
 
     # watershed (reference: scipy.ndimage.watershed_ift in a subprocess)
@@ -91,8 +103,8 @@ def main():
     markers_j = jnp.asarray(markers)
     cpu = timeit(lambda: ndimage.watershed_ift(
         sm, markers, ndimage.generate_binary_structure(3, 1)), reps=1)
-    tpu = timeit(lambda: jax.block_until_ready(
-        watershed.watershed_ift_multigrid(sm_j, markers_j, levels=2)), reps=1)
+    tpu = timeit(synced(lambda: watershed.watershed_ift_multigrid(
+        sm_j, markers_j, levels=2)), reps=1)
     record("watershed", cpu, tpu)
 
     print(json.dumps({"summary": results}), file=sys.stderr)

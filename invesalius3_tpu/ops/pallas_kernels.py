@@ -168,7 +168,7 @@ def mida_axis0(volume: jax.Array, wl, ww) -> jax.Array:
 # lax.scan sweeps whose carries round-trip HBM every step.
 # ---------------------------------------------------------------------------
 
-_WS_TY = 16  # int16-compatible sublane tile
+_WS_TY = 8  # int32 sublane tile (VMEM: 5 buffers x Z*8*128*4B must fit)
 _WS_TX = 128
 _DIST_BITS = 15
 _DIST_MAX = (1 << _DIST_BITS) - 1
@@ -236,6 +236,9 @@ def watershed_sweep_z(rank: jax.Array, lab: jax.Array, f: jax.Array):
             jax.ShapeDtypeStruct((Z, Yp, Xp), jnp.int32),
             jax.ShapeDtypeStruct((Z, Yp, Xp), jnp.int32),
         ),
+        input_output_aliases={0: 0, 1: 1},  # rank/lab updated in place
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),  # 5 x (Z,8,128) i32 columns
         interpret=_interpret(),
     )(rank, lab, f)
     return nr[:, :Y, :X], nl[:, :Y, :X]

@@ -194,3 +194,16 @@ def test_dicom_net_cfind_fake_scp():
     assert len(results) == 1
     assert results[0]["PatientName"] == "DOE^JOHN"
     assert results[0]["StudyInstanceUID"] == "1.2.3.4"
+
+
+def test_console_context(tmp_path):
+    """Interactive console binds the app objects (reference
+    interactive_shell equivalent)."""
+    from invesalius3_tpu.console import make_context
+    from invesalius3_tpu.io.nifti import write_nifti
+
+    p = tmp_path / "v.nii"
+    write_nifti(p, np.zeros((4, 4, 4), np.int16))
+    ctx = make_context(str(p))
+    assert ctx["volume"].shape == (4, 4, 4)
+    assert "slc" in ctx and "ops" in ctx and "Project" in ctx

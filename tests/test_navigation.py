@@ -241,3 +241,39 @@ def test_remote_control_mirror():
     assert received and received[0]["topic"] == "test.topic"
     assert received[0]["data"]["value"] == 42
     assert inbound == [{"x": 1}]
+
+
+def test_tracker_state_persistence(tmp_path):
+    """Tracker save/load through Session state (reference tracker.py:62-111)."""
+    from invesalius3_tpu.core.session import Session
+
+    s = Session(user_dir=tmp_path / "cfg")
+    t = Tracker()
+    t.connect(TRACKER_DEBUG_RANDOM, poll_hz=500)
+    time.sleep(0.05)
+    for i in range(3):
+        t.set_tracker_fiducial(i)
+    t.save_state(s)
+    t.disconnect()
+
+    t2 = Tracker()
+    assert t2.load_state(s)
+    assert t2.connected and t2.tracker_id == TRACKER_DEBUG_RANDOM
+    assert t2.are_fiducials_set()
+    np.testing.assert_allclose(t2.tracker_fiducials, t.tracker_fiducials)
+    t2.disconnect()
+
+
+def test_icp_state_persistence(tmp_path):
+    from invesalius3_tpu.core.session import Session
+    from invesalius3_tpu.navigation.navigation import IterativeClosestPoint
+
+    s = Session(user_dir=tmp_path / "cfg")
+    icp = IterativeClosestPoint()
+    icp.m_icp = np.eye(4) * 2.0
+    icp.use_icp = True
+    icp.save_state(s)
+    icp2 = IterativeClosestPoint()
+    icp2.load_state(s)
+    assert icp2.use_icp
+    np.testing.assert_allclose(icp2.m_icp, icp.m_icp)

@@ -141,9 +141,9 @@ class Mask:
     def visible_array(self) -> jax.Array:
         return self.data >= const.MASK_VISIBLE_MIN
 
-    def duplicate(self) -> "Mask":
+    def duplicate(self, existing_names=()) -> "Mask":
         m = Mask()
-        m.name = _next_copy_name(self.name)
+        m.name = _next_copy_name(self.name, existing_names)
         m.colour = self.colour
         m.opacity = self.opacity
         m.threshold_range = self.threshold_range
@@ -202,15 +202,9 @@ class Mask:
         return m
 
 
-def _next_copy_name(name: str) -> str:
-    """'Mask 1' -> 'copy of Mask 1' -> 'copy (2) of Mask 1' (reference
+def _next_copy_name(name: str, existing_names=()) -> str:
+    """'Mask 1' -> 'Mask 1 copy' -> 'Mask 1 copy#2' (reference
     utils.py:88 next_copy_name semantics)."""
-    if name.startswith("copy ("):
-        try:
-            n = int(name[6 : name.index(")")])
-            return f"copy ({n + 1}) of " + name.split(" of ", 1)[1]
-        except (ValueError, IndexError):
-            pass
-    if name.startswith("copy of "):
-        return "copy (2) of " + name[len("copy of "):]
-    return "copy of " + name
+    from invesalius3_tpu.utils.helpers import next_copy_name
+
+    return next_copy_name(name, list(existing_names))

@@ -42,6 +42,9 @@ class Marker:
     is_target: bool = False
     visible: bool = True
     session_id: int = 1
+    # coil-target extras (reference marker.py z_offset/z_rotation fields)
+    z_rotation: float = 0.0
+    z_offset: float = 0.0
 
     def to_dict(self) -> dict:
         d = dataclasses.asdict(self)
@@ -121,10 +124,11 @@ class MarkersControl:
         with open(path, "w", newline="") as f:
             w = csv.writer(f)
             w.writerow(["id", "type", "x", "y", "z", "alpha", "beta", "gamma",
-                        "label", "is_target"])
+                        "label", "is_target", "z_rotation", "z_offset"])
             for m in self.markers:
                 w.writerow([m.marker_id, int(m.marker_type), *m.position,
-                            *m.orientation, m.label, int(m.is_target)])
+                            *m.orientation, m.label, int(m.is_target),
+                            m.z_rotation, m.z_offset])
 
     def load_csv(self, path) -> None:
         with open(path, newline="") as f:
@@ -136,6 +140,8 @@ class MarkersControl:
                                  float(row["gamma"])),
                     label=row["label"],
                     is_target=bool(int(row["is_target"])),
+                    z_rotation=float(row.get("z_rotation", 0) or 0),
+                    z_offset=float(row.get("z_offset", 0) or 0),
                 ))
 
 

@@ -207,3 +207,31 @@ def test_console_context(tmp_path):
     ctx = make_context(str(p))
     assert ctx["volume"].shape == (4, 4, 4)
     assert "slc" in ctx and "ops" in ctx and "Project" in ctx
+
+
+def test_utils_helpers():
+    from invesalius3_tpu.utils.helpers import (
+        Singleton, TwoWaysDictionary, next_copy_name, timing)
+
+    class S(metaclass=Singleton):
+        pass
+
+    assert S() is S()
+
+    d = TwoWaysDictionary({"a": 1, "b": 2, "c": 1})
+    assert d.get_key(1) == "a"
+    assert d.get_keys(1) == ["a", "c"]
+    assert d.get_value("b") == 2
+    d.remove("zz")  # no raise
+
+    assert next_copy_name("Mask 1", []) == "Mask 1 copy"
+    assert next_copy_name("Mask 1", ["Mask 1 copy"]) == "Mask 1 copy#2"
+    assert next_copy_name("Mask 1 copy", ["Mask 1 copy"]) == "Mask 1 copy#2"
+    assert next_copy_name(
+        "Mask 1 copy#2", ["Mask 1 copy", "Mask 1 copy#2"]) == "Mask 1 copy#3"
+
+    @timing
+    def f(x):
+        return x + 1
+
+    assert f(1) == 2 and f.last_seconds >= 0.0

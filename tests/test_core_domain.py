@@ -163,9 +163,9 @@ def test_session_auto_backup(tmp_path):
 
 
 def test_next_copy_name():
-    assert _next_copy_name("Mask 1") == "copy of Mask 1"
-    assert _next_copy_name("copy of Mask 1") == "copy (2) of Mask 1"
-    assert _next_copy_name("copy (2) of Mask 1") == "copy (3) of Mask 1"
+    assert _next_copy_name("Mask 1") == "Mask 1 copy"
+    assert _next_copy_name("Mask 1 copy", ["Mask 1 copy"]) == "Mask 1 copy#2"
+    assert _next_copy_name("Mask 1 copy#2", ["Mask 1 copy#2"]) == "Mask 1 copy#3"
 
 
 def test_cli_end_to_end(tmp_path):

@@ -277,3 +277,83 @@ def test_icp_state_persistence(tmp_path):
     icp2.load_state(s)
     assert icp2.use_icp
     np.testing.assert_allclose(icp2.m_icp, icp.m_icp)
+
+
+def _sphere_mesh(radius=80.0, n=48):
+    """Lat-long sphere mesh centred at origin."""
+    th = np.linspace(0, np.pi, n)
+    ph = np.linspace(0, 2 * np.pi, 2 * n, endpoint=False)
+    T, P = np.meshgrid(th, ph, indexing="ij")
+    verts = radius * np.stack(
+        [np.sin(T) * np.cos(P), np.sin(T) * np.sin(P), np.cos(T)], -1
+    ).reshape(-1, 3)
+    normals = verts / radius
+    return verts, normals
+
+
+def test_grid_generator_rectangular_on_scalp():
+    """Grid targets land on the scalp, oriented tangentially, centred on
+    the reference (reference grid_generator.py semantics)."""
+    from invesalius3_tpu.navigation.grid import GridGenerator, ScalpGeometry
+    from invesalius3_tpu.ops import transforms as tr
+
+    verts, normals = _sphere_mesh()
+    scalp = ScalpGeometry(verts, normals=normals)
+    ref = Marker(marker_type=MarkerType.COIL_TARGET,
+                 position=(0.0, 0.0, 80.0), label="T", z_rotation=10.0,
+                 z_offset=0.0)
+    gg = GridGenerator(scalp)
+    grid = gg.generate_rectangular_grid(ref, rows=3, cols=3, spacing=10.0)
+    assert len(grid) == 8  # centre skipped
+    assert {m.label for m in grid} == {f"T {r}_{c}" for r in (1, 2, 3)
+                                       for c in (1, 2, 3)} - {"T 2_2"}
+    for m in grid:
+        p = np.array(m.position) * [1, -1, 1]  # view space
+        assert abs(np.linalg.norm(p) - 80.0) < 2.0  # on the sphere
+        # orientation maps +z onto the local (radial) surface normal,
+        # before the 90+z_rotation in-plane twist (which keeps +z fixed)
+        mrot = tr.euler_matrix(*np.radians(m.orientation), axes="sxyz")
+        zhat = mrot[:3, :3] @ [0, 0, 1]
+        np.testing.assert_allclose(zhat, p / np.linalg.norm(p), atol=0.1)
+        assert m.marker_type == MarkerType.COIL_TARGET and not m.is_target
+        assert m.z_rotation == 10.0
+
+
+def test_grid_generator_circular_counts_and_offset():
+    from invesalius3_tpu.navigation.grid import GridGenerator, ScalpGeometry
+
+    verts, normals = _sphere_mesh()
+    scalp = ScalpGeometry(verts, normals=normals)
+    ref = Marker(marker_type=MarkerType.COIL_TARGET,
+                 position=(0.0, 0.0, 80.0), label="C", z_offset=5.0)
+    gg = GridGenerator(scalp)
+    grid = gg.generate_circular_grid(ref, rings=2, points_per_ring=6,
+                                     spacing=8.0)
+    assert len(grid) == 12
+    for m in grid:
+        p = np.array(m.position) * [1, -1, 1]
+        # z_offset lifts targets ~5mm off the sphere along the local normal
+        assert 82.0 < np.linalg.norm(p) < 88.0
+    with pytest.raises(ValueError):
+        gg.generate_rectangular_grid(ref, rows=101, cols=2, spacing=1.0)
+
+
+def test_grid_generator_degenerate_and_csv_fields(tmp_path):
+    """1x1 grid is just the skipped centre -> empty, no crash; CSV IO
+    round-trips the coil z_rotation/z_offset fields."""
+    from invesalius3_tpu.navigation.grid import GridGenerator, ScalpGeometry
+
+    verts, normals = _sphere_mesh()
+    gg = GridGenerator(ScalpGeometry(verts, normals=normals))
+    ref = Marker(marker_type=MarkerType.COIL_TARGET, position=(0, 0, 80.0),
+                 label="M", z_rotation=15.0, z_offset=2.0)
+    assert gg.generate_rectangular_grid(ref, 1, 1, 5.0) == []
+    assert gg.generate_circular_grid(ref, 0, 6, 4.0) == []
+
+    mc = MarkersControl(bus=events.Publisher())
+    mc.add(ref)
+    mc.save_csv(tmp_path / "m.csv")
+    mc2 = MarkersControl(bus=events.Publisher())
+    mc2.load_csv(tmp_path / "m.csv")
+    assert mc2.markers[0].z_rotation == 15.0
+    assert mc2.markers[0].z_offset == 2.0

@@ -91,6 +91,11 @@ def import_data(args) -> Volume:
         if path.suffix == ".inv3":
             proj = Project.open(path)
             return proj.volume
+        if path.suffix.lower() in (".par", ".rec"):
+            from invesalius3_tpu.io import parrec
+
+            data, spacing = parrec.read_par_rec(path)
+            return Volume.from_numpy(data, spacing=spacing)
         from invesalius3_tpu.io import nifti
 
         img = nifti.read_nifti(path)

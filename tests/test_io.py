@@ -210,3 +210,61 @@ def test_gantry_tilt_correction():
     # bar now at constant row 16
     for n in range(1, 7):
         assert out[n, 16, 4] > 900, (n, out[n, :, 4].argmax())
+
+
+def _write_parrec(tmp_path, vol_pv, rs=2.0, ri=-100.0, ss=1.0,
+                  spacing=(0.9, 1.1), thick=2.0, gap=0.5):
+    """Synthetic Philips V4.2 PAR/REC pair (layout per the public PAR
+    spec: '=' general lines + whitespace image-info rows)."""
+    nz, ny, nx = vol_pv.shape
+    hdr = [
+        "# === DATA DESCRIPTION FILE ===",
+        ".    Patient name                       :   PHANTOM",
+        f".    Max. number of slices/locations    :   {nz}",
+        ".    Max. number of dynamics             :   1",
+        f".    FOV (ap,fh,rl) [mm]                :   {ny * spacing[1]:.3f}  90.000  {nx * spacing[0]:.3f}",
+        f".    Recon resolution (x, y)            :   {nx}  {ny}",
+        f".    Slice thickness [mm]               :   {thick:.3f}",
+        f".    Slice gap [mm]                     :   {gap:.3f}",
+        "# === IMAGE INFORMATION ==",
+    ]
+    rows = []
+    for sl in range(1, nz + 1):
+        # sl ec dyn ph ty seq idx pix scan% recx recy ri rs ss wc ww
+        # angulation(3) offcentre(3) thick gap disp slice_or fmri ed_es
+        # pixel-spacing(2) ...
+        row = ([sl, 1, 1, 1, 0, 0, sl - 1, 16, 100, nx, ny, ri, rs, ss,
+                50, 100] + [0.0] * 12 + [spacing[0], spacing[1]] + [0.0] * 3)
+        rows.append(" ".join(f"{v:g}" for v in row))
+    (tmp_path / "phantom.PAR").write_text("\n".join(hdr + rows) + "\n")
+    vol_pv.astype("<i2").tofile(tmp_path / "phantom.REC")
+    return tmp_path / "phantom.PAR"
+
+
+def test_parrec_roundtrip(tmp_path):
+    """PAR/REC loads with DV rescale + spacing from the image table
+    (reference others_reader.py:29 accepts PAR/REC via nibabel)."""
+    from invesalius3_tpu.io import parrec
+
+    rng = np.random.default_rng(3)
+    pv = rng.integers(0, 1000, (5, 8, 6)).astype(np.int16)
+    par = _write_parrec(tmp_path, pv, rs=2.0, ri=-100.0)
+    vol, spacing = parrec.read_par_rec(par)
+    assert vol.shape == (5, 8, 6)
+    np.testing.assert_allclose(vol, pv.astype(np.float32) * 2.0 - 100.0)
+    np.testing.assert_allclose(spacing, (0.9, 1.1, 2.5))
+    # either file of the pair works as the entry point
+    vol2, _ = parrec.read_par_rec(tmp_path / "phantom.REC")
+    np.testing.assert_allclose(vol2, vol)
+
+
+def test_parrec_errors(tmp_path):
+    from invesalius3_tpu.io import parrec
+
+    with pytest.raises(FileNotFoundError):
+        parrec.read_par_rec(tmp_path / "missing.PAR")
+    pv = np.zeros((4, 4, 4), np.int16)
+    par = _write_parrec(tmp_path, pv)
+    (tmp_path / "phantom.REC").write_bytes(b"\x00" * 10)  # truncated
+    with pytest.raises(ValueError):
+        parrec.read_par_rec(par)

@@ -117,7 +117,9 @@ class Project:
             surfaces[str(index)] = plist
         project["surfaces"] = surfaces
 
-        members["measurements.plist"] = plistlib.dumps(self.measurement_dict)
+        # plist keys must be strings; measurement indices are ints in memory
+        members["measurements.plist"] = plistlib.dumps(
+            {str(k): v for k, v in self.measurement_dict.items()})
         members["main.plist"] = plistlib.dumps(project)
 
         mode = "w:gz" if compress else "w"
@@ -175,7 +177,9 @@ class Project:
             proj.surface_dict[info["index"]] = Surface.load_plist(
                 members[plist_name], verts, faces)
 
-        proj.measurement_dict = plistlib.loads(members["measurements.plist"])
+        proj.measurement_dict = {
+            (int(k) if str(k).lstrip("-").isdigit() else k): v
+            for k, v in plistlib.loads(members["measurements.plist"]).items()}
         return proj
 
     # -- exports (reference project.py:586/:620) ----------------------------------

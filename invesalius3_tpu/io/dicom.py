@@ -131,7 +131,12 @@ class DicomFile:
         inter = float(self.get("RescaleIntercept", 0.0) or 0.0)
         arr = arr * slope + inter
         if str(self.get("PhotometricInterpretation", "")).strip() == "MONOCHROME1":
-            arr = arr.max() - arr  # invert
+            # invert about a constant pivot derived from the stored bit
+            # depth, not each slice's own max — a per-slice pivot shifts
+            # every slice of a stack by a different offset (banding)
+            bits_stored = int(self.get("BitsStored", self.get("BitsAllocated", 16)))
+            pivot = ((1 << bits_stored) - 1) * slope + inter
+            arr = pivot - arr + inter
         return np.clip(arr, -32768, 32767).astype(np.int16)
 
 

@@ -36,7 +36,11 @@ _GEN_PATTERNS = {
 # definition block every V4 PAR carries).
 _COL = {
     "slice": 0,
+    "echo": 1,
     "dynamic": 2,
+    "phase": 3,
+    "scan_seq": 5,
+    "rec_index": 6,
     "pix_bits": 7,
     "recon_x": 9,
     "recon_y": 10,
@@ -93,10 +97,13 @@ def read_par_rec(path) -> Tuple[np.ndarray, Tuple[float, float, float]]:
         i = _COL[name]
         return row[i] if i < ncol else default
 
-    # first dynamic only (reference loads the full nibabel image; masks
-    # and segmentation operate on one volume)
-    first_dyn = min(col(r, "dynamic") for r in rows)
-    rows = [r for r in rows if col(r, "dynamic") == first_dyn]
+    # first dynamic / echo / phase / scanning-sequence only (reference
+    # loads the full nibabel image; masks and segmentation operate on one
+    # volume) — without the echo/phase filter, multi-echo rows would stack
+    # as extra slices
+    for name in ("dynamic", "echo", "phase", "scan_seq"):
+        first = min(col(r, name) for r in rows)
+        rows = [r for r in rows if col(r, name) == first]
     rows.sort(key=lambda r: col(r, "slice"))
 
     bits = int(col(rows[0], "pix_bits", 16))
@@ -106,11 +113,19 @@ def read_par_rec(path) -> Tuple[np.ndarray, Tuple[float, float, float]]:
     dtype = np.int16 if bits == 16 else np.uint8
 
     raw = np.fromfile(rec_path, dtype="<" + np.dtype(dtype).str[1:])
-    need = nz * ry * rx
-    if raw.size < need:
-        raise ValueError(
-            f"REC too small: {raw.size} px < {nz}x{ry}x{rx}")
-    vol = raw[:need].reshape(nz, ry, rx).astype(np.float32)
+    px_per_slice = ry * rx
+    # Gather each selected row's pixel block via its 'index in REC file'
+    # column — PAR tables may list rows out of REC order (interleaved
+    # dynamics/echoes), so sequential slicing would scramble slices.
+    vol = np.empty((nz, ry, rx), np.float32)
+    for k, r in enumerate(rows):
+        idx = int(col(r, "rec_index", k))
+        start = idx * px_per_slice
+        if start + px_per_slice > raw.size:
+            raise ValueError(
+                f"REC too small: block {idx} needs pixels up to "
+                f"{start + px_per_slice}, file has {raw.size}")
+        vol[k] = raw[start : start + px_per_slice].reshape(ry, rx)
 
     # per-slice rescale to displayed values: DV = PV * RS + RI
     rs = np.array([col(r, "rs", 1.0) or 1.0 for r in rows], np.float32)

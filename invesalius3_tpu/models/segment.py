@@ -19,6 +19,7 @@ independent, so no collectives beyond the final gather.
 from __future__ import annotations
 
 import threading
+import warnings
 from functools import partial
 from typing import List, Optional, Tuple
 
@@ -27,6 +28,42 @@ import jax.numpy as jnp
 import numpy as np
 
 from invesalius3_tpu.models.unet3d import SIZE, Unet3D
+
+
+class WeightsUnavailableError(RuntimeError):
+    """Raised when a segmenter is built without trained weights.
+
+    The reference downloads real checkpoints before inference or fails
+    (segment.py:404-440); silently running an untrained network would
+    produce wrong clinical output.
+    """
+
+
+def _resolve_weights(weight_name: str, allow_random_init: bool):
+    """Try to load + convert the reference checkpoint for ``weight_name``.
+
+    Returns converted flax variables, or None when ``allow_random_init``
+    (with a loud warning). Raises WeightsUnavailableError otherwise.
+    """
+    try:
+        from invesalius3_tpu.models.unet3d import load_torch_checkpoint
+        from invesalius3_tpu.net.download import get_weight_file
+
+        path = get_weight_file(weight_name)
+        return load_torch_checkpoint(path)
+    except Exception as e:
+        if allow_random_init:
+            warnings.warn(
+                f"segmenter {weight_name!r} running with RANDOM weights "
+                f"({e}); output is noise, not a segmentation",
+                RuntimeWarning, stacklevel=3,
+            )
+            return None
+        raise WeightsUnavailableError(
+            f"no trained weights for {weight_name!r}: {e}. Place the "
+            f"reference checkpoint under the ai/ models dir, pass "
+            f"variables= explicitly, or (tests only) allow_random_init=True"
+        ) from e
 
 
 def image_normalize(image, min_: float = 0.0, max_: float = 1.0) -> jnp.ndarray:
@@ -92,15 +129,20 @@ class BrainSegmenter:
     semantics: normalize image to [0,1], 48^3 patches, 50% overlap,
     probability threshold -> mask)."""
 
+    WEIGHT_NAME = "brain_mri_t1"
+
     def __init__(self, variables=None, model: Optional[Unet3D] = None,
                  patch_size: int = SIZE, overlap: float = 0.5,
-                 use_ww_wl: bool = False, ww: float = 255.0, wl: float = 127.5):
+                 use_ww_wl: bool = False, ww: float = 255.0, wl: float = 127.5,
+                 allow_random_init: bool = False):
         self.model = model or Unet3D(dtype=jnp.bfloat16)
         self.patch_size = patch_size
         self.overlap = overlap
         self.use_ww_wl = use_ww_wl
         self.ww, self.wl = ww, wl
         if variables is None:
+            variables = _resolve_weights(self.WEIGHT_NAME, allow_random_init)
+        if variables is None:  # explicit random init (tests / smoke only)
             variables = self.model.init(
                 jax.random.PRNGKey(0),
                 jnp.zeros((1, patch_size, patch_size, patch_size, 1)), train=False)
@@ -236,9 +278,11 @@ class ImplantSegmenter:
     480x480 with overlap, binary or gray input method, U-Net-2D."""
 
     PATCH = 480
+    WEIGHT_NAME = "cranioplasty_jit_ct_binary"
 
     def __init__(self, variables=None, model=None, method: str = "binary",
-                 overlap: float = 0.5, patch_size: int = 480):
+                 overlap: float = 0.5, patch_size: int = 480,
+                 allow_random_init: bool = False):
         import flax.linen as nn
 
         class Unet2D(nn.Module):
@@ -270,6 +314,8 @@ class ImplantSegmenter:
         self.overlap = overlap
         self.patch_size = patch_size
         if variables is None:
+            variables = _resolve_weights(self.WEIGHT_NAME, allow_random_init)
+        if variables is None:  # explicit random init (tests / smoke only)
             variables = self.model.init(
                 jax.random.PRNGKey(0),
                 jnp.zeros((1, patch_size, patch_size, 1)), train=False)

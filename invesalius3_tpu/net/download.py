@@ -50,14 +50,17 @@ def sha256sum(path: Path, chunk: int = 1 << 20) -> str:
 
 
 def download_url_to_file(url: str, dst: Path, hash_sha256: Optional[str] = None,
-                         progress: Optional[Callable[[float], None]] = None) -> Path:
-    """Download with optional sha256 verify (reference net/utils.py)."""
+                         progress: Optional[Callable[[float], None]] = None,
+                         timeout: float = 15.0) -> Path:
+    """Download with optional sha256 verify (reference net/utils.py).
+    A connect/read timeout keeps zero-egress environments failing fast
+    instead of hanging."""
     import urllib.request
 
     dst = Path(dst)
     dst.parent.mkdir(parents=True, exist_ok=True)
     tmp = dst.with_suffix(dst.suffix + ".part")
-    with urllib.request.urlopen(url) as r, open(tmp, "wb") as f:
+    with urllib.request.urlopen(url, timeout=timeout) as r, open(tmp, "wb") as f:
         total = int(r.headers.get("Content-Length", 0) or 0)
         done = 0
         while True:

@@ -5,7 +5,11 @@ Covers the subset of the vendored Gohlke ``transformations.py`` (reference
 invesalius/data/transformations.py, 1961 LoC) that the reference actually
 uses: euler_matrix / euler_from_matrix ('rzyx', 'sxyz' conventions),
 quaternion_matrix / quaternion_from_matrix, translation and concatenation
-helpers.  Implemented fresh from the standard definitions.
+helpers.  The euler routines follow Shoemake's Graphics Gems IV
+formulation as popularized by Gohlke's canonical ``transformations.py``
+(BSD) — bit-compatibility with the reference's euler conventions is a
+requirement, so the axis-tuple encoding and cos/sin products match that
+canonical algorithm.
 """
 
 from __future__ import annotations

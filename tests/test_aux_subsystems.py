@@ -225,10 +225,12 @@ def test_utils_helpers():
     d.remove("zz")  # no raise
 
     assert next_copy_name("Mask 1", []) == "Mask 1 copy"
-    assert next_copy_name("Mask 1", ["Mask 1 copy"]) == "Mask 1 copy#2"
-    assert next_copy_name("Mask 1 copy", ["Mask 1 copy"]) == "Mask 1 copy#2"
+    assert next_copy_name("Mask 1", ["Mask 1 copy"]) == "Mask 1 copy#1"
+    assert next_copy_name("Mask 1 copy", ["Mask 1 copy"]) == "Mask 1 copy#1"
     assert next_copy_name(
         "Mask 1 copy#2", ["Mask 1 copy", "Mask 1 copy#2"]) == "Mask 1 copy#3"
+    assert next_copy_name(
+        "Mask 1", ["Mask 1 copy", "Mask 1 copy#1"]) == "Mask 1 copy#2"
 
     @timing
     def f(x):

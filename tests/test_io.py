@@ -258,6 +258,39 @@ def test_parrec_roundtrip(tmp_path):
     np.testing.assert_allclose(vol2, vol)
 
 
+def test_parrec_interleaved_multiecho(tmp_path):
+    """Rows listed out of REC order with a second echo interleaved: slices
+    are gathered via the 'index in REC file' column and echo 2 is skipped
+    (advisor finding: sequential slicing scrambled such files)."""
+    from invesalius3_tpu.io import parrec
+
+    nz, ny, nx = 3, 4, 4
+    # REC file order: e1s2, e2s1, e1s1, e2s2, e1s3, e2s3
+    blocks = [(1, 2), (2, 1), (1, 1), (2, 2), (1, 3), (2, 3)]
+    rng = np.random.default_rng(7)
+    data = {b: rng.integers(0, 500, (ny, nx)).astype(np.int16) for b in blocks}
+    hdr = [
+        f".    Max. number of slices/locations    :   {nz}",
+        ".    Max. number of dynamics             :   1",
+        f".    Recon resolution (x, y)            :   {nx}  {ny}",
+        ".    Slice thickness [mm]               :   1.0",
+        ".    Slice gap [mm]                     :   0.0",
+    ]
+    rows = []
+    for idx, (ec, sl) in enumerate(blocks):
+        row = ([sl, ec, 1, 1, 0, 0, idx, 16, 100, nx, ny, 0.0, 1.0, 1.0,
+                50, 100] + [0.0] * 12 + [1.0, 1.0] + [0.0] * 3)
+        rows.append(" ".join(f"{v:g}" for v in row))
+    (tmp_path / "m.PAR").write_text("\n".join(hdr + rows) + "\n")
+    np.concatenate([data[b].ravel() for b in blocks]).astype("<i2").tofile(
+        tmp_path / "m.REC")
+
+    vol, _ = parrec.read_par_rec(tmp_path / "m.PAR")
+    assert vol.shape == (nz, ny, nx)  # echo 2 not stacked as extra slices
+    for sl in range(1, nz + 1):
+        np.testing.assert_allclose(vol[sl - 1], data[(1, sl)].astype(np.float32))
+
+
 def test_parrec_errors(tmp_path):
     from invesalius3_tpu.io import parrec
 

@@ -96,7 +96,7 @@ def test_segment_job_progress_and_cancel():
 
     rng = np.random.default_rng(0)
     img = rng.integers(0, 500, (50, 50, 50)).astype(np.int16)
-    seg = BrainSegmenter(patch_size=48)
+    seg = BrainSegmenter(patch_size=48, allow_random_init=True)
     job = SegmentJob(seg, img, batch_size=4)
     job.start()
     job.join(timeout=600)

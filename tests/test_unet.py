@@ -124,7 +124,7 @@ def test_patch_grid_matches_reference():
 def test_brain_segmenter_runs():
     rng = np.random.default_rng(0)
     img = rng.integers(0, 1000, (50, 60, 52)).astype(np.int16)
-    seg = segment.BrainSegmenter()
+    seg = segment.BrainSegmenter(allow_random_init=True)
     prob, mask = seg.segment(img, probability_threshold=0.5, batch_size=4)
     assert prob.shape == img.shape
     assert mask.shape == img.shape
@@ -143,10 +143,30 @@ def test_segmenter_family():
         SEGMENTERS, ImplantSegmenter, TracheaSegmenter)
 
     img = np.random.default_rng(0).integers(-1000, 2000, (3, 64, 64)).astype(np.int16)
-    seg = ImplantSegmenter(patch_size=64)
+    seg = ImplantSegmenter(patch_size=64, allow_random_init=True)
     prob, mask = seg.segment(img)
     assert prob.shape == img.shape and set(np.unique(mask)) <= {0, 255}
     assert set(SEGMENTERS) == {"brain_mri_t1", "trachea_ct", "mandible_jit_ct",
                                "cranioplasty_implant"}
-    t = TracheaSegmenter(patch_size=48)
+    t = TracheaSegmenter(patch_size=48, allow_random_init=True)
     assert t.use_ww_wl and t.wl == -500.0
+
+
+def test_segmenter_refuses_random_weights(tmp_path, monkeypatch):
+    """Without trained weights, building a segmenter must fail loudly —
+    never silently produce untrained-network output (advisor finding;
+    reference downloads real checkpoints or fails, segment.py:404-440)."""
+    import warnings
+
+    from invesalius3_tpu.models.segment import WeightsUnavailableError
+    from invesalius3_tpu.net import download
+
+    monkeypatch.setattr(download, "models_dir", lambda: tmp_path / "ai")
+    with pytest.raises(WeightsUnavailableError):
+        segment.BrainSegmenter()
+    with pytest.raises(WeightsUnavailableError):
+        segment.ImplantSegmenter()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        segment.BrainSegmenter(allow_random_init=True)
+    assert any("RANDOM weights" in str(x.message) for x in w)

@@ -163,13 +163,15 @@ def mida_axis0(volume: jax.Array, wl, ww) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
-# Watershed Z-sweep: forward + backward minimax relaxation along axis 0 in
-# one kernel — the whole (Z, 16, 128) column stays in VMEM, replacing two
-# lax.scan sweeps whose carries round-trip HBM every step.
+# Watershed sweeps: forward + backward minimax relaxation along an axis in
+# one kernel — the whole ray column stays in VMEM, replacing two lax.scan
+# sweeps whose carries round-trip HBM every step.  Labels are handled in
+# their native int16 (sublane tile 16) so callers pay zero casts.
 # ---------------------------------------------------------------------------
 
-_WS_TY = 8  # int32 sublane tile (VMEM: 5 buffers x Z*8*128*4B must fit)
+_WS_TY = 16  # int16 sublane tile
 _WS_TX = 128
+_WS_TZ = 8  # z-rows per program in the axis-1 kernel
 _DIST_BITS = 15
 _DIST_MAX = (1 << _DIST_BITS) - 1
 _INF_RANK = 2**31 - 1
@@ -210,35 +212,102 @@ def _ws_sweep_z_kernel(rank_ref, lab_ref, f_ref, rank_out, lab_out):
     jax.lax.fori_loop(0, Z - 1, bwd, 0)
 
 
+def _ws_sweep_y_kernel(rank_ref, lab_ref, f_ref, rank_out, lab_out):
+    Y = rank_ref.shape[1]
+    rank_out[:] = rank_ref[:]
+    lab_out[:] = lab_ref[:]
+
+    def fwd(y, _):
+        cand = _ws_relax(rank_out[:, y - 1], f_ref[:, y])
+        cur = rank_out[:, y]
+        take = cand < cur
+        rank_out[:, y] = jnp.where(take, cand, cur)
+        lab_out[:, y] = jnp.where(take, lab_out[:, y - 1], lab_out[:, y])
+        return 0
+
+    jax.lax.fori_loop(1, Y, fwd, 0)
+
+    def bwd(i, _):
+        y = Y - 2 - i
+        cand = _ws_relax(rank_out[:, y + 1], f_ref[:, y])
+        cur = rank_out[:, y]
+        take = cand < cur
+        rank_out[:, y] = jnp.where(take, cand, cur)
+        lab_out[:, y] = jnp.where(take, lab_out[:, y + 1], lab_out[:, y])
+        return 0
+
+    jax.lax.fori_loop(0, Y - 1, bwd, 0)
+
+
+def _ws_pad(rank, lab, f, pz, py, px):
+    if pz or py or px:
+        pads = ((0, pz), (0, py), (0, px))
+        rank = jnp.pad(rank, pads, constant_values=_INF_RANK)
+        lab = jnp.pad(lab, pads)
+        f = jnp.pad(f, pads)
+    return rank, lab, f
+
+
 @partial(jax.jit, static_argnames=())
 def watershed_sweep_z(rank: jax.Array, lab: jax.Array, f: jax.Array):
-    """Bidirectional Z-axis minimax sweep (packed-rank semantics identical
-    to ops.watershed._sweep_axis fwd+bwd).  lab must be int32 (int16 tiling
-    differs; the caller casts)."""
+    """Bidirectional axis-0 minimax sweep (packed-rank semantics identical
+    to ops.watershed._sweep_axis fwd+bwd).  lab int16-native."""
     Z, Y, X = rank.shape
-    py = (-Y) % _WS_TY
-    px = (-X) % _WS_TX
-    if py or px:
-        rank = jnp.pad(rank, ((0, 0), (0, py), (0, px)),
-                       constant_values=_INF_RANK)
-        lab = jnp.pad(lab, ((0, 0), (0, py), (0, px)))
-        f = jnp.pad(f, ((0, 0), (0, py), (0, px)))
+    rank, lab, f = _ws_pad(rank, lab, f, 0, (-Y) % _WS_TY, (-X) % _WS_TX)
     Yp, Xp = rank.shape[1:]
     grid = (Yp // _WS_TY, Xp // _WS_TX)
-    spec3 = pl.BlockSpec((Z, _WS_TY, _WS_TX), lambda i, j: (0, i, j),
-                         memory_space=pltpu.VMEM)
+
+    def spec(dt):
+        return pl.BlockSpec((Z, _WS_TY, _WS_TX), lambda i, j: (0, i, j),
+                            memory_space=pltpu.VMEM)
+
     nr, nl = pl.pallas_call(
         _ws_sweep_z_kernel,
         grid=grid,
-        in_specs=[spec3, spec3, spec3],
-        out_specs=(spec3, spec3),
+        in_specs=[spec(jnp.int32), spec(lab.dtype), spec(jnp.int32)],
+        out_specs=(spec(jnp.int32), spec(lab.dtype)),
         out_shape=(
             jax.ShapeDtypeStruct((Z, Yp, Xp), jnp.int32),
-            jax.ShapeDtypeStruct((Z, Yp, Xp), jnp.int32),
+            jax.ShapeDtypeStruct((Z, Yp, Xp), lab.dtype),
         ),
         input_output_aliases={0: 0, 1: 1},  # rank/lab updated in place
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),  # 5 x (Z,8,128) i32 columns
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(rank, lab, f)
     return nr[:, :Y, :X], nl[:, :Y, :X]
+
+
+@partial(jax.jit, static_argnames=())
+def watershed_sweep_y(rank: jax.Array, lab: jax.Array, f: jax.Array):
+    """Bidirectional axis-1 minimax sweep — same relaxation, the VMEM block
+    is (8 z-rows, Y, 128) and the fori walks the middle axis.
+
+    Labels must be int32 on hardware: the per-step (8, 1, 128) slice of an
+    int16 ref is not sublane-tileable (Mosaic packs i16 sublanes in pairs);
+    the refine loop therefore carries labels as int32 end-to-end."""
+    Z, Y, X = rank.shape
+    rank, lab, f = _ws_pad(rank, lab, f, (-Z) % _WS_TZ, (-Y) % _WS_TY,
+                           (-X) % _WS_TX)
+    Zp, Yp, Xp = rank.shape
+    grid = (Zp // _WS_TZ, Xp // _WS_TX)
+
+    def spec(dt):
+        return pl.BlockSpec((_WS_TZ, Yp, _WS_TX), lambda i, j: (i, 0, j),
+                            memory_space=pltpu.VMEM)
+
+    nr, nl = pl.pallas_call(
+        _ws_sweep_y_kernel,
+        grid=grid,
+        in_specs=[spec(jnp.int32), spec(lab.dtype), spec(jnp.int32)],
+        out_specs=(spec(jnp.int32), spec(lab.dtype)),
+        out_shape=(
+            jax.ShapeDtypeStruct((Zp, Yp, Xp), jnp.int32),
+            jax.ShapeDtypeStruct((Zp, Yp, Xp), lab.dtype),
+        ),
+        input_output_aliases={0: 0, 1: 1},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(rank, lab, f)
+    return nr[:Z, :Y, :X], nl[:Z, :Y, :X]

@@ -204,30 +204,29 @@ def _offsets_for(connectivity: int):
 
 
 def _use_pallas_sweep() -> bool:
-    """Opt-in (INV3_PALLAS_WS=1): the Pallas Z-sweep pair is 1.4x faster
-    than the scans in isolation (35 vs 50 ms at 512^3, bit-exact), but the
-    int16<->int32 label casts it needs cost more than it saves inside the
-    full round (5.3 s vs 4.8 s end-to-end).  Becomes the default once the
-    kernel handles int16 labels natively (round-2 backlog)."""
+    """Default-on for TPU (INV3_PALLAS_WS=0 disables): the Pallas Z/Y
+    sweep pairs keep the whole ray column in VMEM (one HBM read per pass
+    vs a lax.scan carry round-tripping HBM every step) and handle int16
+    labels natively, so no cast overhead remains."""
     import os
 
-    return jax.default_backend() == "tpu" and bool(os.environ.get("INV3_PALLAS_WS"))
+    return (jax.default_backend() == "tpu"
+            and os.environ.get("INV3_PALLAS_WS", "1") != "0")
 
 
-@partial(jax.jit, static_argnames=("connectivity",), donate_argnums=(0, 1))
-def _refine_round(rank, lab, f, lab0, frozen, connectivity: int = 6):
-    """One relaxation round (6 sweeps + neighbor relax) with rank/lab
-    buffers donated — keeps the 512^3 peak memory down vs a fused
-    while_loop holding every sweep's intermediates live.  On TPU the Z
-    fwd+bwd pair runs as one Pallas VMEM-column kernel (bit-exact,
-    ~1.4x the scan pair)."""
-    pl = lab
+def _one_round(rank, lab, f, lab0, frozen, connectivity: int):
     if _use_pallas_sweep():
         from invesalius3_tpu.ops import pallas_kernels as pk
 
-        rank, lab32 = pk.watershed_sweep_z(rank, lab.astype(jnp.int32), f)
-        lab = lab32.astype(pl.dtype)
-        axes = (1, 2)
+        rank, lab = pk.watershed_sweep_z(rank, lab, f)
+        rank, lab = pk.watershed_sweep_y(rank, lab, f)
+        # X sweep: swap the trailing axes and reuse the Y kernel (the two
+        # transposes are cheaper than a lane-axis scan's carry traffic)
+        rt, lt = pk.watershed_sweep_y(
+            jnp.swapaxes(rank, 1, 2), jnp.swapaxes(lab, 1, 2),
+            jnp.swapaxes(f, 1, 2))
+        rank, lab = jnp.swapaxes(rt, 1, 2), jnp.swapaxes(lt, 1, 2)
+        axes = ()
     else:
         axes = (0, 1, 2)
     for axis in axes:
@@ -239,12 +238,30 @@ def _refine_round(rank, lab, f, lab0, frozen, connectivity: int = 6):
     rank, lab = _neighbor_relax(rank, lab, f, _offsets_for(connectivity))
     rank = jnp.where(frozen, jnp.int32(0), rank)
     lab = jnp.where(frozen, lab0, lab)
-    labels_changed = jnp.any(lab != pl)
+    return rank, lab
+
+
+@partial(jax.jit, static_argnames=("connectivity", "inner_rounds"),
+         donate_argnums=(0, 1))
+def _refine_round(rank, lab, f, lab0, frozen, connectivity: int = 6,
+                  inner_rounds: int = 1):
+    """``inner_rounds`` relaxation rounds (6 sweeps + neighbor relax each)
+    with rank/lab buffers donated — keeps the 512^3 peak memory down vs a
+    fused while_loop holding every sweep's intermediates live.  Batching
+    rounds per jit call amortizes the per-dispatch relay sync (~26 ms on
+    the tunneled chip).  On TPU the Z and Y fwd+bwd pairs run as Pallas
+    VMEM-column kernels (bit-exact, int16-label native)."""
+    labels_changed = jnp.bool_(False)
+    for _ in range(inner_rounds):
+        prev = lab
+        rank, lab = _one_round(rank, lab, f, lab0, frozen, connectivity)
+        labels_changed = labels_changed | jnp.any(lab != prev)
     return rank, lab, labels_changed
 
 
 def _watershed_refine(f, lab0, rank_init, lab_init, connectivity: int = 6,
-                      max_rounds: int = 1000, quiet_rounds: int = 2):
+                      max_rounds: int = 1000, quiet_rounds: int = 2,
+                      inner_rounds: int = 2):
     """Fine-level relaxation from a valid upper-bound init (Bellman
     relaxation converges to the true minimax solution from ANY upper-bound
     initialization).  Host-level round loop with donated buffers.
@@ -262,14 +279,18 @@ def _watershed_refine(f, lab0, rank_init, lab_init, connectivity: int = 6,
     rank = jnp.where(frozen, jnp.int32(0), rank_init)
     lab = jnp.where(frozen, lab0, lab_init)
     quiet = 0
-    for _ in range(max_rounds):
+    # ``inner_rounds`` rounds run per host convergence check; a quiet batch
+    # of k rounds == k consecutive quiet rounds, so the stopping rule is
+    # unchanged while the per-dispatch relay sync amortizes k-fold.
+    quiet_batches = max(1, -(-quiet_rounds // inner_rounds))
+    for _ in range(0, max_rounds, inner_rounds):
         rank, lab, labels_changed = _refine_round(rank, lab, f, lab0, frozen,
-                                                  connectivity)
+                                                  connectivity, inner_rounds)
         if bool(labels_changed):
             quiet = 0
         else:
             quiet += 1
-            if quiet >= quiet_rounds:
+            if quiet >= quiet_batches:
                 break
     return rank, lab
 
@@ -295,8 +316,10 @@ def watershed_ift_multigrid(
     Volumes must have even dims per level (pad first if needed).
     """
     f = jnp.clip(image.astype(jnp.int32), 0, 2**16 - 2)
-    lab_dtype = jnp.int32 if markers.dtype == jnp.int32 else jnp.int16
-    lab0 = markers.astype(lab_dtype)
+    out_dtype = jnp.int32 if markers.dtype == jnp.int32 else jnp.int16
+    # labels are int32 through the refine loop: the Pallas Y-sweep's
+    # per-step middle-axis slices are not int16-tileable on hardware
+    lab0 = markers.astype(jnp.int32)
 
     def solve(f_lvl, lab_lvl, level):
         if level == 0 or min(f_lvl.shape) <= 32:
@@ -326,4 +349,4 @@ def watershed_ift_multigrid(
         return _watershed_refine(f_lvl, lab_lvl, rank_init, lab_init, connectivity)
 
     _, lab = solve(f, lab0, levels)
-    return lab
+    return lab.astype(out_dtype)

@@ -33,26 +33,47 @@ def test_mida_pallas_matches_scan():
     np.testing.assert_allclose(got.astype(np.int64), want.astype(np.int64), atol=1)
 
 
-def test_watershed_sweep_z_matches_scan():
-    """The Pallas bidirectional Z sweep equals two _sweep_axis passes."""
+def _scan_sweep_pair(ws, rank, lab, f, axis):
+    """fwd+bwd _sweep_axis passes with merge (the scan reference)."""
+    for reverse in (False, True):
+        r1, l1 = ws._sweep_axis(rank, lab, f, axis, reverse)
+        take = r1 < rank
+        rank = jnp.where(take, r1, rank)
+        lab = jnp.where(take, l1, lab)
+    return rank, lab
+
+
+@pytest.mark.parametrize("lab_dtype", [np.int16, np.int32])
+def test_watershed_sweep_z_matches_scan(lab_dtype):
+    """The Pallas bidirectional Z sweep equals two _sweep_axis passes
+    (int16 labels are the production dtype — handled natively)."""
     from invesalius3_tpu.ops import watershed as ws
 
     r = np.random.default_rng(3)
     f = jnp.asarray(r.integers(0, 1000, (12, 20, 130)).astype(np.int32))
-    lab = jnp.zeros((12, 20, 130), jnp.int32)
+    lab = jnp.zeros((12, 20, 130), lab_dtype)
     lab = lab.at[2, 5, 5].set(1).at[9, 15, 100].set(2)
     rank = jnp.where(lab > 0, jnp.int32(0), jnp.int32(2**31 - 1))
 
-    # scan reference: fwd then bwd along axis 0 with merge
-    r1, l1 = ws._sweep_axis(rank, lab, f, 0, False)
-    take = r1 < rank
-    rank_s = jnp.where(take, r1, rank)
-    lab_s = jnp.where(take, l1, lab)
-    r2, l2 = ws._sweep_axis(rank_s, lab_s, f, 0, True)
-    take2 = r2 < rank_s
-    rank_s = jnp.where(take2, r2, rank_s)
-    lab_s = jnp.where(take2, l2, lab_s)
-
+    rank_s, lab_s = _scan_sweep_pair(ws, rank, lab, f, 0)
     nr, nl = pallas_kernels.watershed_sweep_z(rank, lab, f)
+    np.testing.assert_array_equal(np.asarray(nr), np.asarray(rank_s))
+    np.testing.assert_array_equal(np.asarray(nl), np.asarray(lab_s))
+
+
+@pytest.mark.parametrize("lab_dtype", [np.int16, np.int32])
+def test_watershed_sweep_y_matches_scan(lab_dtype):
+    """The Pallas bidirectional Y (axis-1) sweep equals two _sweep_axis
+    passes, including odd shapes needing z/y/x padding."""
+    from invesalius3_tpu.ops import watershed as ws
+
+    r = np.random.default_rng(4)
+    f = jnp.asarray(r.integers(0, 1000, (11, 21, 130)).astype(np.int32))
+    lab = jnp.zeros((11, 21, 130), lab_dtype)
+    lab = lab.at[2, 5, 5].set(1).at[9, 15, 100].set(2)
+    rank = jnp.where(lab > 0, jnp.int32(0), jnp.int32(2**31 - 1))
+
+    rank_s, lab_s = _scan_sweep_pair(ws, rank, lab, f, 1)
+    nr, nl = pallas_kernels.watershed_sweep_y(rank, lab, f)
     np.testing.assert_array_equal(np.asarray(nr), np.asarray(rank_s))
     np.testing.assert_array_equal(np.asarray(nl), np.asarray(lab_s))

@@ -186,6 +186,8 @@ def main(argv=None) -> int:
 
         for m in slc.masks.values():
             project.add_mask(m)
+        if getattr(slc, "_image_versions", None):
+            project.image_versions = slc.image_versions
 
         if args.save_project:
             project.save(args.save_project)

@@ -60,6 +60,39 @@ MASK_EDIT_CODES = (1, 2, 253, 254)
 MASK_VISIBLE_MIN = 127  # voxel considered "in mask" when value >= this
 
 # ---------------------------------------------------------------------------
+# Mask boolean operations (reference constants.py:818-821, slice_.py:1878)
+# ---------------------------------------------------------------------------
+BOOLEAN_UNION = 1
+BOOLEAN_DIFF = 2
+BOOLEAN_AND = 3
+BOOLEAN_XOR = 4
+BOOLEAN_OP_NAMES = {
+    BOOLEAN_UNION: "Union",
+    BOOLEAN_DIFF: "Diff",
+    BOOLEAN_AND: "Intersection",
+    BOOLEAN_XOR: "XOR",
+}
+
+# ---------------------------------------------------------------------------
+# Image filters producing selectable image versions
+# (reference data/filters.py:5-60 + slice_.py __apply_image_filter :2330)
+# ---------------------------------------------------------------------------
+FILTER_GAUSSIAN = 0
+FILTER_MEDIAN = 1
+FILTER_MEAN = 2
+FILTER_SHARPEN = 3
+FILTER_DESPECKLE = 4
+FILTER_BORDER = 5
+FILTER_NAMES = {
+    FILTER_GAUSSIAN: "gaussian",
+    FILTER_MEDIAN: "median",
+    FILTER_MEAN: "mean",
+    FILTER_SHARPEN: "sharpen",
+    FILTER_DESPECKLE: "despeckle",
+    FILTER_BORDER: "sobel",
+}
+
+# ---------------------------------------------------------------------------
 # CT threshold presets (Hounsfield).  Semantics of reference presets.py
 # thresh_ct table.
 # ---------------------------------------------------------------------------

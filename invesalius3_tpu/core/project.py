@@ -40,6 +40,10 @@ class Project:
         self.measurement_dict: Dict[int, dict] = {}
         self.image_fiducials = np.full((3, 3), np.nan)
         self.compress = False
+        # [(label, (Z,Y,X) array)] filtered copies of the volume; entry 0,
+        # "original", is the matrix itself and is not duplicated on disk
+        # (reference project.py image_versions + slice_.py:2330)
+        self.image_versions: list = []
 
     # -- volume convenience ------------------------------------------------------
     @property
@@ -89,6 +93,16 @@ class Project:
             project["affine"] = np.asarray(self.affine).tolist()
 
         members: Dict[str, bytes] = {"matrix.dat": matrix.tobytes()}
+
+        for i, (label, mat) in enumerate(self.image_versions):
+            if label == "original":
+                continue  # the matrix itself; don't duplicate bytes
+            arr = np.asarray(mat)
+            fname = f"image_version_{i}.dat"
+            project["image_versions"].append({
+                "label": label, "filename": fname,
+                "shape": list(arr.shape), "dtype": str(arr.dtype)})
+            members[fname] = arr.tobytes()
 
         masks = {}
         for index, mask in self.mask_dict.items():
@@ -157,6 +171,15 @@ class Project:
             matrix, spacing=spacing, affine=affine, modality=proj.modality,
             window_width=proj.window, window_level=proj.level,
         )
+
+        proj.image_versions = [("original", proj.volume.data)]
+        for vinfo in main.get("image_versions", []):
+            arr = np.frombuffer(
+                members[vinfo["filename"]], np.dtype(vinfo["dtype"])
+            ).reshape(tuple(int(s) for s in vinfo["shape"]))
+            proj.image_versions.append((vinfo["label"], jnp.asarray(arr)))
+        if len(proj.image_versions) == 1:
+            proj.image_versions = []  # none beyond the original were stored
 
         for _, plist_name in main.get("masks", {}).items():
             info = plistlib.loads(members[plist_name])

@@ -171,3 +171,183 @@ class Slice:
 
         mask = mask or self.current_mask
         return create_surface_from_mask(mask, self.spacing, **options)
+
+    # -- mask boolean ops (reference slice_.py:1878 do_boolean_op) ----------------
+    def do_boolean_op(self, op: int, index1: int, index2: int) -> Mask:
+        """Combine two masks into a new one: union / diff / intersection /
+        xor over the visible (>= 127) voxels, written as 0/255."""
+        from invesalius3_tpu.utils.helpers import next_copy_name
+
+        m1, m2 = self.masks[index1], self.masks[index2]
+        a, b = m1.visible_array(), m2.visible_array()
+        if op == const.BOOLEAN_UNION:
+            r = a | b
+        elif op == const.BOOLEAN_DIFF:
+            r = a & ~b
+        elif op == const.BOOLEAN_AND:
+            r = a & b
+        elif op == const.BOOLEAN_XOR:
+            r = a ^ b
+        else:
+            raise ValueError(f"unknown boolean op {op!r}")
+
+        name = f"{const.BOOLEAN_OP_NAMES[op]}_{m1.name}_{m2.name}"
+        existing = [m.name for m in self.masks.values()]
+        out = Mask()
+        out.name = next_copy_name(name, existing)
+        out.spacing = self.spacing
+        out.data = (r * jnp.uint8(const.MASK_THRESHOLD_IN)).astype(jnp.uint8)
+        out.was_edited = True
+        self.masks[out.index] = out
+        self.current_mask = out
+        self.bus.send_message("slice.mask_added", index=out.index, name=out.name)
+        return out
+
+    # -- crop box (reference geometry.py Box + CropMaskInteractorStyle) ----------
+    def create_crop_box(self):
+        """A full-volume crop Box sized/spaced to the current volume."""
+        from invesalius3_tpu.core.geometry import Box
+
+        self.crop_box = Box(self.matrix.shape, self.spacing)
+        return self.crop_box
+
+    def apply_crop(self, box=None, mask: Optional[Mask] = None) -> None:
+        """Zero every mask voxel outside the box (undo-recorded).  Reference
+        crop-mask tool: styles.py CropMaskInteractorStyle OnCrop."""
+        from invesalius3_tpu.ops.morphology import crop_mask
+
+        box = box or getattr(self, "crop_box", None)
+        if box is None:
+            box = self.create_crop_box()
+        mask = mask or self.current_mask
+        mask.apply(crop_mask(mask.data, box.limits))
+        self.bus.send_message("slice.mask_cropped", index=mask.index,
+                              limits=box.limits)
+
+    # -- mask import (reference control.py:264 OnImportMaskNifti) ----------------
+    def import_mask_from_nifti(self, path, name: str = "") -> Mask:
+        """Load a NIfTI label map as a new mask.  Unlike the reference (which
+        re-flips because its VTK import path differs), both volume and mask go
+        through the same RAS canonicalization here, so orientations agree."""
+        from pathlib import Path
+
+        from invesalius3_tpu.io.nifti import read_nifti
+
+        img = read_nifti(path)
+        if tuple(img.data.shape) != tuple(self.matrix.shape):
+            raise ValueError(
+                f"mask shape {img.data.shape} does not match volume "
+                f"{tuple(self.matrix.shape)}")
+        m = Mask(name=name or Path(str(path)).name.split(".")[0])
+        m.spacing = self.spacing
+        m.threshold_range = (0, 255)
+        m.data = (jnp.asarray(img.data) > 0).astype(jnp.uint8) * jnp.uint8(
+            const.MASK_THRESHOLD_IN)
+        m.was_edited = True
+        self.masks[m.index] = m
+        self.current_mask = m
+        self.bus.send_message("slice.mask_added", index=m.index, name=m.name)
+        return m
+
+    # -- image versions (reference slice_.py:2330 __apply_image_filter +
+    #    :2541 __switch_active_image, data/filters.py) ----------------------------
+    @property
+    def image_versions(self):
+        """[(label, (Z,Y,X) array)] — [0] is always the unfiltered original."""
+        if not hasattr(self, "_image_versions"):
+            self._image_versions = [("original", self.volume.data)]
+            self.current_image_label = "original"
+        return self._image_versions
+
+    def apply_image_filter(self, filter_type: int, value: float = 1.0,
+                           dimension: str = "3D",
+                           orientation: str = const.AXIAL) -> str:
+        """Filter the current image into a new selectable version and switch
+        to it.  filter_type is a const.FILTER_* id; dimension '2D' applies the
+        filter per-slice along `orientation` (vmapped, one kernel)."""
+        from invesalius3_tpu.ops import filters as F
+
+        fns = {
+            const.FILTER_GAUSSIAN: lambda v: F.gaussian(v, float(value)),
+            const.FILTER_MEDIAN: lambda v: F.median(
+                v, max(3, min(int(2 * value + 1), 5))),
+            const.FILTER_MEAN: lambda v: F.mean(v, int(2 * value + 1)),
+            const.FILTER_SHARPEN: lambda v: F.sharpen(v, float(value)),
+            const.FILTER_DESPECKLE: lambda v: F.despeckle(v, float(value)),
+            const.FILTER_BORDER: lambda v: F.border_detection(v, float(value)),
+        }
+        fn = fns[filter_type]
+        src = self.matrix
+        if dimension == "2D":
+            ax = const.ORIENTATION_AXIS[orientation]
+            stacked = jnp.moveaxis(src, ax, 0)
+            out = jnp.moveaxis(jax.vmap(fn)(stacked), 0, ax)
+        else:
+            out = fn(src)
+        versions = self.image_versions  # seeds the original first
+        n = sum(1 for lbl, _ in versions if lbl.startswith("Filtered"))
+        label = f"Filtered {n + 1}"
+        versions.append((label, out))
+        self.select_image_version(label)
+        self.bus.send_message(
+            "slice.image_filtered", label=label,
+            applied_filter=const.FILTER_NAMES[filter_type], value=value,
+            dimension=dimension, orientation=orientation,
+            derived=self.current_image_label)
+        return label
+
+    def select_image_version(self, label: str) -> None:
+        """Swap the active volume to a stored version; re-threshold the
+        current mask against it unless manually edited (reference
+        __switch_active_image semantics)."""
+        for lbl, mat in self.image_versions:
+            if lbl == label:
+                self.volume = self.volume.replace(data=mat)
+                self.current_image_label = label
+                if self.current_mask is not None and not self.current_mask.was_edited:
+                    tmin, tmax = self.current_mask.threshold_range
+                    self.current_mask.data = thr_ops.threshold_new_mask(
+                        self.matrix, tmin, tmax)
+                self.bus.send_message("slice.image_version_selected", label=label)
+                return
+        raise KeyError(f"no image version {label!r}")
+
+    # -- reorientation (reference slice_.py OnFlipVolume :2103 /
+    #    OnSwapVolumeAxes :2152) ---------------------------------------------------
+    def flip_volume(self, axis: int) -> None:
+        """Flip image + every version along `axis`; masks are re-evaluated
+        from their thresholds (the reference zeroes them for lazy re-eval;
+        eager re-threshold is the same observable state)."""
+        self.volume = self.volume.replace(data=jnp.flip(self.matrix, axis=axis))
+        if hasattr(self, "_image_versions"):
+            self._image_versions = [
+                (lbl, jnp.flip(mat, axis=axis)) for lbl, mat in self._image_versions]
+        self._invalidate_masks()
+        self.bus.send_message("slice.volume_flipped", axis=axis)
+
+    def swap_volume_axes(self, axis0: int, axis1: int) -> None:
+        """Swap two volume axes, permuting spacing (reference spacing is
+        (sx, sy, sz) X-first while the matrix is (Z, Y, X))."""
+        sx, sy, sz = self.spacing
+        spacing_map = {  # matrix-axis pair -> new (sx, sy, sz)
+            (2, 1): (sy, sx, sz), (1, 2): (sy, sx, sz),
+            (2, 0): (sz, sy, sx), (0, 2): (sz, sy, sx),
+            (1, 0): (sx, sz, sy), (0, 1): (sx, sz, sy),
+        }
+        new_spacing = spacing_map[(axis0, axis1)]
+        self.volume = self.volume.replace(
+            data=jnp.swapaxes(self.matrix, axis0, axis1), spacing=new_spacing)
+        if hasattr(self, "_image_versions"):
+            self._image_versions = [
+                (lbl, jnp.swapaxes(mat, axis0, axis1))
+                for lbl, mat in self._image_versions]
+        self._invalidate_masks(new_shape=self.matrix.shape)
+        self.bus.send_message("slice.volume_axes_swapped", axes=(axis0, axis1))
+
+    def _invalidate_masks(self, new_shape=None) -> None:
+        for m in self.masks.values():
+            m.spacing = self.spacing
+            m.history.clear()
+            tmin, tmax = m.threshold_range
+            m.data = thr_ops.threshold_new_mask(self.matrix, tmin, tmax)
+            m.was_edited = False

@@ -36,8 +36,8 @@ def gaussian(volume: jax.Array, sigma: float = 1.0, truncate: float = 4.0) -> ja
     k = _gauss_kernel1d(sigma, truncate)
     r = (len(k) - 1) // 2
     out = volume.astype(jnp.float32)
-    for axis in range(3):
-        pad = [(0, 0)] * 3
+    for axis in range(volume.ndim):
+        pad = [(0, 0)] * volume.ndim
         pad[axis] = (r, r)
         padded = jnp.pad(out, pad, mode="symmetric")
         acc = jnp.zeros_like(out)
@@ -52,8 +52,8 @@ def mean(volume: jax.Array, size: int = 3) -> jax.Array:
     """Uniform (box) filter, reflect boundary."""
     out = volume.astype(jnp.float32)
     r = size // 2
-    for axis in range(3):
-        pad = [(0, 0)] * 3
+    for axis in range(volume.ndim):
+        pad = [(0, 0)] * volume.ndim
         pad[axis] = (r, size - 1 - r)
         padded = jnp.pad(out, pad, mode="symmetric")
         acc = jnp.zeros_like(out)
@@ -67,13 +67,10 @@ def mean(volume: jax.Array, size: int = 3) -> jax.Array:
 def median(volume: jax.Array, size: int = 3) -> jax.Array:
     """Exact median over a size^3 window via sorting the shifted copies."""
     r = size // 2
-    offs = [
-        (a, b, c)
-        for a in range(-r, size - r)
-        for b in range(-r, size - r)
-        for c in range(-r, size - r)
-    ]
-    pad = [(r, size - 1 - r)] * 3
+    import itertools
+
+    offs = list(itertools.product(range(-r, size - r), repeat=volume.ndim))
+    pad = [(r, size - 1 - r)] * volume.ndim
     padded = jnp.pad(volume, pad, mode="symmetric")
 
     def window(off):
@@ -94,11 +91,67 @@ def unsharp(volume: jax.Array, sigma: float = 1.0, amount: float = 1.0) -> jax.A
     return (v + amount * (v - blurred)).astype(volume.dtype)
 
 
+@partial(jax.jit, static_argnames=("amount",))
+def sharpen(volume: jax.Array, amount: float = 1.0) -> jax.Array:
+    """Unsharp-mask sharpening clipped to the input range (reference
+    filters.py sharpening_filter: out = img + value*0.5*(img - gauss(img,1))
+    clamped to [img.min, img.max])."""
+    v = volume.astype(jnp.float32)
+    blurred = gaussian(v, 1.0).astype(jnp.float32)
+    out = v + amount * 0.5 * (v - blurred)
+    return jnp.clip(out, v.min(), v.max()).astype(volume.dtype)
+
+
+def despeckle(volume: jax.Array, sigma: float = 1.0) -> jax.Array:
+    """Gaussian-based speckle reduction (reference filters.py
+    despeckle_filter is a gaussian with sigma=value)."""
+    return gaussian(volume, float(sigma))
+
+
+def _sobel_axis(v: jax.Array, axis: int) -> jax.Array:
+    """scipy.ndimage.sobel: derivative [-1,0,1] on `axis`, smoothing
+    [1,2,1] on the other axes, reflect boundary — separable 1-D passes."""
+    def conv1d(x, k, ax):
+        pad = [(0, 0)] * x.ndim
+        pad[ax] = (1, 1)
+        p = jnp.pad(x, pad, mode="symmetric")
+        n = x.shape[ax]
+        return (k[0] * jax.lax.slice_in_dim(p, 0, n, axis=ax)
+                + k[1] * jax.lax.slice_in_dim(p, 1, n + 1, axis=ax)
+                + k[2] * jax.lax.slice_in_dim(p, 2, n + 2, axis=ax))
+
+    out = v
+    for ax in range(v.ndim):
+        k = jnp.array([-1.0, 0.0, 1.0]) if ax == axis else jnp.array([1.0, 2.0, 1.0])
+        out = conv1d(out, k, ax)
+    return out
+
+
+@partial(jax.jit, static_argnames=("sigma", "normalize"))
+def border_detection(volume: jax.Array, sigma: float = 1.0,
+                     normalize: bool = True) -> jax.Array:
+    """Sobel gradient magnitude after gaussian pre-smoothing, rescaled to
+    the input range (reference filters.py border_detection_filter)."""
+    v = gaussian(volume.astype(jnp.float32), float(sigma)).astype(jnp.float32)
+    mag = jnp.sqrt(sum(_sobel_axis(v, ax) ** 2 for ax in range(v.ndim)))
+    if normalize:
+        vmin = volume.min().astype(jnp.float32)
+        vmax = volume.max().astype(jnp.float32)
+        mmin, mmax = mag.min(), mag.max()
+        rng = mmax - mmin
+        mag = jnp.where(rng > 0, (mag - mmin) / jnp.maximum(rng, 1e-30)
+                        * (vmax - vmin) + vmin, mag)
+    return mag.astype(volume.dtype)
+
+
 FILTERS = {
     "Gaussian": gaussian,
     "Median": median,
     "Mean": mean,
     "Unsharp": unsharp,
+    "Sharpen": sharpen,
+    "Despeckle": despeckle,
+    "Border": border_detection,
 }
 
 

@@ -164,7 +164,7 @@ def test_session_auto_backup(tmp_path):
 
 def test_next_copy_name():
     assert _next_copy_name("Mask 1") == "Mask 1 copy"
-    assert _next_copy_name("Mask 1 copy", ["Mask 1 copy"]) == "Mask 1 copy#2"
+    assert _next_copy_name("Mask 1 copy", ["Mask 1 copy"]) == "Mask 1 copy#1"
     assert _next_copy_name("Mask 1 copy#2", ["Mask 1 copy#2"]) == "Mask 1 copy#3"
 
 

@@ -1,0 +1,216 @@
+"""Mask boolean ops, crop box, NIfTI mask import, image versions, and
+volume reorientation — the Slice editing flows added for reference parity
+(slice_.py:1878 do_boolean_op, geometry.py Box, control.py:264
+OnImportMaskNifti, slice_.py:2330 __apply_image_filter /
+:2541 __switch_active_image, :2103 OnFlipVolume, :2152 OnSwapVolumeAxes)."""
+
+import numpy as np
+import pytest
+
+from invesalius3_tpu import constants as const
+from invesalius3_tpu.core.geometry import Box
+from invesalius3_tpu.core.slice import Slice
+from invesalius3_tpu.core.volume import Volume
+
+rng = np.random.default_rng(11)
+
+
+def _volume(shape=(12, 14, 16)):
+    ct = rng.integers(-1000, 2000, shape).astype(np.int16)
+    return Volume.from_numpy(ct, spacing=(0.5, 0.6, 0.7))
+
+
+# ---------------------------------------------------------------------------
+# boolean ops
+# ---------------------------------------------------------------------------
+def test_boolean_ops_oracle():
+    vol = _volume()
+    slc = Slice(vol)
+    m1 = slc.create_new_mask(threshold_range=(0, 2000))
+    m2 = slc.create_new_mask(threshold_range=(500, 1000))
+    a = np.asarray(m1.data) >= const.MASK_VISIBLE_MIN
+    b = np.asarray(m2.data) >= const.MASK_VISIBLE_MIN
+    want = {
+        const.BOOLEAN_UNION: a | b,
+        const.BOOLEAN_DIFF: a & ~b,
+        const.BOOLEAN_AND: a & b,
+        const.BOOLEAN_XOR: a ^ b,
+    }
+    for op, expect in want.items():
+        out = slc.do_boolean_op(op, m1.index, m2.index)
+        np.testing.assert_array_equal(
+            np.asarray(out.data), expect.astype(np.uint8) * 255)
+        assert out.was_edited
+        assert const.BOOLEAN_OP_NAMES[op] in out.name
+    # result registered + selected
+    assert slc.current_mask is out
+    with pytest.raises(ValueError):
+        slc.do_boolean_op(99, m1.index, m2.index)
+
+
+# ---------------------------------------------------------------------------
+# crop box
+# ---------------------------------------------------------------------------
+def test_crop_box_geometry():
+    box = Box((10, 20, 30), spacing=(0.5, 1.0, 2.0))
+    assert box.limits == (0, 9, 0, 19, 0, 29)
+    box.set_limits(2, 7, 3, 15, 4, 25)
+    assert box.limits == (2, 7, 3, 15, 4, 25)
+    # world extents use X-first spacing
+    xi, xf, yi, yf, zi, zf = box.world_limits
+    assert (xi, xf) == (4 * 0.5, 25 * 0.5)
+    assert (yi, yf) == (3 * 1.0, 15 * 1.0)
+    assert (zi, zf) == (2 * 2.0, 7 * 2.0)
+    mat = box.make_matrix()
+    assert set(mat) == {"AXIAL", "CORONAL", "SAGITTAL"}
+    for segs in mat.values():
+        assert len(segs) == 4 and all(len(s) == 2 and len(s[0]) == 3 for s in segs)
+    # setters keep i <= f; clamp respects shape
+    box.set_x(28, 3)
+    assert (box.xi, box.xf) == (3, 28)
+    box.set_z(-5, 99)
+    box.clamp()
+    assert (box.zi, box.zf) == (0, 9)
+
+
+def test_apply_crop_undoable():
+    vol = _volume()
+    slc = Slice(vol)
+    m = slc.create_new_mask(threshold_range=(0, 2000))
+    before = np.asarray(m.data).copy()
+    box = slc.create_crop_box()
+    box.set_limits(2, 8, 3, 10, 4, 12)
+    slc.apply_crop()
+    out = np.asarray(m.data)
+    want = np.zeros_like(before)
+    want[2:9, 3:11, 4:13] = before[2:9, 3:11, 4:13]
+    np.testing.assert_array_equal(out, want)
+    assert m.undo()
+    np.testing.assert_array_equal(np.asarray(m.data), before)
+
+
+# ---------------------------------------------------------------------------
+# NIfTI mask import
+# ---------------------------------------------------------------------------
+def test_import_mask_from_nifti(tmp_path):
+    from invesalius3_tpu.io.nifti import write_nifti
+
+    vol = _volume()
+    slc = Slice(vol)
+    labels = (rng.random(vol.shape) > 0.7).astype(np.uint8)  # 0/1 label map
+    p = tmp_path / "mask.nii.gz"
+    write_nifti(p, labels, spacing=vol.spacing)
+    m = slc.import_mask_from_nifti(p)
+    np.testing.assert_array_equal(np.asarray(m.data), labels * 255)
+    assert m.threshold_range == (0, 255)
+    assert slc.current_mask is m
+
+    bad = np.zeros((3, 3, 3), np.uint8)
+    p2 = tmp_path / "bad.nii.gz"
+    write_nifti(p2, bad)
+    with pytest.raises(ValueError):
+        slc.import_mask_from_nifti(p2)
+
+
+# ---------------------------------------------------------------------------
+# image versions
+# ---------------------------------------------------------------------------
+def test_image_versions_filter_and_switch():
+    vol = _volume((10, 12, 14))
+    slc = Slice(vol)
+    m = slc.create_new_mask(threshold_range=(0, 2000))
+    orig = np.asarray(slc.matrix).copy()
+    label = slc.apply_image_filter(const.FILTER_GAUSSIAN, 1.5)
+    assert label == "Filtered 1" and slc.current_image_label == label
+    assert len(slc.image_versions) == 2
+    filtered = np.asarray(slc.matrix)
+    assert not np.array_equal(filtered, orig)
+    # unedited mask re-thresholded against the filtered image
+    want = ((filtered >= 0) & (filtered <= 2000)).astype(np.uint8) * 255
+    np.testing.assert_array_equal(np.asarray(m.data), want)
+    # switch back restores the original
+    slc.select_image_version("original")
+    np.testing.assert_array_equal(np.asarray(slc.matrix), orig)
+    # chaining numbers versions sequentially
+    assert slc.apply_image_filter(const.FILTER_MEAN, 1.0) == "Filtered 2"
+    with pytest.raises(KeyError):
+        slc.select_image_version("nope")
+
+
+def test_image_filter_2d_matches_per_slice():
+    from invesalius3_tpu.ops import filters as F
+    import jax.numpy as jnp
+
+    vol = _volume((6, 10, 12))
+    slc = Slice(vol)
+    slc.apply_image_filter(const.FILTER_GAUSSIAN, 1.0, dimension="2D",
+                           orientation="AXIAL")
+    got = np.asarray(slc.matrix)
+    want = np.stack([
+        np.asarray(F.gaussian(jnp.asarray(np.asarray(vol.data)[i]), 1.0))
+        for i in range(vol.shape[0])
+    ])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_new_filters_match_scipy():
+    from scipy import ndimage
+    import jax.numpy as jnp
+    from invesalius3_tpu.ops import filters as F
+
+    x = rng.integers(-500, 500, (8, 9, 10)).astype(np.int16)
+    # sharpen: reference filters.py sharpening_filter
+    got = np.asarray(F.sharpen(jnp.asarray(x), 2.0))
+    f = x.astype(float)
+    blurred = ndimage.gaussian_filter(f, sigma=1.0)
+    want = np.clip(f + 2.0 * 0.5 * (f - blurred), x.min(), x.max()).astype(np.int16)
+    assert np.mean(np.abs(got.astype(float) - want.astype(float)) <= 1) > 0.99
+    # border detection: sobel magnitude rescaled to input range
+    got = np.asarray(F.border_detection(jnp.asarray(x), 1.0)).astype(float)
+    sm = ndimage.gaussian_filter(f, sigma=1.0)
+    mag = np.sqrt(sum(ndimage.sobel(sm, axis=a) ** 2 for a in range(3)))
+    want = ((mag - mag.min()) / (mag.max() - mag.min())
+            * (f.max() - f.min()) + f.min())
+    assert np.mean(np.abs(got - want) <= 2) > 0.98
+
+
+def test_image_versions_inv3_roundtrip(tmp_path):
+    from invesalius3_tpu.core.project import Project
+
+    vol = _volume((8, 8, 8))
+    slc = Slice(vol)
+    slc.apply_image_filter(const.FILTER_MEAN, 1.0)
+    proj = Project()
+    proj.volume = vol
+    proj.name = "v"
+    proj.image_versions = slc.image_versions
+    p = tmp_path / "v.inv3"
+    proj.save(p)
+    loaded = Project.open(p)
+    labels = [lbl for lbl, _ in loaded.image_versions]
+    assert labels == ["original", "Filtered 1"]
+    np.testing.assert_array_equal(
+        np.asarray(loaded.image_versions[1][1]),
+        np.asarray(slc.image_versions[1][1]))
+
+
+# ---------------------------------------------------------------------------
+# reorientation
+# ---------------------------------------------------------------------------
+def test_flip_and_swap_volume():
+    vol = _volume((6, 8, 10))
+    slc = Slice(vol)
+    m = slc.create_new_mask(threshold_range=(0, 2000))
+    orig = np.asarray(vol.data).copy()
+    slc.flip_volume(0)
+    np.testing.assert_array_equal(np.asarray(slc.matrix), orig[::-1])
+    # masks re-evaluated against the flipped image
+    want = ((orig[::-1] >= 0) & (orig[::-1] <= 2000)).astype(np.uint8) * 255
+    np.testing.assert_array_equal(np.asarray(m.data), want)
+
+    slc.swap_volume_axes(2, 1)  # x <-> y
+    assert slc.matrix.shape == (6, 10, 8)
+    assert slc.spacing == (0.6, 0.5, 0.7)
+    np.testing.assert_array_equal(
+        np.asarray(slc.matrix), orig[::-1].swapaxes(2, 1))
+    assert np.asarray(m.data).shape == (6, 10, 8)

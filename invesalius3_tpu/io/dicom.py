@@ -86,6 +86,9 @@ class DicomFile:
     pixel_offset: int = -1
     pixel_length: int = 0
     transfer_syntax: str = EXPLICIT_VR_LE
+    # encapsulated (compressed) PixelData: [(offset, length)] item fragments,
+    # first item being the Basic Offset Table (PS3.5 A.4)
+    fragments: Optional[list] = None
     _pixels: Optional[np.ndarray] = None
 
     def get(self, name, default=None):
@@ -95,6 +98,9 @@ class DicomFile:
     def pixel_array(self) -> np.ndarray:
         """Decode raw pixel data -> (frames, rows, cols) or (rows, cols)."""
         if self._pixels is not None:
+            return self._pixels
+        if self.fragments is not None:
+            self._pixels = self._decode_encapsulated()
             return self._pixels
         if self.pixel_offset < 0:
             raise DicomError(f"{self.path}: no PixelData")
@@ -123,6 +129,40 @@ class DicomFile:
         self._pixels = arr
         return arr
 
+    def _decode_encapsulated(self) -> np.ndarray:
+        """Decode RLE / JPEG-Lossless encapsulated PixelData (the syntaxes
+        the reference routes through GDCM, dicom_reader.py:86-140)."""
+        from invesalius3_tpu.io import dicom_codecs as codecs
+
+        rows = int(self.get("Rows"))
+        cols = int(self.get("Columns"))
+        spp = int(self.get("SamplesPerPixel", 1))
+        bits = int(self.get("BitsAllocated", 16))
+        signed = int(self.get("PixelRepresentation", 0)) == 1
+        frames = int(self.get("NumberOfFrames", 1) or 1)
+        with open(self.path, "rb") as f:
+            buf = f.read()
+        frame_bytes = codecs.fragments_to_frames(buf, self.fragments, frames)
+        decoded = []
+        for fb in frame_bytes:
+            if self.transfer_syntax == codecs.RLE_LOSSLESS:
+                arr = codecs.rle_decode_frame(fb, rows, cols, bits, spp)
+            else:  # JPEG lossless process 14
+                arr = codecs.jpegll_decode(fb)
+                if arr.shape[:2] != (rows, cols):
+                    raise DicomError(
+                        f"{self.path}: JPEG frame {arr.shape} != ({rows},{cols})")
+            if arr.ndim == 3:  # RGB etc -> luminance, like the raw path
+                arr = arr.mean(axis=2)
+            if signed:
+                arr = arr.astype(np.uint16).view(np.int16) if bits == 16 else (
+                    arr.astype(np.uint8).view(np.int8))
+            else:
+                arr = arr.astype({8: np.uint8, 16: np.uint16}.get(bits, np.uint16))
+            decoded.append(arr)
+        out = np.stack(decoded) if frames > 1 else decoded[0]
+        return out
+
     def rescaled_slice(self) -> np.ndarray:
         """Pixels with modality rescale applied, int16 (the reference
         materializes int16 HU volumes — imagedata_utils.py:419-496)."""
@@ -141,8 +181,10 @@ class DicomFile:
 
 
 def _parse_elements(buf: bytes, start: int, explicit: bool, want_pixels: bool,
-                    file_offset: int = 0):
-    """Walk a dataset, returning (tags dict, pixel_offset, pixel_len)."""
+                    file_offset: int = 0, fragments_out: Optional[list] = None):
+    """Walk a dataset, returning (tags dict, pixel_offset, pixel_len).
+    Encapsulated PixelData item fragments are appended to `fragments_out`
+    when given, else rejected."""
     tags: Dict[str, object] = {}
     pos = start
     n = len(buf)
@@ -169,7 +211,14 @@ def _parse_elements(buf: bytes, start: int, explicit: bool, want_pixels: bool,
 
         if (group, elem) == PIXEL_DATA:
             if length == 0xFFFFFFFF:
-                raise DicomError("encapsulated (compressed) PixelData not supported")
+                if fragments_out is None:
+                    raise DicomError("encapsulated (compressed) PixelData not supported")
+                from invesalius3_tpu.io.dicom_codecs import parse_fragments
+
+                frags, pos = parse_fragments(buf, pos)
+                fragments_out.extend(
+                    (file_offset + off, ln) for off, ln in frags)
+                continue
             pixel_offset = file_offset + pos
             pixel_len = length
             pos += length
@@ -252,6 +301,9 @@ def read_dicom(path) -> DicomFile:
         ts = None
         body_start = 0
 
+    from invesalius3_tpu.io.dicom_codecs import DECODABLE_SYNTAXES
+
+    encapsulated = ts in DECODABLE_SYNTAXES
     if ts in (None, IMPLICIT_VR_LE, EXPLICIT_VR_LE):
         explicit = _looks_explicit(data, body_start) if ts is None else (ts == EXPLICIT_VR_LE)
     elif ts == DEFLATED_LE:
@@ -259,15 +311,23 @@ def read_dicom(path) -> DicomFile:
 
         data = data[:body_start] + zlib.decompress(data[body_start:], -15)
         explicit = True
+    elif encapsulated:
+        explicit = True  # encapsulated syntaxes use explicit VR LE datasets
     elif ts == EXPLICIT_VR_BE:
         raise DicomError(f"{path}: big-endian transfer syntax not supported")
     else:
         raise DicomError(f"{path}: compressed transfer syntax {ts} not supported "
-                         "(decompress with dcmdjpeg/gdcmconv first)")
+                         "(lossless JPEG/RLE are decoded natively; "
+                         "decompress lossy/J2K with dcmdjpeg/gdcmconv first)")
 
-    tags, pix_off, pix_len = _parse_elements(data, body_start, explicit, True)
+    frags: list = []
+    tags, pix_off, pix_len = _parse_elements(
+        data, body_start, explicit, True,
+        fragments_out=frags if encapsulated else None)
     d = DicomFile(path=str(path), tags=tags, pixel_offset=pix_off,
-                  pixel_length=pix_len, transfer_syntax=ts or (EXPLICIT_VR_LE if explicit else IMPLICIT_VR_LE))
+                  pixel_length=pix_len,
+                  fragments=frags if encapsulated else None,
+                  transfer_syntax=ts or (EXPLICIT_VR_LE if explicit else IMPLICIT_VR_LE))
     return d
 
 
@@ -481,8 +541,11 @@ def _encode_element(group: int, elem: int, vr: str, value) -> bytes:
     return head + payload
 
 
-def write_dicom(path, pixels: "np.ndarray", tags: dict) -> None:
-    """Write a single-frame int16/uint16/uint8 DICOM (explicit VR LE)."""
+def write_dicom(path, pixels: "np.ndarray", tags: dict,
+                transfer_syntax: str = EXPLICIT_VR_LE) -> None:
+    """Write a single-frame int16/uint16/uint8 DICOM.  transfer_syntax may
+    be explicit VR LE (raw), RLE Lossless, or JPEG Lossless (encapsulated,
+    encoded via io/dicom_codecs)."""
     pixels = np.ascontiguousarray(pixels)
     assert pixels.ndim == 2
     bits = pixels.dtype.itemsize * 8
@@ -502,7 +565,7 @@ def write_dicom(path, pixels: "np.ndarray", tags: dict) -> None:
             payload += b"\x00"
         return struct.pack("<HH2sH", 0x0002, elem, vr.encode(), len(payload)) + payload
 
-    meta_body = meta_el(0x0010, "UI", EXPLICIT_VR_LE)
+    meta_body = meta_el(0x0010, "UI", transfer_syntax)
     meta_len = struct.pack("<HH2sHI", 0x0002, 0x0000, b"UL", 4, len(meta_body))
 
     body = b""
@@ -510,9 +573,30 @@ def write_dicom(path, pixels: "np.ndarray", tags: dict) -> None:
         if name in all_tags and all_tags[name] is not None:
             g, e = _TAG_BY_NAME[name]
             body += _encode_element(g, e, _WRITE_VRS[name], all_tags[name])
-    pix = pixels.tobytes()
-    vr = b"OW" if bits == 16 else b"OB"
-    body += struct.pack("<HH2sHI", 0x7FE0, 0x0010, vr, 0, len(pix)) + pix
+
+    from invesalius3_tpu.io import dicom_codecs as codecs
+
+    if transfer_syntax == EXPLICIT_VR_LE:
+        pix = pixels.tobytes()
+        vr = b"OW" if bits == 16 else b"OB"
+        body += struct.pack("<HH2sHI", 0x7FE0, 0x0010, vr, 0, len(pix)) + pix
+    elif transfer_syntax in codecs.DECODABLE_SYNTAXES:
+        if transfer_syntax == codecs.RLE_LOSSLESS:
+            frag = codecs.rle_encode_frame(pixels)
+        else:
+            # JPEG lossless encodes unsigned sample values; signed pixels
+            # round-trip through their uint bit pattern
+            u = pixels.view(np.uint16) if pixels.dtype == np.int16 else (
+                pixels.view(np.uint8) if pixels.dtype == np.int8 else pixels)
+            frag = codecs.jpegll_encode(np.ascontiguousarray(u), precision=bits)
+        if len(frag) % 2:
+            frag += b"\x00"
+        body += struct.pack("<HH2sHI", 0x7FE0, 0x0010, b"OB", 0, 0xFFFFFFFF)
+        body += struct.pack("<HHI", 0xFFFE, 0xE000, 0)          # empty BOT
+        body += struct.pack("<HHI", 0xFFFE, 0xE000, len(frag)) + frag
+        body += struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)          # seq delimiter
+    else:
+        raise DicomError(f"write_dicom: unsupported transfer syntax {transfer_syntax}")
 
     with open(path, "wb") as f:
         f.write(b"\x00" * 128 + b"DICM")

@@ -29,11 +29,13 @@ _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
 
 
+_SOURCES = ("decimate.cpp", "codecs.cpp")
+
+
 def _build() -> Optional[ctypes.CDLL]:
-    src = _HERE / "decimate.cpp"
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-        str(src), "-o", str(_LIB_PATH),
+        *(str(_HERE / s) for s in _SOURCES), "-o", str(_LIB_PATH),
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
@@ -51,10 +53,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
             return None
         if _LIB_PATH.exists():
             try:
-                _lib = ctypes.CDLL(str(_LIB_PATH))
-                _configure(_lib)
+                lib = ctypes.CDLL(str(_LIB_PATH))
+                _configure(lib)
+                _lib = lib
                 return _lib
-            except OSError:
+            except (OSError, AttributeError):
+                # stale .so from before a new source file was added: rebuild
                 _LIB_PATH.unlink()
         lib = _build()
         if lib is None:
@@ -73,6 +77,18 @@ def _configure(lib: ctypes.CDLL) -> None:
         ctypes.c_int64,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.jpegll_decode.restype = ctypes.c_int
+    lib.jpegll_decode.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint16), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.packbits_decode.restype = ctypes.c_int64
+    lib.packbits_decode.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
     ]
 
 
@@ -105,3 +121,47 @@ def decimate_qem(verts: np.ndarray, faces: np.ndarray,
     if rc != 0:
         raise RuntimeError(f"decimate_qem failed with code {rc}")
     return out_v[: nv.value].copy(), out_f[: nf.value].copy()
+
+
+def jpegll_decode(data: bytes) -> np.ndarray:
+    """Decode one lossless-JPEG (SOF3) frame -> (rows, cols) or
+    (rows, cols, ncomp) uint16.  Raises RuntimeError on failure."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native codecs unavailable (no g++)")
+    src = np.frombuffer(data, np.uint8)
+    # capacity guess: parse rows/cols from SOF3 would need a scan; just use
+    # the compressed length heuristic with a generous floor
+    cap = max(len(data) * 8, 1 << 22)
+    out = np.empty(cap, np.uint16)
+    rows = ctypes.c_int32(0)
+    cols = ctypes.c_int32(0)
+    ncomp = ctypes.c_int32(0)
+    rc = lib.jpegll_decode(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(src),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), cap,
+        ctypes.byref(rows), ctypes.byref(cols), ctypes.byref(ncomp),
+    )
+    if rc != 0:
+        raise RuntimeError(f"jpegll_decode failed with code {rc}")
+    n = rows.value * cols.value * ncomp.value
+    arr = out[:n].copy()
+    if ncomp.value > 1:
+        return arr.reshape(rows.value, cols.value, ncomp.value)
+    return arr.reshape(rows.value, cols.value)
+
+
+def packbits_decode(data: bytes, expected: int) -> bytes:
+    """Decode one PackBits-compressed RLE segment to `expected` bytes."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native codecs unavailable (no g++)")
+    src = np.frombuffer(data, np.uint8)
+    dst = np.empty(expected, np.uint8)
+    n = lib.packbits_decode(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(src),
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), expected,
+    )
+    if n < 0:
+        raise RuntimeError("packbits_decode: truncated or oversized segment")
+    return dst[:n].tobytes()

@@ -301,3 +301,96 @@ def test_parrec_errors(tmp_path):
     (tmp_path / "phantom.REC").write_bytes(b"\x00" * 10)  # truncated
     with pytest.raises(ValueError):
         parrec.read_par_rec(par)
+
+
+# ---------------------------------------------------------------------------
+# compressed transfer syntaxes (RLE Lossless, JPEG Lossless process 14)
+# ---------------------------------------------------------------------------
+def test_packbits_roundtrip():
+    from invesalius3_tpu.io import dicom_codecs as codecs
+
+    for data in (b"", b"\x00" * 1000, bytes(rng.integers(0, 256, 333)),
+                 b"ABABAB" + b"\xff" * 200 + b"Z"):
+        enc = codecs.packbits_encode(data)
+        assert codecs.packbits_decode(enc, len(data)) == data
+
+
+def test_rle_frame_roundtrip():
+    from invesalius3_tpu.io import dicom_codecs as codecs
+
+    arr = rng.integers(-1024, 3000, (32, 24)).astype(np.int16)
+    frame = codecs.rle_encode_frame(arr)
+    out = codecs.rle_decode_frame(frame, 32, 24, 16).astype(np.uint16).view(np.int16)
+    np.testing.assert_array_equal(out, arr)
+    # uint8 single segment
+    a8 = rng.integers(0, 255, (8, 8)).astype(np.uint8)
+    out8 = codecs.rle_decode_frame(codecs.rle_encode_frame(a8), 8, 8, 8)
+    np.testing.assert_array_equal(out8, a8)
+
+
+@pytest.mark.parametrize("predictor", [1, 2, 4, 7])
+def test_jpegll_codec_roundtrip(predictor):
+    from invesalius3_tpu.io import dicom_codecs as codecs
+
+    arr = rng.integers(0, 4096, (24, 31)).astype(np.uint16)
+    enc = codecs.jpegll_encode(arr, precision=16, predictor=predictor)
+    # native decoder (or python fallback if no g++)
+    out = codecs.jpegll_decode(enc)
+    np.testing.assert_array_equal(out, arr)
+    # the pure-python fallback agrees with the native path
+    out_py = codecs._jpegll_decode_py(enc)
+    np.testing.assert_array_equal(out_py, arr)
+
+
+def test_jpegll_extreme_diffs():
+    from invesalius3_tpu.io import dicom_codecs as codecs
+
+    # force |diff| = 32768 (ssss=16 special case) and full-range values
+    arr = np.array([[0, 32768, 0, 65535], [65535, 0, 32768, 1]], np.uint16)
+    out = codecs.jpegll_decode(codecs.jpegll_encode(arr))
+    np.testing.assert_array_equal(out, arr)
+
+
+@pytest.mark.parametrize("ts_name", ["rle", "jpegll"])
+def test_dicom_compressed_roundtrip(tmp_path, ts_name):
+    from invesalius3_tpu.io import dicom_codecs as codecs
+
+    ts = codecs.RLE_LOSSLESS if ts_name == "rle" else codecs.JPEG_LOSSLESS_SV1
+    px = rng.integers(-1024, 3000, (16, 16)).astype(np.int16)
+    p = tmp_path / f"{ts_name}.dcm"
+    dicom.write_dicom(p, px, {
+        "PatientID": "P1", "Modality": "CT",
+        "SeriesInstanceUID": "1.2.3.9", "InstanceNumber": 1,
+        "ImagePositionPatient": [0.0, 0.0, 0.0],
+        "ImageOrientationPatient": [1, 0, 0, 0, 1, 0],
+        "PixelSpacing": [0.5, 0.5], "RescaleSlope": 1.0,
+        "RescaleIntercept": -1024.0,
+    }, transfer_syntax=ts)
+    f = dicom.read_dicom(p)
+    assert f.transfer_syntax == ts
+    assert f.fragments is not None and len(f.fragments) >= 2
+    arr = f.pixel_array()
+    np.testing.assert_array_equal(arr, px)
+    hu = f.rescaled_slice()
+    np.testing.assert_array_equal(
+        hu, np.clip(px.astype(np.int32) - 1024, -32768, 32767))
+
+
+def test_dicom_compressed_series_to_volume(tmp_path):
+    from invesalius3_tpu.io import dicom_codecs as codecs
+
+    for i in range(4):
+        px = rng.integers(0, 2000, (8, 8)).astype(np.int16)
+        px[0, 0] = i
+        dicom.write_dicom(tmp_path / f"c{i}.dcm", px, {
+            "PatientID": "P1", "Modality": "CT",
+            "SeriesInstanceUID": "1.2.3.10", "InstanceNumber": i + 1,
+            "ImagePositionPatient": [0.0, 0.0, 2.0 * i],
+            "ImageOrientationPatient": [1, 0, 0, 0, 1, 0],
+            "PixelSpacing": [0.5, 0.5],
+        }, transfer_syntax=codecs.RLE_LOSSLESS)
+    groups = dicom.load_dicom_dir(tmp_path)
+    assert len(groups) == 1 and len(groups[0].files) == 4
+    data, spacing, _ = dicom.group_to_volume(groups[0])
+    assert data.shape == (4, 8, 8)
+    assert [int(data[i, 0, 0]) for i in range(4)] == [0, 1, 2, 3]

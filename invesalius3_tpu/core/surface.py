@@ -140,6 +140,45 @@ def create_surface_from_mask(
     return s
 
 
+def split_surface(surface: Surface) -> list:
+    """One new Surface per connected component, largest first (reference
+    surface.py:431 OnSplitSurface)."""
+    parts = mesh_ops.split_components(surface.vertices, surface.faces)
+    out = []
+    for i, (v, f) in enumerate(parts):
+        s = Surface(vertices=v, faces=f, name=f"{surface.name} part {i + 1}")
+        s.colour = surface.colour
+        s.compute_properties()
+        out.append(s)
+    return out
+
+
+def surface_from_seeds(surface: Surface, seeds, seeds_are_points: bool = True) -> Surface:
+    """New surface keeping the components hit by the seeds (reference
+    surface.py:319 OnSeedSurface).  `seeds` are world-mm points (default)
+    or vertex ids."""
+    ids = (mesh_ops.nearest_vertex(surface.vertices, seeds)
+           if seeds_are_points else seeds)
+    v, f = mesh_ops.select_components_by_seeds(surface.vertices, surface.faces, ids)
+    s = Surface(vertices=v, faces=f, name=f"{surface.name} (seeded)")
+    s.colour = surface.colour
+    s.compute_properties()
+    return s
+
+
+def smooth_surface(surface: Surface, iterations: int = 20,
+                   relaxation: float = 0.4) -> Surface:
+    """Laplacian relaxation smoothing (reference surface.py:344
+    OnSmoothSurface -> vtkSmoothPolyDataFilter(iterations=20, 0.4))."""
+    v = mesh_ops.laplacian_smooth(surface.vertices, surface.faces,
+                                  iterations, relaxation)
+    s = Surface(vertices=v, faces=surface.faces.copy(),
+                name=f"{surface.name} (smoothed)")
+    s.colour = surface.colour
+    s.compute_properties()
+    return s
+
+
 def decimate(verts: np.ndarray, faces: np.ndarray, reduction: float):
     """Mesh decimation to (1 - reduction) triangles (the reference uses
     vtkQuadricDecimation — surface_process.py:350-372).

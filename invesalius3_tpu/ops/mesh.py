@@ -27,7 +27,7 @@ all-vertices behavior.  The Taubin step direction matches the Rust exactly
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -162,6 +162,28 @@ def taubin_smooth(
     out = _taubin_core(v3, n_dv, jnp.asarray(deg), jnp.asarray(weights),
                        jnp.float32(lam), jnp.float32(mu), steps)
     return out.T
+
+
+@partial(jax.jit, static_argnames=("steps",))
+def _laplacian_core(verts3v, neigh_dv, deg, relax, steps: int):
+    def one_step(v, _):
+        d = _calc_d(v, neigh_dv, deg)  # mean(v - neighbors)
+        return v - relax * d, None     # move toward the neighbor mean
+
+    out, _ = jax.lax.scan(one_step, verts3v, None, length=steps)
+    return out
+
+
+def laplacian_smooth(verts: np.ndarray, faces: np.ndarray,
+                     iterations: int = 20,
+                     relaxation: float = 0.4) -> np.ndarray:
+    """vtkSmoothPolyDataFilter-style Laplacian relaxation
+    (reference surface.py:355 ApplySmoothFilter defaults 20 x 0.4)."""
+    table, deg = vertex_adjacency_fast(np.asarray(faces), len(verts))
+    v3 = jnp.asarray(verts, jnp.float32).T
+    out = _laplacian_core(v3, jnp.asarray(table).T, jnp.asarray(deg),
+                          jnp.float32(relaxation), int(iterations))
+    return np.asarray(out.T)
 
 
 # ---------------------------------------------------------------------------
@@ -361,6 +383,55 @@ def keep_largest_component(
     keep_f = keep_v[faces].all(axis=1)
     new_faces = remap[faces[keep_f]].astype(np.int32)
     return verts[keep_v], new_faces
+
+
+def _extract_vertex_subset(
+    verts: np.ndarray, faces: np.ndarray, keep_v: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Compact a mesh to the vertices flagged in boolean keep_v, keeping
+    faces whose three corners all survive."""
+    remap = -np.ones(len(verts), np.int64)
+    remap[keep_v] = np.arange(int(keep_v.sum()))
+    keep_f = keep_v[faces].all(axis=1)
+    return verts[keep_v], remap[faces[keep_f]].astype(np.int32)
+
+
+def split_components(
+    verts: np.ndarray, faces: np.ndarray
+) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Split a mesh into its connected components, largest first
+    (reference surface.py:431 OnSplitSurface -> polydata_utils.SplitDisconectedParts,
+    vtkPolyDataConnectivityFilter in SPECIFIED_REGION mode)."""
+    comp = mesh_components(faces, len(verts))
+    ids, counts = np.unique(comp, return_counts=True)
+    out = []
+    for cid in ids[np.argsort(-counts)]:
+        out.append(_extract_vertex_subset(verts, faces, comp == cid))
+    return out
+
+
+def select_components_by_seeds(
+    verts: np.ndarray, faces: np.ndarray, seed_vertices
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Keep every connected component containing at least one seed vertex
+    id (reference surface.py:319 OnSeedSurface ->
+    polydata_utils.JoinSeedsParts, connectivity filter with
+    AddSeed per point id)."""
+    seed_vertices = np.atleast_1d(np.asarray(seed_vertices, np.int64))
+    comp = mesh_components(faces, len(verts))
+    wanted = np.unique(comp[seed_vertices])
+    return _extract_vertex_subset(verts, faces, np.isin(comp, wanted))
+
+
+def nearest_vertex(verts: np.ndarray, points: np.ndarray) -> np.ndarray:
+    """Vertex id nearest to each query point (world mm) — how a 3D-picked
+    seed becomes a point id.  Chunked to bound memory."""
+    points = np.atleast_2d(np.asarray(points, np.float32))
+    out = np.empty(len(points), np.int64)
+    v = np.asarray(verts, np.float32)
+    for i, p in enumerate(points):
+        out[i] = int(np.argmin(((v - p) ** 2).sum(axis=1)))
+    return out
 
 
 # ---------------------------------------------------------------------------

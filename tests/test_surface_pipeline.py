@@ -145,3 +145,69 @@ def test_x3d_writes(tmp_path):
     p = tmp_path / "m.x3d"
     mesh_io.write_x3d(str(p), verts, faces)
     assert p.exists() and p.stat().st_size > 100
+
+
+# ---------------------------------------------------------------------------
+# connectivity editing (reference surface.py:319-435) + relaxation smoothing
+# ---------------------------------------------------------------------------
+def _two_tets():
+    tet_v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32)
+    tet_f = np.array([[0, 1, 2], [0, 1, 3], [0, 2, 3], [1, 2, 3]], np.int32)
+    # second, bigger component: a tet subdivided = use 2 tets sharing verts
+    far = tet_v + 10.0
+    extra_v = np.array([[10.5, 10.5, 11.5]], np.float32)
+    v = np.vstack([tet_v, far, extra_v])
+    f2 = tet_f + 4
+    f3 = np.array([[4, 5, 8], [5, 6, 8], [4, 6, 8]], np.int32)
+    f = np.vstack([tet_f, f2, f3])
+    return v, f
+
+
+def test_split_components_largest_first():
+    from invesalius3_tpu.ops import mesh as mesh_ops
+
+    v, f = _two_tets()
+    parts = mesh_ops.split_components(v, f)
+    assert len(parts) == 2
+    (v0, f0), (v1, f1) = parts
+    assert len(f0) >= len(f1)          # largest first
+    assert len(v0) == 5 and len(f0) == 7
+    assert len(v1) == 4 and len(f1) == 4
+    assert f0.max() < len(v0) and f1.max() < len(v1)  # reindexed
+
+
+def test_select_components_by_seed_point():
+    from invesalius3_tpu.core.surface import Surface, surface_from_seeds
+
+    v, f = _two_tets()
+    s = Surface(vertices=v, faces=f, name="two")
+    picked = surface_from_seeds(s, [[0.1, 0.1, 0.1]])  # near first tet
+    assert len(picked.vertices) == 4 and len(picked.faces) == 4
+    both = surface_from_seeds(s, [[0.1, 0.1, 0.1], [10.2, 10.0, 10.1]])
+    assert len(both.vertices) == 9 and len(both.faces) == 11
+
+
+def test_split_surface_objects():
+    from invesalius3_tpu.core.surface import Surface, split_surface
+
+    v, f = _two_tets()
+    parts = split_surface(Surface(vertices=v, faces=f, name="two"))
+    assert [p.name for p in parts] == ["two part 1", "two part 2"]
+    assert all(p.area > 0 for p in parts)
+
+
+def test_laplacian_smooth_contracts():
+    from invesalius3_tpu.ops import mesh as mesh_ops
+
+    # icosahedron-ish: unit-sphere random triangulation via convex hull
+    from scipy.spatial import ConvexHull
+
+    pts = np.random.default_rng(3).normal(size=(80, 3))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    hull = ConvexHull(pts)
+    v, f = pts.astype(np.float32), hull.simplices.astype(np.int32)
+    out = mesh_ops.laplacian_smooth(v, f, iterations=20, relaxation=0.4)
+    assert out.shape == v.shape
+    r_before = np.linalg.norm(v - v.mean(0), axis=1).mean()
+    r_after = np.linalg.norm(out - out.mean(0), axis=1).mean()
+    assert 0.3 * r_before < r_after < r_before  # shrinks but doesn't collapse

@@ -237,3 +237,140 @@ def test_utils_helpers():
         return x + 1
 
     assert f(1) == 2 and f.last_seconds >= 0.0
+
+
+def test_storage_scp_receives_c_store(tmp_path):
+    """Loopback C-STORE: SCU -> StorageSCP -> Part-10 files on disk."""
+    from invesalius3_tpu.io import dicom
+    from invesalius3_tpu.io.dicom import _parse_file_meta
+    from invesalius3_tpu.net.dicom_net import (
+        CT_STORAGE, EXPLICIT_VR_LE, StorageSCP, send_c_store)
+
+    datasets = []
+    for i in range(3):
+        px = np.arange(64, dtype=np.int16).reshape(8, 8) + i
+        p = tmp_path / f"src{i}.dcm"
+        dicom.write_dicom(p, px, {
+            "PatientID": "PMOVE", "Modality": "CT",
+            "SeriesInstanceUID": "7.7.7", "InstanceNumber": i + 1,
+            "ImagePositionPatient": [0.0, 0.0, float(i)],
+            "PixelSpacing": [1.0, 1.0],
+        })
+        raw = p.read_bytes()
+        meta, _, _ = _parse_file_meta(raw, 132)
+        datasets.append((f"1.9.{i}", raw[meta["_end"]:]))
+
+    dest = tmp_path / "received"
+    scp = StorageSCP(dest, port=0)
+    scp.start()
+    try:
+        n = send_c_store("127.0.0.1", scp.port, datasets,
+                         sop_class=CT_STORAGE,
+                         transfer_syntax=EXPLICIT_VR_LE)
+    finally:
+        scp.stop()
+    assert n == 3
+    assert len(scp.received_files) == 3
+    f = dicom.read_dicom(scp.received_files[0])
+    assert f.get("PatientID") == "PMOVE"
+    assert f.pixel_array().shape == (8, 8)
+
+
+def test_run_cmove_against_mini_pacs(tmp_path):
+    """Full C-MOVE loop: RunCMove drives a mini PACS that C-STOREs the
+    study back to the client's StorageSCP (reference net/dicom.py:135)."""
+    import socket
+    import struct
+    import threading
+
+    from invesalius3_tpu.io import dicom
+    from invesalius3_tpu.io.dicom import _parse_file_meta
+    from invesalius3_tpu.net.dicom_net import (
+        CT_STORAGE, EXPLICIT_VR_LE, DicomNet, _pdu, _item, _uid,
+        _read_implicit_text, _recv_exact, send_c_store)
+
+    # source study
+    datasets = []
+    for i in range(2):
+        px = (np.arange(64, dtype=np.int16).reshape(8, 8) * (i + 1))
+        p = tmp_path / f"study{i}.dcm"
+        dicom.write_dicom(p, px, {
+            "PatientID": "PM2", "Modality": "CT",
+            "SeriesInstanceUID": "5.5.5", "InstanceNumber": i + 1,
+            "ImagePositionPatient": [0.0, 0.0, float(i)],
+            "PixelSpacing": [1.0, 1.0],
+        })
+        raw = p.read_bytes()
+        meta, _, _ = _parse_file_meta(raw, 132)
+        datasets.append((f"2.4.{i}", raw[meta["_end"]:]))
+
+    # pick a free port for the client's storage SCP ahead of time
+    probe = socket.socket()
+    probe.bind(("127.0.0.1", 0))
+    store_port = probe.getsockname()[1]
+    probe.close()
+
+    moved_uid = {}
+
+    def mini_pacs(server_sock):
+        conn, _ = server_sock.accept()
+        with conn:
+            head = _recv_exact(conn, 6)
+            (ln,) = struct.unpack(">I", head[2:6])
+            payload = _recv_exact(conn, ln)
+            # accept ctx 1 with implicit LE
+            ac = (payload[:68]
+                  + _item(0x10, _uid("1.2.840.10008.3.1.1.1"))
+                  + _item(0x21, struct.pack(">BBBB", 1, 0, 0, 0)
+                          + _item(0x40, _uid("1.2.840.10008.1.2")))
+                  + _item(0x50, _item(0x51, struct.pack(">I", 16384))))
+            conn.sendall(_pdu(0x02, ac))
+            # read command then identifier PDVs
+            ident = b""
+            for _ in range(2):
+                head = _recv_exact(conn, 6)
+                (ln,) = struct.unpack(">I", head[2:6])
+                pdata = _recv_exact(conn, ln)
+                mch = pdata[5]
+                if not (mch & 0x01):
+                    ident += pdata[6:]
+            moved_uid["study"] = _read_implicit_text(ident, 0x0020, 0x000D)
+            # perform the sub-operations toward the move destination
+            send_c_store("127.0.0.1", store_port, datasets,
+                         sop_class=CT_STORAGE,
+                         transfer_syntax=EXPLICIT_VR_LE)
+            # final C-MOVE-RSP (success)
+            def el(elem, payload_):
+                return struct.pack("<HHI", 0x0000, elem, len(payload_)) + payload_
+            body = b"".join([
+                el(0x0100, struct.pack("<H", 0x8021)),
+                el(0x0120, struct.pack("<H", 1)),
+                el(0x0800, struct.pack("<H", 0x0101)),
+                el(0x0900, struct.pack("<H", 0x0000)),
+            ])
+            body = el(0x0000, struct.pack("<I", len(body))) + body
+            conn.sendall(_pdu(0x04, struct.pack(">IB", len(body) + 2, 1) + b"\x03" + body))
+            head = _recv_exact(conn, 6)  # release rq
+            if head and head[0] == 0x05:
+                (ln,) = struct.unpack(">I", head[2:6])
+                _recv_exact(conn, ln)
+                conn.sendall(_pdu(0x06, b"\x00" * 4))
+
+    pacs_sock = socket.socket()
+    pacs_sock.settimeout(20)
+    pacs_sock.bind(("127.0.0.1", 0))
+    pacs_sock.listen(1)
+    t = threading.Thread(target=mini_pacs, args=(pacs_sock,), daemon=True)
+    t.start()
+
+    net = DicomNet("127.0.0.1", pacs_sock.getsockname()[1])
+    dest = tmp_path / "moved"
+    files = net.RunCMove("9.9.9.1", dest, listen_port=store_port, timeout=15)
+    t.join(timeout=15)
+    pacs_sock.close()
+
+    assert moved_uid["study"] == "9.9.9.1"
+    assert len(files) == 2
+    vols = [dicom.read_dicom(f) for f in sorted(files)]
+    assert all(v.get("PatientID") == "PM2" for v in vols)
+    assert vols[0].pixel_array().shape == (8, 8)

@@ -1,0 +1,159 @@
+"""FastSurferCNN architecture equivalence (torch mirror vs Flax, mirroring
+tests/test_unet.py's contract), sagittal label mapping, and pipeline
+shape/semantics."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from invesalius3_tpu.models import fastsurfer as fs
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn
+import torch.nn.functional as F
+
+
+# ---------------------------------------------------------------------------
+# torch mirror of models/fastsurfer.py FastSurferCNN (the naming contract
+# convert_torch_state_dict documents)
+# ---------------------------------------------------------------------------
+class TorchCDB(tnn.Module):
+    def __init__(self, in_ch, f, k=3, in_block=False):
+        super().__init__()
+        self.in_block = in_block
+        p = k // 2
+        if in_block:
+            self.bn0 = tnn.BatchNorm2d(in_ch)
+        else:
+            self.prelu1 = tnn.PReLU(init=0.25)
+        self.conv1 = tnn.Conv2d(in_ch, f, k, padding=p, bias=False)
+        self.bn1 = tnn.BatchNorm2d(f)
+        self.prelu2 = tnn.PReLU(init=0.25)
+        self.conv2 = tnn.Conv2d(f, f, k, padding=p, bias=False)
+        self.bn2 = tnn.BatchNorm2d(f)
+        self.prelu3 = tnn.PReLU(init=0.25)
+        self.conv3 = tnn.Conv2d(f, f, k, padding=p, bias=False)
+        self.bn3 = tnn.BatchNorm2d(f)
+
+    def forward(self, x):
+        if self.in_block:
+            y = self.bn0(x)
+            r1 = self.bn1(self.conv1(y))
+            m1 = r1
+        else:
+            r1 = self.bn1(self.conv1(self.prelu1(x)))
+            m1 = torch.maximum(r1, x)
+        r2 = self.bn2(self.conv2(self.prelu2(m1)))
+        m2 = torch.maximum(r2, m1)
+        return self.bn3(self.conv3(self.prelu3(m2)))
+
+
+class TorchFastSurferCNN(tnn.Module):
+    def __init__(self, num_classes, f=16, k=3, thick=7):
+        super().__init__()
+        self.enc1 = TorchCDB(thick, f, k, in_block=True)
+        self.enc2 = TorchCDB(f, f, k)
+        self.enc3 = TorchCDB(f, f, k)
+        self.enc4 = TorchCDB(f, f, k)
+        self.bottleneck = TorchCDB(f, f, k)
+        self.dec4 = TorchCDB(f, f, k)
+        self.dec3 = TorchCDB(f, f, k)
+        self.dec2 = TorchCDB(f, f, k)
+        self.dec1 = TorchCDB(f, f, k)
+        self.classifier = tnn.Conv2d(f, num_classes, 1)
+
+    def forward(self, x):
+        skips, idxs = [], []
+        y = x
+        for enc in (self.enc1, self.enc2, self.enc3, self.enc4):
+            y = enc(y)
+            skips.append(y)
+            y, i = F.max_pool2d(y, 2, 2, return_indices=True)
+            idxs.append(i)
+        y = self.bottleneck(y)
+        for dec, skip, i in zip((self.dec4, self.dec3, self.dec2, self.dec1),
+                                skips[::-1], idxs[::-1]):
+            y = torch.maximum(F.max_unpool2d(y, i, 2, 2), skip)
+            y = dec(y)
+        return self.classifier(y)
+
+
+def test_fastsurfer_torch_flax_equivalence():
+    torch.manual_seed(7)
+    num_classes, f = 11, 16
+    tm = TorchFastSurferCNN(num_classes, f=f).eval()
+    # non-trivial running stats so BN conversion is actually exercised
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.3)
+                m.running_var.uniform_(0.5, 1.5)
+
+    variables = fs.convert_torch_state_dict(
+        {k: v.numpy() for k, v in tm.state_dict().items()})
+    fm = fs.FastSurferCNN(num_classes=num_classes, filters=f,
+                          dtype=jnp.float32)
+
+    x = np.random.default_rng(1).normal(size=(2, 32, 32, 7)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    got = np.asarray(fm.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want,
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_max_unpool_roundtrip():
+    # positive values so re-pooling the sparse unpooled map recovers the max
+    x = jnp.asarray(
+        np.abs(np.random.default_rng(2).normal(size=(1, 8, 8, 3))) + 0.1,
+        jnp.float32)
+    pooled, idx = fs.max_pool_with_indices(x)
+    up = fs.max_unpool(pooled, idx)
+    # unpooled has the max at the argmax position, zeros elsewhere
+    assert up.shape == x.shape
+    p2, _ = fs.max_pool_with_indices(up)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(pooled))
+    assert float(jnp.sum(up != 0)) == pooled.size
+
+
+def test_sagittal_mapping_semantics():
+    ids, ids_sag = fs.get_labels_from_lut()
+    assert len(ids) == 79
+    # sagittal set drops Left-* aseg and ctx-rh-*
+    assert 2 not in ids_sag and 2024 not in ids_sag
+    assert 41 in ids_sag and 1024 in ids_sag
+    m = fs.infer_sagittal_mapping()
+    full = list(ids)
+    sag = list(ids_sag)
+    # Left-Thalamus (10) -> Right-Thalamus (49)
+    assert sag[m[full.index(10)]] == 49
+    # ctx-rh-precentral (2024) -> ctx-lh-precentral (1024)
+    assert sag[m[full.index(2024)]] == 1024
+    # identity for non-lateralized labels
+    assert sag[m[full.index(16)]] == 16
+    # logits expansion gathers the right columns
+    logits = jnp.arange(len(sag), dtype=jnp.float32)[None, None, None, :]
+    out = fs.apply_sagittal_mapping(logits)
+    assert out.shape[-1] == 79
+    assert float(out[0, 0, 0, full.index(2024)]) == sag.index(1024)
+
+
+def test_lut_tsv_write(tmp_path):
+    p = tmp_path / "LUT.tsv"
+    fs.write_lut_tsv(p)
+    lines = p.read_text().strip().split("\n")
+    assert lines[0].split("\t")[:3] == ["ID", "LabelName", "Category"]
+    assert len(lines) == 80  # header + 79 classes
+
+
+def test_pipeline_merged_sagittal_runs():
+    pipe = fs.FastSurferPipeline(batch_size=8, filters=8)
+    assert pipe.models["sagittal"].num_classes == len(fs.get_labels_from_lut()[1])
+    vol = np.random.default_rng(0).normal(size=(16, 18, 20)).astype(np.float32)
+    labels = pipe.run(vol, conform_size=16)
+    assert labels.shape == (16, 16, 16)
+    assert labels.max() < 79
+    ids = pipe.run(vol, conform_size=16, return_freesurfer_ids=True)
+    assert set(np.unique(ids)).issubset(set(fs.class_ids().tolist()))

@@ -326,6 +326,55 @@ def read_3mf(path) -> Tuple[np.ndarray, np.ndarray]:
     return np.asarray(verts, np.float32), np.asarray(faces, np.int32)
 
 
+def write_vrml(path, verts: np.ndarray, faces: np.ndarray) -> None:
+    """VRML 2.0 (utf8) IndexedFaceSet (reference surface.py export via
+    vtkVRMLExporter)."""
+    v = np.asarray(verts, np.float32)
+    f = np.asarray(faces, np.int64)
+    with open(path, "w") as fh:
+        fh.write("#VRML V2.0 utf8\n")
+        fh.write("# written by invesalius3_tpu\n")
+        fh.write("Shape {\n geometry IndexedFaceSet {\n  coord Coordinate { point [\n")
+        np.savetxt(fh, v, fmt="%.6g %.6g %.6g,")
+        fh.write("  ] }\n  coordIndex [\n")
+        idx = np.column_stack([f, np.full(len(f), -1, np.int64)])
+        np.savetxt(fh, idx, fmt="%d %d %d %d,")
+        fh.write("  ]\n }\n}\n")
+
+
+def read_vrml(path) -> Tuple[np.ndarray, np.ndarray]:
+    """Minimal VRML 2.0 IndexedFaceSet reader (point + coordIndex blocks,
+    triangles only)."""
+    text = Path(path).read_text()
+
+    def block(after: str) -> str:
+        start = text.index(after) + len(after)
+        start = text.index("[", start) + 1
+        return text[start:text.index("]", start)]
+
+    pts = np.fromstring(block("point").replace(",", " "), sep=" ")
+    idx = np.fromstring(block("coordIndex").replace(",", " "), sep=" ").astype(np.int64)
+    verts = pts.reshape(-1, 3).astype(np.float32)
+    faces = idx.reshape(-1, 4)[:, :3].astype(np.int32)  # strip -1 terminators
+    return verts, faces
+
+
+def write_iv(path, verts: np.ndarray, faces: np.ndarray) -> None:
+    """OpenInventor 2.x ascii IndexedFaceSet (reference surface.py export
+    via vtkIVExporter)."""
+    v = np.asarray(verts, np.float32)
+    f = np.asarray(faces, np.int64)
+    with open(path, "w") as fh:
+        fh.write("#Inventor V2.1 ascii\n\nSeparator {\n")
+        fh.write(" Coordinate3 { point [\n")
+        np.savetxt(fh, v, fmt="%.6g %.6g %.6g,")
+        fh.write(" ] }\n IndexedFaceSet { coordIndex [\n")
+        idx = np.column_stack([f, np.full(len(f), -1, np.int64)])
+        np.savetxt(fh, idx, fmt="%d, %d, %d, %d,")
+        fh.write(" ] }\n}\n")
+
+
+
 # ---------------------------------------------------------------------------
 # Dispatch (the reference's export filetype table, surface.py:1647+)
 # ---------------------------------------------------------------------------
@@ -337,6 +386,9 @@ WRITERS = {
     ".vtp": write_vtp,
     ".x3d": write_x3d,
     ".3mf": write_3mf,
+    ".wrl": write_vrml,
+    ".vrml": write_vrml,
+    ".iv": write_iv,
 }
 
 READERS = {
@@ -345,6 +397,8 @@ READERS = {
     ".obj": read_obj,
     ".vtp": read_vtp,
     ".3mf": read_3mf,
+    ".wrl": read_vrml,
+    ".vrml": read_vrml,
 }
 
 

@@ -394,3 +394,20 @@ def test_dicom_compressed_series_to_volume(tmp_path):
     data, spacing, _ = dicom.group_to_volume(groups[0])
     assert data.shape == (4, 8, 8)
     assert [int(data[i, 0, 0]) for i in range(4)] == [0, 1, 2, 3]
+
+
+def test_vrml_and_inventor_export(tmp_path):
+    from invesalius3_tpu.io import mesh_io
+
+    v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32)
+    f = np.array([[0, 1, 2], [0, 1, 3]], np.int32)
+    wrl = tmp_path / "m.wrl"
+    mesh_io.export_surface(wrl, v, f)
+    rv, rf = mesh_io.import_surface(wrl)
+    np.testing.assert_allclose(rv, v, atol=1e-5)
+    np.testing.assert_array_equal(rf, f)
+    iv = tmp_path / "m.iv"
+    mesh_io.export_surface(iv, v, f)
+    text = iv.read_text()
+    assert text.startswith("#Inventor V2.1 ascii")
+    assert "IndexedFaceSet" in text

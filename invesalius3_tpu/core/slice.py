@@ -69,9 +69,11 @@ class Slice:
         number_slices: int = 1,
         inverted: bool = False,
         border_size: float = 1.0,
+        projection: Optional[int] = None,
+        window_level: Optional[float] = None,
     ) -> np.ndarray:
         axis = const.ORIENTATION_AXIS[orientation]
-        proj = self.projection_type
+        proj = self.projection_type if projection is None else projection
         if proj == const.PROJECTION_NORMAL:
             number_slices = 1
         lo = slice_number
@@ -80,7 +82,7 @@ class Slice:
         if inverted:
             slab = jnp.flip(slab, axis=axis)
 
-        wl, ww = self.window_level, self.window_width
+        wl = self.window_level if window_level is None else window_level
         if proj == const.PROJECTION_NORMAL:
             img = jnp.take(slab, 0, axis=axis)
         elif proj == const.PROJECTION_MaxIP:
@@ -106,11 +108,20 @@ class Slice:
             img = jnp.take(slab, 0, axis=axis)
         return np.asarray(img)
 
-    def get_rendered_slice(self, orientation: str, slice_number: int, **kw) -> np.ndarray:
+    def get_rendered_slice(self, orientation: str, slice_number: int,
+                           ww: Optional[float] = None,
+                           wl: Optional[float] = None,
+                           projection: Optional[int] = None,
+                           slabs: Optional[int] = None, **kw) -> np.ndarray:
         """WW/WL-mapped RGB of a slice + mask overlay — the 2D viewer's
-        per-frame path (reference do_ww_wl + do_blend)."""
-        img = self.get_image_slice(orientation, slice_number, self.n_slabs, **kw)
-        rgb = np.asarray(apply_ww_wl_rgb(jnp.asarray(img), self.window_width, self.window_level))
+        per-frame path (reference do_ww_wl + do_blend).  The optional
+        overrides are request-local: they never mutate the shared state."""
+        ww = self.window_width if ww is None else ww
+        wl = self.window_level if wl is None else wl
+        img = self.get_image_slice(
+            orientation, slice_number, self.n_slabs if slabs is None else slabs,
+            projection=projection, window_level=wl, **kw)
+        rgb = np.asarray(apply_ww_wl_rgb(jnp.asarray(img), ww, wl))
         if self.current_mask is not None and self.current_mask.is_shown:
             m = self.get_mask_slice(orientation, slice_number)
             colour = np.array(self.current_mask.colour) * 255

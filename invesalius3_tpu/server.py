@@ -7,19 +7,36 @@ remote-control channel (net/remote_control.py) already mirrors the full
 event bus to external clients.  This server exposes the behavioral
 surface the viewers consumed:
 
+  GET  /                                   built-in web viewer page
   GET  /api/status                         volume/mask/surface inventory
   GET  /api/slice/{orientation}/{index}    rendered RGB slice (PNG) with
-        ?ww=&wl=&projection=&slabs=        mask overlay
+        ?ww=&wl=&projection=&slabs=        mask overlay (query params are
+                                           request-local: GETs never mutate)
   GET  /api/render?azimuth=&elevation=     raycast volume render (PNG)
         &preset=&size=
   GET  /api/masks                          mask list (index/name/colour)
+  GET  /api/measures                       measurement list
+  GET  /api/presets                        threshold + raycast preset names
+  GET  /api/image_versions                 filtered image version labels
+  POST /api/window {"ww","wl"}             set the shared display window
+  POST /api/projection {"type","slabs"}    set the shared projection mode
   POST /api/threshold {"tmin","tmax"}      create threshold mask
   POST /api/floodfill {"seed":[z,y,x],...} region grow into the mask
   POST /api/watershed {"markers":[...]}    watershed segmentation
+  POST /api/boolean {"op","index1","index2"}  combine two masks
+  POST /api/crop {"limits":[zi,zf,yi,yf,xi,xf]}  crop current mask
+  POST /api/mask/select {"index"}          switch current mask
+  POST /api/mask/undo | /api/mask/redo     edition history
+  POST /api/filter {"type","value",...}    new filtered image version
+  POST /api/image_versions/select {"label"}
+  POST /api/measures {"kind",...}          add linear/angular measurement
+  POST /api/measures/remove {"index"}
   POST /api/surface {"algorithm",...}      create surface from the mask
   GET  /api/surface/{index}.stl            download a surface
   GET  /api/events                         recent bus events (polling)
 
+State-changing requests are POSTs serialized by a lock (the reference GUI
+is single-threaded wx; ThreadingHTTPServer needs the explicit guard).
 Everything is stdlib http.server + PIL for PNG encoding — zero new deps.
 """
 
@@ -42,9 +59,13 @@ class AppState:
     """What the server serves: one Slice + its project-level objects."""
 
     def __init__(self, slc: Slice):
+        from invesalius3_tpu.core.measures import MeasurementManager
+
         self.slice = slc
         self.surfaces = {}
         self.recent_events = []
+        self.measures = MeasurementManager(bus=slc.bus)
+        self.lock = threading.Lock()  # serializes state-changing POSTs
 
         @events.wants_topic
         def tap(topic=None, **kw):
@@ -130,15 +151,37 @@ def make_handler(state: AppState):
                 elif len(parts) == 4 and parts[:2] == ["api", "slice"]:
                     orientation = parts[2].upper()
                     index = int(parts[3])
-                    if "ww" in q:
-                        slc.window_width = float(q["ww"])
-                    if "wl" in q:
-                        slc.window_level = float(q["wl"])
-                    if "projection" in q:
-                        slc.projection_type = int(q["projection"])
-                    slc.n_slabs = int(q.get("slabs", slc.n_slabs))
-                    rgb = slc.get_rendered_slice(orientation, index)
+                    rgb = slc.get_rendered_slice(
+                        orientation, index,
+                        ww=float(q["ww"]) if "ww" in q else None,
+                        wl=float(q["wl"]) if "wl" in q else None,
+                        projection=int(q["projection"]) if "projection" in q else None,
+                        slabs=int(q["slabs"]) if "slabs" in q else None,
+                    )
                     self._png(rgb)
+                elif url.path == "/api/measures":
+                    self._json([m.to_dict() for m in state.measures.measures.values()])
+                elif url.path == "/api/presets":
+                    from invesalius3_tpu.ops import raycast
+
+                    self._json({
+                        "threshold_ct": {k: list(v) for k, v in
+                                         const.THRESHOLD_PRESETS_CT.items()},
+                        "raycast": list(raycast.BUILTIN_PRESETS),
+                        "projections": const.PROJECTION_NAMES,
+                    })
+                elif url.path == "/api/image_versions":
+                    self._json({
+                        "versions": [lbl for lbl, _ in slc.image_versions],
+                        "current": slc.current_image_label,
+                    })
+                elif url.path == "/" or url.path == "/index.html":
+                    payload = _CLIENT_HTML.encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html; charset=utf-8")
+                    self.send_header("Content-Length", str(len(payload)))
+                    self.end_headers()
+                    self.wfile.write(payload)
                 elif url.path == "/api/render":
                     from invesalius3_tpu.ops import raycast
 
@@ -178,7 +221,74 @@ def make_handler(state: AppState):
             slc = state.slice
             try:
                 body = self._body()
-                if self.path == "/api/threshold":
+                with state.lock:
+                    self._post(slc, body)
+            except Exception as e:
+                self._json({"error": repr(e)}, 500)
+
+        def _post(self, slc, body):
+                if self.path == "/api/window":
+                    slc.set_window(float(body["ww"]), float(body["wl"]))
+                    self._json({"ww": slc.window_width, "wl": slc.window_level})
+                elif self.path == "/api/projection":
+                    slc.projection_type = int(body.get("type", slc.projection_type))
+                    slc.n_slabs = int(body.get("slabs", slc.n_slabs))
+                    self._json({"type": slc.projection_type, "slabs": slc.n_slabs})
+                elif self.path == "/api/mask/select":
+                    slc.select_mask(int(body["index"]))
+                    self._json({"index": slc.current_mask.index})
+                elif self.path == "/api/mask/undo":
+                    ok = slc.current_mask.undo() if slc.current_mask else False
+                    self._json({"ok": bool(ok)})
+                elif self.path == "/api/mask/redo":
+                    ok = slc.current_mask.redo() if slc.current_mask else False
+                    self._json({"ok": bool(ok)})
+                elif self.path == "/api/boolean":
+                    m = slc.do_boolean_op(int(body["op"]), int(body["index1"]),
+                                          int(body["index2"]))
+                    self._json({"index": m.index, "name": m.name,
+                                "voxels": int(np.asarray(m.visible_array()).sum())})
+                elif self.path == "/api/crop":
+                    box = slc.create_crop_box()
+                    box.set_limits(*body["limits"])
+                    box.clamp()
+                    slc.apply_crop(box)
+                    self._json({"limits": list(box.limits)})
+                elif self.path == "/api/filter":
+                    label = slc.apply_image_filter(
+                        int(body["type"]), float(body.get("value", 1.0)),
+                        dimension=body.get("dimension", "3D"),
+                        orientation=body.get("orientation", "AXIAL"))
+                    self._json({"label": label})
+                elif self.path == "/api/image_versions/select":
+                    slc.select_image_version(body["label"])
+                    self._json({"current": slc.current_image_label})
+                elif self.path == "/api/measures":
+                    kind = body.get("kind", "linear")
+                    if kind == "linear":
+                        m = state.measures.add_linear(
+                            body["p1"], body["p2"],
+                            location=body.get("location", "AXIAL"),
+                            slice_number=int(body.get("slice_number", 0)))
+                    elif kind == "angular":
+                        m = state.measures.add_angular(
+                            body["p0"], body["p1"], body["p2"],
+                            location=body.get("location", "AXIAL"),
+                            slice_number=int(body.get("slice_number", 0)))
+                    elif kind == "density_ellipse":
+                        ax = const.ORIENTATION_AXIS[body.get("location", "AXIAL")]
+                        img2d = np.take(np.asarray(slc.matrix),
+                                        int(body.get("slice_number", 0)), axis=ax)
+                        m = state.measures.add_density_ellipse(
+                            img2d, body["center"], float(body["ry"]),
+                            float(body["rx"]))
+                    else:
+                        raise ValueError(f"unknown measure kind {kind!r}")
+                    self._json(m.to_dict())
+                elif self.path == "/api/measures/remove":
+                    state.measures.remove(int(body["index"]))
+                    self._json({"ok": True})
+                elif self.path == "/api/threshold":
                     m = slc.create_new_mask(
                         threshold_range=(body["tmin"], body["tmax"]))
                     n = int(np.asarray(m.visible_array()).sum())
@@ -225,10 +335,63 @@ def make_handler(state: AppState):
                     })
                 else:
                     self._json({"error": "not found"}, 404)
-            except Exception as e:
-                self._json({"error": repr(e)}, 500)
 
     return Handler
+
+
+# Minimal built-in web client: slice browser with WW/WL + projection
+# controls and threshold/undo actions — the 2D viewer's behavioral core.
+_CLIENT_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>invesalius3_tpu viewer</title>
+<style>
+ body{font-family:system-ui;margin:1rem;background:#111;color:#ddd}
+ img{image-rendering:pixelated;border:1px solid #444;max-width:512px}
+ .row{display:flex;gap:1rem;align-items:center;flex-wrap:wrap;margin:.4rem 0}
+ input[type=range]{width:160px} button{background:#333;color:#ddd;border:1px solid #555;padding:.3rem .6rem}
+</style></head><body>
+<h3>invesalius3_tpu</h3>
+<div class="row">
+ <label>orientation <select id="ori"><option>AXIAL</option><option>CORONAL</option><option>SAGITTAL</option></select></label>
+ <label>slice <input id="idx" type="range" min="0" max="0" value="0"></label>
+ <label>WW <input id="ww" type="range" min="1" max="4000" value="2000"></label>
+ <label>WL <input id="wl" type="range" min="-1000" max="2000" value="300"></label>
+ <label>projection <select id="proj"></select></label>
+</div>
+<div class="row">
+ <button onclick="act('/api/threshold',{tmin:226,tmax:3071})">threshold bone</button>
+ <button onclick="act('/api/mask/undo',{})">undo</button>
+ <button onclick="act('/api/mask/redo',{})">redo</button>
+ <span id="msg"></span>
+</div>
+<img id="view" width="512">
+<script>
+const $=id=>document.getElementById(id);
+let shape=[1,1,1];
+async function init(){
+  const s=await (await fetch('/api/status')).json();
+  shape=s.volume_shape||[1,1,1];
+  const p=await (await fetch('/api/presets')).json();
+  for(const [k,v] of Object.entries(p.projections)){
+    const o=document.createElement('option');o.value=k;o.text=v;$('proj').add(o);}
+  setAxis();refresh();
+}
+function setAxis(){
+  const ax={AXIAL:0,CORONAL:1,SAGITTAL:2}[$('ori').value];
+  $('idx').max=shape[ax]-1;$('idx').value=Math.floor(shape[ax]/2);
+}
+function refresh(){
+  $('view').src=`/api/slice/${$('ori').value}/${$('idx').value}`+
+    `?ww=${$('ww').value}&wl=${$('wl').value}&projection=${$('proj').value||0}&slabs=8&_=${Date.now()}`;
+}
+async function act(url,body){
+  const r=await (await fetch(url,{method:'POST',body:JSON.stringify(body)})).json();
+  $('msg').textContent=JSON.stringify(r);refresh();
+}
+$('ori').onchange=()=>{setAxis();refresh()};
+for(const id of ['idx','ww','wl','proj']) $(id).oninput=refresh;
+init();
+</script></body></html>
+"""
 
 
 class ViewerServer:

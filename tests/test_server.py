@@ -101,3 +101,64 @@ def test_events_endpoint_records(server):
     evs = json.loads(body)
     assert any(e["topic"].startswith("slice.mask") or e["topic"] == "mask.created"
                for e in evs)
+
+
+def test_client_page_and_presets(server):
+    code, ctype, body = _get(server, "/")
+    assert code == 200 and "text/html" in ctype
+    assert b"invesalius3_tpu" in body and b"/api/slice/" in body
+    code, _, body = _get(server, "/api/presets")
+    p = json.loads(body)
+    assert "Bone" in p["threshold_ct"] and "Bone" in p["raycast"]
+
+
+def test_get_slice_is_stateless(server):
+    slc = server.state.slice
+    ww0, wl0, proj0 = slc.window_width, slc.window_level, slc.projection_type
+    code, ctype, _ = _get(server, "/api/slice/AXIAL/8?ww=123&wl=45&projection=1&slabs=4")
+    assert code == 200 and ctype == "image/png"
+    assert (slc.window_width, slc.window_level, slc.projection_type) == (ww0, wl0, proj0)
+    # POST /api/window actually mutates
+    code, r = _post(server, "/api/window", {"ww": 900, "wl": 100})
+    assert code == 200 and slc.window_width == 900
+
+
+def test_mask_boolean_crop_undo_endpoints(server):
+    _post(server, "/api/threshold", {"tmin": 1000, "tmax": 2000})
+    _post(server, "/api/threshold", {"tmin": -2000, "tmax": 2000})
+    masks = json.loads(_get(server, "/api/masks")[2])
+    assert len(masks) >= 2
+    i1, i2 = masks[-2]["index"], masks[-1]["index"]
+    code, r = _post(server, "/api/boolean", {"op": 2, "index1": i2, "index2": i1})
+    assert code == 200 and r["voxels"] > 0
+    code, r = _post(server, "/api/crop", {"limits": [2, 12, 2, 20, 2, 20]})
+    assert code == 200 and r["limits"] == [2, 12, 2, 20, 2, 20]
+    code, r = _post(server, "/api/mask/undo", {})
+    assert code == 200 and r["ok"] is True
+    code, r = _post(server, "/api/mask/redo", {})
+    assert code == 200 and r["ok"] is True
+
+
+def test_measures_endpoints(server):
+    code, m = _post(server, "/api/measures",
+                    {"kind": "linear", "p1": [0, 0, 0], "p2": [3, 4, 0]})
+    assert code == 200 and abs(m["value"] - 5.0) < 1e-6
+    code, m2 = _post(server, "/api/measures",
+                     {"kind": "angular", "p0": [1, 0, 0], "p1": [0, 0, 0],
+                      "p2": [0, 1, 0]})
+    assert abs(m2["value"] - 90.0) < 1e-4
+    lst = json.loads(_get(server, "/api/measures")[2])
+    assert len(lst) >= 2
+    code, r = _post(server, "/api/measures/remove", {"index": m["index"]})
+    assert code == 200
+    lst2 = json.loads(_get(server, "/api/measures")[2])
+    assert len(lst2) == len(lst) - 1
+
+
+def test_image_version_endpoints(server):
+    code, r = _post(server, "/api/filter", {"type": 2, "value": 1.0})
+    assert code == 200 and r["label"].startswith("Filtered")
+    v = json.loads(_get(server, "/api/image_versions")[2])
+    assert v["current"] == r["label"] and "original" in v["versions"]
+    code, r2 = _post(server, "/api/image_versions/select", {"label": "original"})
+    assert code == 200 and r2["current"] == "original"

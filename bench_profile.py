@@ -70,83 +70,48 @@ def main():
         synced(mask)
         tm.lap("mask")
 
-        # -- marching internals --------------------------------------------
-        vis = jnp.pad((mask >= 127).astype(jnp.uint8), 1)
-        n_act, n_tri = (int(x) for x in
-                        marching.count_cells_and_triangles(vis, 0.5))
-        tm.lap(f"mc count (A={n_act} T={n_tri})")
-        max_active = max(1024, marching._next_pow2(n_act))
-        max_tris = max(2048, marching._next_pow2(n_tri))
-        corner_lin, vals, ins, valid_cell, n_active = marching._extract_cells(
-            vis, 0.5, max_active)
-        synced([corner_lin, vals])
-        tm.lap("mc extract_cells")
-        case, tri_slots, n_tris_d = marching._emit_slots(ins, valid_cell, max_tris)
-        synced([case, tri_slots])
-        tm.lap("mc emit_slots")
-        CHUNK = 1 << 21
-        vol_shape = tuple(int(s) for s in vis.shape)
-        if max_tris <= CHUNK:
-            pts, keys = marching._materialize(
-                corner_lin, vals, ins, case, tri_slots, 0.5, vol_shape)
-        else:
-            pp, kk = [], []
-            for i in range(0, max_tris, CHUNK):
-                p, k = marching._materialize(
-                    corner_lin, vals, ins, case,
-                    jax.lax.dynamic_slice_in_dim(tri_slots, i, CHUNK),
-                    0.5, vol_shape)
-                pp.append(p); kk.append(k)
-            pts = jnp.concatenate(pp, axis=2); keys = jnp.concatenate(kk, axis=2)
-        synced([pts])
-        tm.lap("mc materialize")
-        Tn = pts.shape[2]
-        pts_m = pts.transpose(1, 0, 2).reshape(3, 3 * Tn)
-        keys_m = keys.transpose(1, 0, 2).reshape(2, 3 * Tn)
-        verts_d, inverse_d, n_groups = marching._dedup_vertices(pts_m, keys_m)
-        synced([verts_d])
-        tm.lap("mc dedup (device)")
-        n_groups = int(n_groups)
-        verts = np.asarray(verts_d[:, :n_groups]).T
-        tm.lap(f"mc verts d2h ({verts.nbytes/1e6:.0f}MB)")
-        inverse = np.asarray(inverse_d).reshape(3, Tn)
-        tm.lap(f"mc inverse d2h ({inverse.nbytes/1e6:.0f}MB)")
-        n_tris_i = int(n_tris_d)
-        faces = inverse[:, :n_tris_i].T.astype(np.int32)
-        sx = sy = sz = 0.5
-        world = np.stack([verts[:, 2] * sx, verts[:, 1] * sy, verts[:, 0] * sz], 1)
-        verts_w = world.astype(np.float32) - np.float32(0.5)
-        faces = faces[:, ::-1]
-        tm.lap(f"mc host assemble (V={len(verts_w)} F={len(faces)})")
+        # -- fused device pipeline ------------------------------------------
+        from invesalius3_tpu.ops import mesh as mesh_ops
 
-        # -- ca_smoothing internals -----------------------------------------
-        verts3v = jnp.asarray(verts_w, jnp.float32).T
-        faces_j = jnp.asarray(faces)
-        synced([verts3v, faces_j])
-        tm.lap("ca h2d")
-        normals3f = mesh_ops._face_normals_t(verts3v, faces_j)
+        dm = marching.mask_to_surface_device(mask, spacing=(0.5, 0.5, 0.5))
+        synced([dm.verts3v, dm.faces3t, dm.order])
+        tm.lap(f"mc device (V={dm.n_verts} T={dm.n_tris})")
+
+        normals3f = mesh_ops._face_normals_3t(dm.verts3v, dm.faces3t)
         synced(normals3f)
         tm.lap("ca normals")
-        flagged = mesh_ops._staircase_core_t(
-            normals3f, faces_j, jnp.zeros((verts3v.shape[1],), jnp.uint8),
+        flagged = mesh_ops._staircase_core_3t(
+            normals3f, dm.faces3t,
+            jnp.zeros((dm.verts3v.shape[1],), jnp.uint8),
             jnp.float32(0.7), jnp.asarray([0., 0., 1.], jnp.float32))
         synced(flagged)
         tm.lap("ca staircase")
-        neigh, deg_j = mesh_ops.vertex_adjacency_fast(faces, len(verts_w))
-        neigh_dv = jnp.asarray(neigh).T
+        neigh_dv, deg_j = mesh_ops.adjacency_from_device_mesh(dm)
         synced([neigh_dv, deg_j])
         tm.lap(f"ca adjacency (D={neigh_dv.shape[0]})")
-        weights = mesh_ops._propagate_core_t(
-            verts3v, neigh_dv, deg_j, flagged, jnp.float32(3.0),
-            jnp.float32(0.5), 12)
+        sx2, sy2, sz2 = dm.spacing
+        ox, oy, oz = dm.origin_shift
+        vox3v = jnp.stack([(dm.verts3v[2] - oz) / sz2,
+                           (dm.verts3v[1] - oy) / sy2,
+                           (dm.verts3v[0] - ox) / sx2])
+        grid = mesh_ops._rasterize_seeds(vox3v, flagged, dm.vol_shape)
+        synced(grid)
+        tm.lap("ca rasterize")
+        grid = mesh_ops._chamfer(grid, (sz2, sy2, sx2), 6)
+        synced(grid)
+        tm.lap("ca chamfer")
+        weights = mesh_ops._grid_weights(grid, vox3v, jnp.float32(3.0),
+                                         jnp.float32(0.5))
         synced(weights)
-        tm.lap("ca propagate")
-        out = mesh_ops._taubin_core(verts3v, neigh_dv, deg_j, weights,
-                                    jnp.float32(0.5), jnp.float32(-0.53), 10)
-        synced(out)
+        tm.lap("ca weights sample")
+        out3v = mesh_ops._taubin_core(dm.verts3v, neigh_dv, deg_j, weights,
+                                      jnp.float32(0.5), jnp.float32(-0.53), 10)
+        synced(out3v)
         tm.lap("ca taubin")
-        smoothed = np.asarray(out.T)
-        tm.lap("ca d2h")
+        import dataclasses as _dc
+        dm2 = _dc.replace(dm, verts3v=out3v)
+        smoothed, faces = marching.mesh_to_host(dm2)
+        tm.lap(f"mesh_to_host packed (V={len(smoothed)} F={len(faces)})")
 
         from invesalius3_tpu.io import mesh_io
         import tempfile

@@ -45,6 +45,9 @@ class Marker:
     # coil-target extras (reference marker.py z_offset/z_rotation fields)
     z_rotation: float = 0.0
     z_offset: float = 0.0
+    # MEP amplitude in µV for motor mapping (reference marker.py mep_value,
+    # consumed by mep_visualizer); None = not a MEP sample
+    mep_value: float = None
 
     def to_dict(self) -> dict:
         d = dataclasses.asdict(self)

@@ -30,6 +30,7 @@ TPU design decisions:
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import Tuple
 
@@ -337,7 +338,13 @@ def _dedup_vertices(pts: jax.Array, keys: jax.Array):
 
     pts: (3 zyx, M) float32, keys: (2, M) int32 sorted lattice-id pairs
     (invalid slots = -1, one group at the front after sorting).
-    Returns (verts (3, M) padded, inverse (M,) int32 group ids, n_groups).
+    Returns (verts (3, M) padded, inverse (M,) int32 group ids, n_groups,
+    order (M,) sorted-corner permutation, group_of_sorted (M,)).
+
+    The sort byproducts are the mesh's vertex-incidence structure for
+    free: corners sorted by owning vertex (``order``) with group ids
+    (``group_of_sorted``) — ca_smoothing's adjacency build reuses them
+    instead of paying its own 44M-element lexsort.
     """
     M = pts.shape[1]
     order = jnp.lexsort((keys[1], keys[0]))
@@ -351,22 +358,57 @@ def _dedup_vertices(pts: jax.Array, keys: jax.Array):
     inverse = jnp.zeros((M,), jnp.int32).at[order].set(group_of_sorted)
     verts = jnp.zeros((3, M), jnp.float32).at[:, group_of_sorted].set(pts[:, order])
     n_groups = group_of_sorted[-1] + 1
-    return verts, inverse, n_groups
+    return verts, inverse, n_groups, order, group_of_sorted
 
 
-def marching_cubes(
+@dataclasses.dataclass
+class DeviceMesh:
+    """A device-resident triangle mesh plus the dedup sort's byproducts —
+    the handle the fused surface pipeline passes between marching,
+    ca_smoothing, and the final packed transfer (no intermediate host
+    copies; at the ~35 MB/s relay readback each avoided round trip is
+    seconds)."""
+
+    verts3v: jax.Array        # (3 xyz world mm, V_pad) f32
+    faces3t: jax.Array        # (3 corners, T_pad) i32, outward winding
+    n_verts: int              # valid vertex count (<= V_pad)
+    n_tris: int               # valid triangle count (<= T_pad)
+    inverse: jax.Array        # (M = 3*T_pad,) corner -> vertex, corner-major
+    order: jax.Array          # (M,) corner permutation sorted by vertex
+    group_of_sorted: jax.Array  # (M,) vertex id per sorted corner
+    sorted_valid: jax.Array   # (M,) real (non-padding) sorted corners
+    spacing: Tuple[float, float, float]
+    vol_shape: Tuple[int, int, int]  # field shape the mesh came from
+    origin_shift: Tuple[float, float, float] = (0.0, 0.0, 0.0)  # world mm
+
+
+@partial(jax.jit, static_argnames=("T", "spacing", "shift"))
+def _finalize_device(verts_zyx: jax.Array, inverse: jax.Array, T: int,
+                     spacing, shift):
+    """voxel (z, y, x) -> world mm (x, y, z) + winding flip (the axis swap
+    mirrors space, det = -1)."""
+    sx, sy, sz = spacing
+    ox, oy, oz = shift
+    verts3v = jnp.stack([
+        verts_zyx[2] * sx + ox, verts_zyx[1] * sy + oy, verts_zyx[0] * sz + oz])
+    faces3t = inverse.reshape(3, T)[::-1]  # corner order reversed
+    return verts3v, faces3t
+
+
+def marching_cubes_device(
     field: np.ndarray | jax.Array,
     iso: float,
     spacing: Tuple[float, float, float] = (1.0, 1.0, 1.0),
     max_active: int | None = None,
     max_tris: int | None = None,
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Extract an isosurface; returns (vertices (V, 3) float32 in world mm
-    (x, y, z), faces (F, 3) int32) with shared vertices.
+    origin_shift: Tuple[float, float, float] = (0.0, 0.0, 0.0),
+) -> DeviceMesh:
+    """Isosurface extraction, device-resident end to end.
 
-    Host wrapper: counts actives first, rounds bucket sizes up to powers of
-    two (so jit caches stay small), runs the jitted extraction, then
-    deduplicates vertices by lattice-edge key.
+    Counts actives first, rounds buckets up to powers of two (jit caches
+    stay small and transfer shapes stay stable), runs the jitted stages,
+    deduplicates shared vertices by lattice-edge key, and returns device
+    arrays — callers chain smoothing/measures without a host round trip.
     """
     field = jnp.asarray(field)
     if max_active is None or max_tris is None:
@@ -382,10 +424,11 @@ def marching_cubes(
     n_tris = int(n_tris)
     n_active_i = int(n_active)
     if n_active_i > max_active or n_tris > max_tris:  # bucket overflow: retry
-        return marching_cubes(
+        return marching_cubes_device(
             field, iso, spacing,
             max_active=_next_pow2(n_active_i),
             max_tris=_next_pow2(max(n_tris, n_active_i * 4)),
+            origin_shift=origin_shift,
         )
     # materialize in fixed-size chunks: caps the per-program live set
     CHUNK = 1 << 21
@@ -410,23 +453,70 @@ def marching_cubes(
     pts_m = pts.transpose(1, 0, 2).reshape(3, 3 * T)  # (3 zyx, M)
     keys_m = keys.transpose(1, 0, 2).reshape(2, 3 * T)  # (2, M)
 
-    # device-side dedup of shared vertices by edge key, then transfer only
-    # the valid prefixes
-    verts_d, inverse_d, n_groups = _dedup_vertices(pts_m, keys_m)
+    verts_d, inverse_d, n_groups, order, group_of_sorted = _dedup_vertices(
+        pts_m, keys_m)
     n_groups = int(n_groups)
-    verts = np.asarray(verts_d[:, :n_groups]).T  # (V, 3) zyx
-    inverse = np.asarray(inverse_d).reshape(3, T)
-    faces = inverse[:, :n_tris].T.astype(np.int32)
+    # the invalid-slot group (keys == -1 sorts first) is one orphan vertex
+    # when padding slots exist; valid faces never reference it.
+    V_pad = max(1024, _next_pow2(n_groups))
+    verts3v, faces3t = _finalize_device(
+        verts_d[:, :V_pad] if V_pad <= verts_d.shape[1]
+        else jnp.pad(verts_d, ((0, 0), (0, V_pad - verts_d.shape[1]))),
+        inverse_d, T, tuple(spacing), tuple(origin_shift))
+    sorted_valid = keys_m[0][order] >= 0
+    return DeviceMesh(
+        verts3v=verts3v, faces3t=faces3t, n_verts=n_groups, n_tris=n_tris,
+        inverse=inverse_d, order=order, group_of_sorted=group_of_sorted,
+        sorted_valid=sorted_valid, spacing=tuple(spacing),
+        vol_shape=vol_shape, origin_shift=tuple(origin_shift))
 
-    # the invalid-slot group (keys == -1) becomes one orphan vertex when
-    # padding slots exist; valid faces never reference it.
 
-    # voxel (z, y, x) -> world mm (x, y, z).  Swapping the z and x axes
-    # mirrors space (det = -1), so face winding must flip to keep normals
-    # outward.
-    sx, sy, sz = spacing
-    world = np.stack([verts[:, 2] * sx, verts[:, 1] * sy, verts[:, 0] * sz], axis=1)
-    return world.astype(np.float32), faces[:, ::-1]
+@jax.jit
+def _pack_uint24(faces3t: jax.Array) -> jax.Array:
+    """(3, T) int32 -> (9, T) uint8 (vertex counts < 2^24): cuts the
+    relay readback of the face table by 25%."""
+    return jnp.concatenate([
+        (faces3t >> (8 * k)).astype(jnp.uint8) for k in range(3)])
+
+
+@jax.jit
+def _verts_f16(verts3v: jax.Array) -> jax.Array:
+    return verts3v.astype(jnp.float16)
+
+
+def mesh_to_host(dm: DeviceMesh, fp16: bool = True
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+    """One packed transfer: fp16 vertices (fp16 ulp at 256 mm is 0.125 mm,
+    far below print tolerance; INV3_F32_VERTS=1 restores f32) + uint24
+    faces.  Returns (verts (V, 3) f32 world mm, faces (F, 3) i32)."""
+    import os
+
+    if os.environ.get("INV3_F32_VERTS") == "1":
+        fp16 = False
+    if fp16:
+        verts = np.asarray(_verts_f16(dm.verts3v)).astype(np.float32)
+    else:
+        verts = np.asarray(dm.verts3v)
+    verts = np.ascontiguousarray(verts.T[:dm.n_verts])
+    packed = np.asarray(_pack_uint24(dm.faces3t))  # (9, T_pad) u8
+    b = packed[:, :dm.n_tris].astype(np.int32)
+    faces = np.empty((3, dm.n_tris), np.int32)
+    for c in range(3):
+        faces[c] = b[c] | (b[3 + c] << 8) | (b[6 + c] << 16)
+    return verts, np.ascontiguousarray(faces.T)
+
+
+def marching_cubes(
+    field: np.ndarray | jax.Array,
+    iso: float,
+    spacing: Tuple[float, float, float] = (1.0, 1.0, 1.0),
+    max_active: int | None = None,
+    max_tris: int | None = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Extract an isosurface; returns (vertices (V, 3) float32 in world mm
+    (x, y, z), faces (F, 3) int32) with shared vertices."""
+    dm = marching_cubes_device(field, iso, spacing, max_active, max_tris)
+    return mesh_to_host(dm, fp16=False)
 
 
 def _next_pow2(n: int) -> int:
@@ -436,19 +526,27 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+def mask_to_surface_device(
+    mask: np.ndarray | jax.Array,
+    spacing: Tuple[float, float, float] = (1.0, 1.0, 1.0),
+    **kw,
+) -> DeviceMesh:
+    """Surface of a visible mask (>= 127) as a device-resident mesh,
+    padded by one empty voxel layer so border-touching masks still close
+    (reference surface_process.py:52 pads the image before contouring).
+    The one-voxel pad offset is folded into the world transform."""
+    m = jnp.asarray(mask)
+    vis = (m >= 127).astype(jnp.uint8)  # stay 1-byte: gathers + passes 4x cheaper
+    vis = jnp.pad(vis, 1)
+    sx, sy, sz = spacing
+    return marching_cubes_device(vis, 0.5, spacing,
+                                 origin_shift=(-sx, -sy, -sz), **kw)
+
+
 def mask_to_surface(
     mask: np.ndarray | jax.Array,
     spacing: Tuple[float, float, float] = (1.0, 1.0, 1.0),
     **kw,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Surface of a visible mask (>= 127), padded by one empty voxel layer
-    so border-touching masks still close (reference surface_process.py:52
-    pads the image before contouring)."""
-    m = jnp.asarray(mask)
-    vis = (m >= 127).astype(jnp.uint8)  # stay 1-byte: gathers + passes 4x cheaper
-    vis = jnp.pad(vis, 1)
-    verts, faces = marching_cubes(vis, 0.5, spacing, **kw)
-    # remove the pad offset (one voxel in each axis)
-    sx, sy, sz = spacing
-    verts = verts - np.array([sx, sy, sz], np.float32)
-    return verts, faces
+    """Host-array variant of mask_to_surface_device."""
+    return mesh_to_host(mask_to_surface_device(mask, spacing, **kw), fp16=False)

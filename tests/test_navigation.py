@@ -357,3 +357,105 @@ def test_grid_generator_degenerate_and_csv_fields(tmp_path):
     mc2.load_csv(tmp_path / "m.csv")
     assert mc2.markers[0].z_rotation == 15.0
     assert mc2.markers[0].z_offset == 2.0
+
+
+# ---------------------------------------------------------------------------
+# vendor pose converters (reference coordinates.py:139-511)
+# ---------------------------------------------------------------------------
+def test_quaternion_pose_roundtrip():
+    from invesalius3_tpu.navigation import vendor_coords as vc
+    from invesalius3_tpu.ops import transforms as tr
+
+    # build a quaternion from known rzyx eulers; converter must recover them
+    a, b, g = np.radians([30.0, -40.0, 75.0])
+    m = tr.euler_matrix(a, b, g, axes="rzyx")
+    q = tr.quaternion_from_matrix(m)
+    pose = vc.quaternion_pose(q, [10.0, -5.0, 2.5])
+    np.testing.assert_allclose(pose[:3], [10.0, -5.0, 2.5])
+    np.testing.assert_allclose(pose[3:], [30.0, -40.0, 75.0], atol=1e-6)
+
+
+def test_parse_polaris_p4():
+    from invesalius3_tpu.navigation import vendor_coords as vc
+
+    assert vc.parse_polaris_p4("01MISSING_WHATEVER") is None
+    # identity quaternion (1, 0, 0, 0) and translation (12.34, -5.00, 0.07)
+    rec = "01" + "+10000" + "+00000" + "+00000" + "+00000" + \
+          "+001234" + "-000500" + "+000007"
+    pose = vc.parse_polaris_p4(rec)
+    np.testing.assert_allclose(pose[:3], [12.34, -5.0, 0.07])
+    np.testing.assert_allclose(pose[3:], [0, 0, 0], atol=1e-9)
+
+
+def test_optitrack_pose_permutation():
+    from invesalius3_tpu.navigation import vendor_coords as vc
+
+    pose = vc.optitrack_pose(1, 0, 0, 0, 0.1, 0.2, 0.3)
+    np.testing.assert_allclose(pose[:3], [300.0, 100.0, 200.0])  # m->mm, zxy
+    np.testing.assert_allclose(pose[3:], [0, 0, 0], atol=1e-9)
+
+
+def test_polhemus_conversions():
+    from invesalius3_tpu.navigation import vendor_coords as vc
+
+    p = vc.polhemus_usb_pose([1.0, 2.0, 3.0, 10.0, 20.0, 30.0], True)
+    np.testing.assert_allclose(p, [10.0, 20.0, -30.0, 10.0, 20.0, 30.0])
+    p = vc.polhemus_usb_pose([1.0, 0, 0, 0, 0, 0], False)
+    np.testing.assert_allclose(p[0], 25.4)  # inches
+    line = b"1 1.5-2.5 3.0 10.0 0.0 0.0"
+    p = vc.parse_polhemus_serial(line)
+    np.testing.assert_allclose(p, [15.0, -25.0, 30.0, 10.0, 0.0, 0.0])
+
+
+def test_polhemus_dynamic_pose_identity_reference():
+    from invesalius3_tpu.navigation import vendor_coords as vc
+
+    probe = np.array([10.0, 5.0, 2.0, 1.0, 2.0, 3.0])
+    ref = np.zeros(6)
+    out = vc.polhemus_dynamic_pose(probe, ref)
+    np.testing.assert_allclose(out, [10.0, 5.0, -2.0, 1.0, 2.0, 3.0])
+
+
+# ---------------------------------------------------------------------------
+# MEP motor mapping as data (reference mep_visualizer.py)
+# ---------------------------------------------------------------------------
+def test_mep_interpolation_and_colormap():
+    from invesalius3_tpu.navigation import mep
+
+    verts = np.array([[0, 0, 0], [1, 0, 0], [10, 0, 0]], np.float32)
+    pts = np.array([[0, 0, 0]], np.float32)
+    vals = np.array([800.0], np.float32)
+    field = mep.interpolate_mep_surface(verts, pts, vals,
+                                        {"gaussian_radius": 3.0})
+    assert abs(field[0] - 800.0) < 1e-3       # on the point
+    assert abs(field[1] - 800.0) < 1e-3       # single source in range
+    assert field[2] == 0.0                    # out of radius
+    colors = mep.mep_colors(field)
+    assert colors.shape == (3, 3)
+    # out-of-range vertex renders cortex gray
+    np.testing.assert_allclose(colors[2], mep.CORTEX_COLOR, atol=1e-6)
+    # 800 uV sits between mid (600) and max (1000) anchors
+    cmap = mep.MEP_COLORMAPS["Viridis"]
+    lo = np.minimum(cmap["mid"], cmap["max"])
+    hi = np.maximum(cmap["mid"], cmap["max"])
+    assert ((colors[0] >= lo - 1e-6) & (colors[0] <= hi + 1e-6)).all()
+
+
+def test_mep_mapper_with_markers_and_session(tmp_path):
+    from invesalius3_tpu.core.session import Session
+    from invesalius3_tpu.navigation import mep
+    from invesalius3_tpu.navigation.markers import Marker
+
+    s = Session(user_dir=tmp_path / "cfg")
+    mapper = mep.MEPMapper.from_session(s)
+    mapper.config["mep_colormap"] = "GreenYellowOrangeRed"
+    mapper.save_to_session(s)
+    mapper2 = mep.MEPMapper.from_session(Session(user_dir=tmp_path / "cfg"))
+    assert mapper2.config["mep_colormap"] == "GreenYellowOrangeRed"
+
+    verts = np.zeros((5, 3), np.float32)
+    markers = [Marker(position=(0, 0, 0), mep_value=500.0),
+               Marker(position=(1, 1, 1))]  # no MEP value -> skipped
+    out = mapper2.map_markers(verts, markers)
+    assert out["values"].shape == (5,) and out["colors"].shape == (5, 3)
+    assert out["values"].max() > 0

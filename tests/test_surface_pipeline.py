@@ -211,3 +211,77 @@ def test_laplacian_smooth_contracts():
     r_before = np.linalg.norm(v - v.mean(0), axis=1).mean()
     r_after = np.linalg.norm(out - out.mean(0), axis=1).mean()
     assert 0.3 * r_before < r_after < r_before  # shrinks but doesn't collapse
+
+
+# ---------------------------------------------------------------------------
+# fused device pipeline: adjacency-from-dedup-sort, grid propagate
+# ---------------------------------------------------------------------------
+def test_adjacency_from_device_mesh_matches_lexsort():
+    from invesalius3_tpu.ops import marching, mesh as mesh_ops
+
+    dm = marching.mask_to_surface_device(_sphere_mask(24, 9.0))
+    neigh, deg = mesh_ops.adjacency_from_device_mesh(dm)
+    neigh = np.asarray(neigh)
+    deg = np.asarray(deg)
+    verts, faces = marching.mesh_to_host(dm, fp16=False)
+    table2, deg2 = mesh_ops.vertex_adjacency_fast(faces, len(verts))
+    table2 = np.asarray(table2.T)  # (D2, V)
+    deg2 = np.asarray(deg2)
+    V = len(verts)
+    np.testing.assert_array_equal(deg[:V], deg2)
+    for v in range(0, V, 97):  # spot-check neighbor sets
+        a = set(neigh[:deg[v], v].tolist())
+        b = set(table2[:deg2[v], v].tolist())
+        assert a == b, f"vertex {v}: {a} != {b}"
+    # full check: valid entries equal as sorted arrays
+    D = min(neigh.shape[0], table2.shape[0])
+    mask_valid = np.arange(D)[:, None] < deg2[None, :]
+    a = np.where(mask_valid, np.sort(neigh[:D, :V], axis=0)[:D], -1)
+    b = np.where(mask_valid, np.sort(table2[:D], axis=0)[:D], -1)
+    # sorts differ only in sentinel handling; compare within-degree prefix
+    got = np.sort(np.where(np.arange(neigh.shape[0])[:, None] < deg[None, :V],
+                           neigh[:, :V], 2**30), axis=0)[:D]
+    want = np.sort(np.where(np.arange(table2.shape[0])[:, None] < deg2[None, :],
+                            table2, 2**30), axis=0)[:D]
+    np.testing.assert_array_equal(np.where(mask_valid, got, -1),
+                                  np.where(mask_valid, want, -1))
+
+
+def test_ca_smoothing_device_mesh_propagate_matches_host():
+    from invesalius3_tpu.ops import marching, mesh as mesh_ops
+
+    mask = _sphere_mask(20, 7.0)
+    dm = marching.mask_to_surface_device(mask)
+    out_dev = np.asarray(mesh_ops.ca_smoothing_device(
+        dm, propagate="mesh").T)[:dm.n_verts]
+    verts, faces = marching.mesh_to_host(dm, fp16=False)
+    out_host = mesh_ops.ca_smoothing(verts, faces)
+    np.testing.assert_allclose(out_dev, out_host, atol=1e-5)
+
+
+def test_ca_smoothing_grid_propagate_close_to_mesh():
+    from invesalius3_tpu.ops import marching, mesh as mesh_ops
+
+    mask = _cube_mask(20, 4, 15)
+    dm = marching.mask_to_surface_device(mask)
+    dev_grid = np.asarray(mesh_ops.ca_smoothing_device(
+        dm, propagate="grid").T)[:dm.n_verts]
+    dev_mesh = np.asarray(mesh_ops.ca_smoothing_device(
+        dm, propagate="mesh").T)[:dm.n_verts]
+    # same smoothing character: vertices move by comparable amounts
+    base = np.asarray(dm.verts3v.T)[:dm.n_verts]
+    d_grid = np.linalg.norm(dev_grid - base, axis=1)
+    d_mesh = np.linalg.norm(dev_mesh - base, axis=1)
+    assert abs(d_grid.mean() - d_mesh.mean()) < 0.15 * max(d_mesh.mean(), 1e-6)
+    np.testing.assert_allclose(dev_grid, dev_mesh, atol=0.5)
+
+
+def test_mesh_to_host_fp16_packing():
+    from invesalius3_tpu.ops import marching
+
+    mask = _sphere_mask(16, 6.0)
+    dm = marching.mask_to_surface_device(mask, spacing=(0.7, 0.9, 1.1))
+    v32, f32_ = marching.mesh_to_host(dm, fp16=False)
+    v16, f16_ = marching.mesh_to_host(dm, fp16=True)
+    np.testing.assert_array_equal(f32_, f16_)
+    np.testing.assert_allclose(v16, v32, atol=0.05)  # fp16 ulp at ~16mm

@@ -113,76 +113,127 @@ class RaycastPreset:
         )
 
 
-def builtin_preset(name: str = "Bone") -> RaycastPreset:
-    """A few built-in presets (authored, not copied): Bone, Soft Tissue,
-    MIP — covering the reference's preset *capability*."""
-    lut_size = 2048
-    if name == "Bone":
-        lo, hi = -200.0, 2000.0
-        values = np.linspace(lo, hi, lut_size)
-        a = np.clip((values - 200.0) / 500.0, 0, 1) * 0.9
-        r = np.clip((values - 100.0) / 900.0, 0, 1) * 0.4 + 0.6
-        g = np.clip((values - 200.0) / 1200.0, 0, 1) * 0.45 + 0.55
-        b = np.clip((values - 300.0) / 1700.0, 0, 1) * 0.5 + 0.45
-        rgba = np.stack([r, g, b, a], axis=1).astype(np.float32)
-        return RaycastPreset("Bone", lo, hi, rgba, use_shading=True)
-    if name == "Soft Tissue":
-        lo, hi = -800.0, 400.0
-        values = np.linspace(lo, hi, lut_size)
-        a = np.clip((values + 300.0) / 400.0, 0, 1) * 0.4
-        r = np.full(lut_size, 0.85)
-        g = np.full(lut_size, 0.55)
-        b = np.full(lut_size, 0.45)
-        rgba = np.stack([r, g, b, a], axis=1).astype(np.float32)
-        return RaycastPreset("Soft Tissue", lo, hi, rgba, use_shading=True)
-    if name == "MIP":
-        lo, hi = -1024.0, 3071.0
-        rgba = np.tile(np.linspace(0, 1, lut_size, dtype=np.float32)[:, None], (1, 4))
-        return RaycastPreset("MIP", lo, hi, rgba, projection_mode="mip")
-    if name == "Dark Bone":
-        lo, hi = 100.0, 2500.0
-        values = np.linspace(lo, hi, lut_size)
-        a = np.clip((values - 300.0) / 700.0, 0, 1) * 0.95
-        g = np.clip((values - 300.0) / 2200.0, 0, 1)
-        rgba = np.stack([g * 0.9, g * 0.85, g * 0.8, a], axis=1).astype(np.float32)
-        return RaycastPreset("Dark Bone", lo, hi, rgba, use_shading=True)
-    if name == "Bone + Skin":
-        lo, hi = -800.0, 2000.0
-        values = np.linspace(lo, hi, lut_size)
-        skin = np.clip(1.0 - np.abs(values + 400.0) / 250.0, 0, 1)
-        bone = np.clip((values - 200.0) / 500.0, 0, 1)
-        a = np.maximum(skin * 0.25, bone * 0.9)
-        r = np.where(bone > skin, 0.95, 0.85)
-        g = np.where(bone > skin, 0.92, 0.55)
-        b = np.where(bone > skin, 0.85, 0.45)
-        rgba = np.stack([r, g, b, a], axis=1).astype(np.float32)
-        return RaycastPreset("Bone + Skin", lo, hi, rgba, use_shading=True)
-    if name == "Airways":
-        # air cavities: invert — low HU visible
-        lo, hi = -1024.0, -300.0
-        values = np.linspace(lo, hi, lut_size)
-        a = np.clip((-values - 500.0) / 400.0, 0, 1) * 0.6
-        rgba = np.stack([np.full(lut_size, 0.4), np.full(lut_size, 0.7),
-                         np.full(lut_size, 1.0), a], axis=1).astype(np.float32)
-        return RaycastPreset("Airways", lo, hi, rgba, use_shading=True)
-    if name == "High Contrast":
-        lo, hi = -200.0, 1200.0
-        values = np.linspace(lo, hi, lut_size)
-        t = np.clip((values - lo) / (hi - lo), 0, 1)
-        a = t**3 * 0.95
-        rgba = np.stack([t, t * 0.6 + 0.2, 0.2 + 0.1 * t, a], axis=1).astype(np.float32)
-        return RaycastPreset("High Contrast", lo, hi, rgba, use_shading=True)
-    if name == "Black & White":
-        lo, hi = -1024.0, 3071.0
-        t = np.linspace(0, 1, lut_size, dtype=np.float32)
-        a = np.clip((t - 0.3) / 0.3, 0, 1) * 0.9
-        rgba = np.stack([t, t, t, a], axis=1).astype(np.float32)
-        return RaycastPreset("Black & White", lo, hi, rgba, use_shading=False)
-    raise KeyError(name)
+# Authored preset specs covering the reference's 30-preset catalog
+# (/root/reference/presets/raycasting/*.plist — same names, curves authored
+# fresh as compact ramps).  Each: HU range, alpha ramp points, RGB stops,
+# shading, projection, background.
+def _spec(lo, hi, alpha, stops, shading=True, mode="composite",
+          bg=(0.0, 0.0, 0.0)):
+    return dict(lo=lo, hi=hi, alpha=alpha, stops=stops, shading=shading,
+                mode=mode, bg=bg)
 
 
-BUILTIN_PRESETS = ("Bone", "Soft Tissue", "MIP", "Dark Bone", "Bone + Skin",
-                   "Airways", "High Contrast", "Black & White")
+_BONE_STOPS = [(-200, (0.4, 0.3, 0.25)), (300, (0.9, 0.76, 0.65)),
+               (1200, (1.0, 0.98, 0.92)), (2500, (1.0, 1.0, 1.0))]
+_SKIN_STOPS = [(-500, (0.55, 0.3, 0.25)), (-100, (0.85, 0.55, 0.45)),
+               (200, (0.95, 0.75, 0.65))]
+_VESSEL_STOPS = [(100, (0.45, 0.0, 0.0)), (300, (0.85, 0.1, 0.1)),
+                 (600, (1.0, 0.45, 0.35)), (1200, (1.0, 0.9, 0.8))]
+_GRAY = [(-1024, (0.0, 0.0, 0.0)), (3071, (1.0, 1.0, 1.0))]
+
+_PRESET_SPECS = {
+    "Standard": _spec(-1024, 3071, [(-200, 0.0), (300, 0.3), (1500, 0.9)],
+                      _BONE_STOPS),
+    "Bone": _spec(-200, 2000, [(150, 0.0), (700, 0.9)], _BONE_STOPS),
+    "Gold Bone": _spec(-100, 2500, [(200, 0.0), (800, 0.95)],
+                       [(200, (0.45, 0.3, 0.05)), (1000, (0.95, 0.75, 0.2)),
+                        (2500, (1.0, 0.95, 0.6))]),
+    "Yellow Bone": _spec(-100, 2500, [(200, 0.0), (800, 0.95)],
+                         [(200, (0.5, 0.45, 0.05)), (1000, (1.0, 0.95, 0.2)),
+                          (2500, (1.0, 1.0, 0.7))]),
+    "Dark Bone": _spec(100, 2500, [(300, 0.0), (1000, 0.95)],
+                       [(300, (0.1, 0.09, 0.08)), (2500, (0.9, 0.85, 0.8))]),
+    "Bone + Skin": _spec(-800, 2000,
+                         [(-600, 0.0), (-400, 0.25), (-150, 0.0),
+                          (200, 0.0), (700, 0.9)],
+                         _SKIN_STOPS + [(700, (0.95, 0.92, 0.85)),
+                                        (2000, (1.0, 1.0, 1.0))]),
+    "Bone + Skin II": _spec(-800, 2000,
+                            [(-600, 0.0), (-350, 0.45), (-100, 0.0),
+                             (250, 0.0), (800, 0.95)],
+                            _SKIN_STOPS + [(800, (1.0, 0.98, 0.9))]),
+    "Skin On Blue": _spec(-800, 500, [(-550, 0.0), (-200, 0.6), (100, 0.9)],
+                          _SKIN_STOPS, bg=(0.1, 0.2, 0.45)),
+    "Skin On Blue II": _spec(-800, 500, [(-500, 0.0), (-100, 0.85)],
+                             _SKIN_STOPS, bg=(0.05, 0.12, 0.35)),
+    "Soft": _spec(-800, 400, [(-300, 0.0), (60, 0.45), (300, 0.7)],
+                  [(-300, (0.6, 0.35, 0.3)), (40, (0.85, 0.55, 0.45)),
+                   (400, (0.95, 0.8, 0.7))]),
+    "Soft Tissue": _spec(-800, 400, [(-300, 0.0), (100, 0.4)],
+                         [(-300, (0.85, 0.55, 0.45)),
+                          (400, (0.9, 0.65, 0.55))]),
+    "Soft On Blue": _spec(-800, 400, [(-300, 0.0), (100, 0.55)],
+                          [(-300, (0.8, 0.55, 0.45)), (400, (0.95, 0.8, 0.7))],
+                          bg=(0.1, 0.2, 0.45)),
+    "Soft on White": _spec(-800, 400, [(-300, 0.0), (100, 0.55)],
+                           [(-300, (0.55, 0.35, 0.3)), (400, (0.8, 0.6, 0.5))],
+                           bg=(1.0, 1.0, 1.0)),
+    "Soft + Skin": _spec(-800, 600,
+                         [(-600, 0.0), (-350, 0.2), (-100, 0.0), (40, 0.5)],
+                         _SKIN_STOPS),
+    "Soft + Skin II": _spec(-800, 600,
+                            [(-600, 0.0), (-300, 0.35), (-50, 0.0), (60, 0.6)],
+                            _SKIN_STOPS),
+    "Soft + Skin III": _spec(-800, 600,
+                             [(-600, 0.0), (-250, 0.5), (0, 0.0), (80, 0.7)],
+                             _SKIN_STOPS),
+    "Vascular": _spec(0, 1200, [(80, 0.0), (300, 0.8)], _VESSEL_STOPS),
+    "Vascular II": _spec(0, 1200, [(120, 0.0), (400, 0.9)], _VESSEL_STOPS),
+    "Vascular III": _spec(50, 1500, [(150, 0.0), (500, 0.95)], _VESSEL_STOPS),
+    "Vascular IV": _spec(100, 1500, [(200, 0.0), (600, 1.0)], _VESSEL_STOPS),
+    "Airways": _spec(-1024, -300, [(-1024, 0.6), (-800, 0.3), (-500, 0.0)],
+                     [(-1024, (0.4, 0.7, 1.0)), (-300, (0.6, 0.85, 1.0))]),
+    "Airways II": _spec(-1024, -200, [(-1024, 0.8), (-700, 0.25), (-400, 0.0)],
+                        [(-1024, (0.3, 0.6, 1.0)), (-200, (0.7, 0.9, 1.0))],
+                        bg=(0.05, 0.05, 0.1)),
+    "High Contrast": _spec(-200, 1200, [(-200, 0.0), (600, 0.2), (1200, 0.95)],
+                           [(-200, (0.2, 0.12, 0.06)), (700, (1.0, 0.6, 0.3)),
+                            (1200, (1.0, 0.95, 0.85))]),
+    "Mid Contrast": _spec(-400, 1400, [(-400, 0.0), (400, 0.4), (1400, 0.85)],
+                          _BONE_STOPS),
+    "Low Contrast": _spec(-800, 2000, [(-800, 0.0), (600, 0.35), (2000, 0.7)],
+                          _BONE_STOPS),
+    "Glossy": _spec(-500, 1500, [(-200, 0.0), (300, 0.75)],
+                    [(-200, (0.75, 0.75, 0.8)), (1500, (1.0, 1.0, 1.0))]),
+    "Glossy II": _spec(-500, 1500, [(-100, 0.0), (500, 0.9)],
+                       [(-100, (0.6, 0.65, 0.75)), (1500, (0.95, 0.97, 1.0))]),
+    "Pencil": _spec(-600, 1200, [(-600, 0.0), (-200, 0.15), (800, 0.45)],
+                    [(-600, (0.15, 0.15, 0.15)), (1200, (0.35, 0.35, 0.35))],
+                    shading=False, bg=(1.0, 1.0, 1.0)),
+    "Red on White": _spec(-500, 1500, [(-200, 0.0), (400, 0.7)],
+                          [(-200, (0.6, 0.05, 0.05)), (1500, (1.0, 0.4, 0.3))],
+                          bg=(1.0, 1.0, 1.0)),
+    "Black & White": _spec(-1024, 3071, [(200, 0.0), (1400, 0.9)], _GRAY,
+                           shading=False),
+    "No Shading": _spec(-200, 2000, [(150, 0.0), (700, 0.9)], _BONE_STOPS,
+                        shading=False),
+    "MIP": _spec(-1024, 3071, [(-1024, 0.0), (3071, 1.0)], _GRAY,
+                 shading=False, mode="mip"),
+}
+
+
+def builtin_preset(name: str = "Bone", lut_size: int = 2048) -> RaycastPreset:
+    """Bake one of the authored presets (full reference catalog coverage:
+    the 30 names under presets/raycasting/)."""
+    spec = _PRESET_SPECS.get(name)
+    if spec is None:
+        raise KeyError(name)
+    lo, hi = float(spec["lo"]), float(spec["hi"])
+    values = np.linspace(lo, hi, lut_size)
+    a_pts = spec["alpha"]
+    a = np.interp(values, [p[0] for p in a_pts], [p[1] for p in a_pts])
+    rgba = np.empty((lut_size, 4), np.float32)
+    rgba[:, 3] = a
+    stops = spec["stops"]
+    xs = [p[0] for p in stops]
+    for c in range(3):
+        rgba[:, c] = np.interp(values, xs, [p[1][c] for p in stops])
+    return RaycastPreset(name, lo, hi, rgba, use_shading=spec["shading"],
+                         projection_mode=spec["mode"],
+                         background=tuple(spec["bg"]))
+
+
+BUILTIN_PRESETS = tuple(_PRESET_SPECS)
 
 
 # ---------------------------------------------------------------------------

@@ -257,3 +257,20 @@ def test_base_creation_orthonormal():
     fids = rng.normal(size=(3, 3)) * 40
     m, q = registration.base_creation(fids)
     np.testing.assert_allclose(m.T @ m, np.eye(3), atol=1e-9)
+
+
+def test_builtin_preset_catalog_covers_reference_names():
+    """All 30 reference preset names (presets/raycasting/*.plist) bake."""
+    names = [
+        "Airways II", "Airways", "Black & White", "Bone + Skin II",
+        "Bone + Skin", "Dark Bone", "Glossy II", "Glossy", "Gold Bone",
+        "High Contrast", "Low Contrast", "MIP", "Mid Contrast", "No Shading",
+        "Pencil", "Red on White", "Skin On Blue II", "Skin On Blue",
+        "Soft + Skin II", "Soft + Skin III", "Soft + Skin", "Soft On Blue",
+        "Soft on White", "Soft", "Standard", "Vascular II", "Vascular III",
+        "Vascular IV", "Vascular", "Yellow Bone",
+    ]
+    for n in names:
+        p = raycast.builtin_preset(n)
+        assert p.rgba.shape[1] == 4
+        assert np.isfinite(p.rgba).all() and p.rgba[:, 3].max() > 0

@@ -60,22 +60,41 @@ def main() -> None:
     markers[2, 2, 2] = 3  # background
     markers_j = jnp.asarray(markers)
 
+    sharded = os.environ.get("INV3_SHARDED") == "1"
+    if sharded:
+        from jax.sharding import Mesh
+
+        zmesh = Mesh(np.asarray(jax.devices()), ("z",))
+        log(f"sharded mode: {zmesh.devices.size}-shard z mesh")
+
     def pipeline():
+        import dataclasses
+
         # 1. watershed segmentation on the morphological gradient
         labels = watershed.watershed(ct, markers_j, algorithm="Watershed")
         # 2. basin -> binary mask (uint8 0/255)
         mask = jnp.where(labels == 1, jnp.uint8(255), jnp.uint8(0))
         jax.block_until_ready(mask)
-        # 3. marching cubes (device extraction + host dedup)
-        verts, faces = marching.mask_to_surface(mask, spacing=(0.5, 0.5, 0.5))
-        # 4. context-aware smoothing (reference GUI defaults)
-        smoothed = mesh_ops.ca_smoothing(verts, faces, 0.7, 3.0, 0.5, 10)
-        # 5. STL write
         from invesalius3_tpu.io import mesh_io
 
         out = os.path.join(tempfile.gettempdir(), "bench_out.stl")
+        if sharded:
+            # 3s. Z-sharded extraction + on-device stitch over the mesh
+            from invesalius3_tpu.parallel import sharded_ops
+
+            verts, faces = sharded_ops.sharded_mask_to_surface(
+                zmesh, mask, spacing=(0.5, 0.5, 0.5))
+            smoothed = mesh_ops.ca_smoothing(verts, faces, 0.7, 3.0, 0.5, 10)
+            mesh_io.write_stl(out, smoothed, faces)
+            return verts, faces, out
+        # 3. fused device pipeline: marching -> ca smoothing -> one packed
+        # transfer (no intermediate host copies)
+        dm = marching.mask_to_surface_device(mask, spacing=(0.5, 0.5, 0.5))
+        out3v = mesh_ops.ca_smoothing_device(dm, 0.7, 3.0, 0.5, 10)
+        smoothed, faces = marching.mesh_to_host(
+            dataclasses.replace(dm, verts3v=out3v))
         mesh_io.write_stl(out, smoothed, faces)
-        return verts, faces, out
+        return smoothed, faces, out
 
     # warmup: compile everything on the same shapes
     t0 = time.perf_counter()

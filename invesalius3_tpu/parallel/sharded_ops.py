@@ -56,7 +56,7 @@ def sharded_binary_dilation(mesh: Mesh, strct: np.ndarray, axis_name: str = "z")
     """Binary dilation over a Z-sharded volume: each shard dilates locally
     after receiving 1-slice halos from its neighbors (structuring elements
     up to 3 deep in Z)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     offs = _offsets(strct)
     assert all(abs(o[0]) <= 1 for o in offs), "halo depth 1 supports Z-extent-3 elements"
@@ -81,7 +81,7 @@ def sharded_floodfill_threshold(mesh: Mesh, strct: np.ndarray, axis_name: str = 
     """Z-sharded region grow: the fixpoint loop runs *inside* shard_map so
     each iteration's halo exchange rides ICI; convergence is checked with a
     global psum, mirroring the reference's overlapping-slab stitching."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from invesalius3_tpu.ops.morphology import shift_nd
 
     offs = _offsets(strct)
@@ -121,11 +121,221 @@ def sharded_floodfill_threshold(mesh: Mesh, strct: np.ndarray, axis_name: str = 
     )
 
 
+# ---------------------------------------------------------------------------
+# Z-sharded marching-tetrahedra surface extraction (SURVEY P1)
+# ---------------------------------------------------------------------------
+
+
+def sharded_mask_to_surface(mesh: Mesh, mask: jax.Array,
+                            spacing: Tuple[float, float, float] = (1.0, 1.0, 1.0),
+                            axis_name: str = "z"):
+    """Full surface extraction over a Z-sharded mask: each shard runs the
+    marching-tet stages on its slab (+1-slice halo) with *global* lattice
+    keys, dedups locally, and the shards stitch on device by the
+    boundary-plane key property:
+
+      a vertex is duplicated across shards iff both its lattice-edge
+      endpoints lie in the shard-boundary plane; both copies sort to the
+      same relative position (keys are global), so the upper shard's
+      duplicates match the lower shard's exports *positionally* — the
+      stitch is one ppermute of (ids) plus rank arithmetic, no search.
+
+    Vertices come back in global-key order — bit-identical to the
+    single-device path (including its leading orphan slot when triangle
+    padding exists); faces are the same set, ordered by slab then
+    tet-slot (the single-device order interleaves tets volume-wide), the
+    same concatenation semantics as the reference's slab join
+    (surface.py:1360-1430).
+
+    Returns host (verts (V, 3) world mm, faces (F, 3) int32).
+    """
+    from jax import shard_map
+
+    from invesalius3_tpu.ops import marching as mc
+
+    n_shards = mesh.devices.size
+    spec = P(axis_name, None, None)
+    mask = jax.device_put((jnp.asarray(mask) >= 127).astype(jnp.uint8),
+                          NamedSharding(mesh, spec))
+    Z, Y, X = (int(s) for s in mask.shape)
+    assert Z % n_shards == 0, "Z must divide evenly over the mesh"
+    Zs = Z // n_shards
+    # pad Y/X globally (replicated); Z pad is the first/last shard's job,
+    # handled by treating out-of-range halos as zeros.  To keep the classic
+    # "pad by one empty voxel" semantics we pad Y/X here and add one empty
+    # leading/trailing Z slice *inside* the owning shards.
+    maskp = jax.device_put(jnp.pad(mask, ((0, 0), (1, 1), (1, 1))),
+                           NamedSharding(mesh, spec))
+    Yp, Xp = Y + 2, X + 2
+    # conceptual global padded volume: [empty plane, Z slices, empty plane];
+    # shard 0's zero prev-halo and the last shard's zero next-halo ARE those
+    # empty planes, so no Z pad is materialized.
+
+    def padded_slab(vis):
+        """(Zs + 2, Yp, Xp): previous-shard halo slice (or empty plane for
+        shard 0), my slab, next-shard halo (or empty plane for the last)."""
+        prev_halo, next_halo = halo_exchange_z(vis, axis_name)
+        return jnp.concatenate([prev_halo, vis, next_halo], axis=0)
+
+    # --- pass 1: per-shard counts (sizes the SPMD compaction buckets; the
+    # full padded slab is counted because extraction compacts the shared
+    # boundary cell row too before the ownership filter drops it)
+    def count_pass(vis):
+        c = padded_slab(vis)
+        Z1 = c.shape[0]
+        corners = []
+        for dz, dy, dx in mc.CUBE_OFFSETS:
+            corners.append(c[dz:dz + Z1 - 1, dy:dy + Yp - 1, dx:dx + Xp - 1]
+                           .astype(jnp.bool_))
+        agg_any = corners[0]
+        agg_all = corners[0]
+        for cc in corners[1:]:
+            agg_any = agg_any | cc
+            agg_all = agg_all & cc
+        n_active = jnp.sum((agg_any & ~agg_all).astype(jnp.int32))
+        total = jnp.zeros((), jnp.int32)
+        for tet in mc.TETS:
+            s = sum(corners[t].astype(jnp.uint8) for t in tet)
+            total = total + jnp.sum(jnp.minimum(s, 4 - s).astype(jnp.int32))
+        return jnp.stack([n_active, total])[None]
+
+    counts = jax.jit(shard_map(count_pass, mesh=mesh, in_specs=(spec,),
+                               out_specs=P(axis_name)))(maskp)
+    counts = np.asarray(counts)  # (n_shards, 2)
+    max_active = max(1024, mc._next_pow2(int(counts[:, 0].max())))
+    max_tris = max(2048, mc._next_pow2(int(counts[:, 1].max())))
+
+    # --- pass 2: extraction + local dedup + stitch
+    BOUND = 1 << 16  # boundary-plane vertex bucket (checked below)
+
+    def extract_local(vis):
+        idx = jax.lax.axis_index(axis_name)
+        field = padded_slab(vis)  # (Zs + 2, Yp, Xp) — local frame
+        # my cells start at local z in [0, Zs): global padded z0 of local
+        # row 0 is idx * Zs (prev halo plane = global plane idx*Zs, since
+        # the conceptual global volume has one leading empty plane)
+        z0 = idx * Zs
+        local_shape = tuple(int(s) for s in field.shape)
+        corner_lin, vals, ins, valid_cell, _ = mc._extract_cells(
+            field, 0.5, max_active)
+        # keep only cells starting in my slab rows [0, Zs) of the padded
+        # frame (row Zs = next shard's first row; the final shard keeps it:
+        # it's the global trailing empty plane, never active)
+        cz = jnp.where(valid_cell, corner_lin[0] // (Yp * Xp), 0)
+        keep = valid_cell & ((cz < Zs) | (idx == n_shards - 1))
+        ins = ins & keep[None, :]
+        case, tri_slots, n_tris_l = mc._emit_slots(ins, keep, max_tris)
+        pts, keys = mc._materialize(corner_lin, vals, ins, case, tri_slots,
+                                    0.5, local_shape)
+        # local -> global: z += z0 (coordinates); keys += z0 * Yp * Xp
+        pts = pts.at[:, 0, :].add(jnp.float32(z0))
+        keys = jnp.where(keys >= 0, keys + z0 * Yp * Xp, -1)
+
+        T = pts.shape[2]
+        pts_m = pts.transpose(1, 0, 2).reshape(3, 3 * T)
+        keys_m = keys.transpose(1, 0, 2).reshape(2, 3 * T)
+        verts_d, inverse_d, n_groups, order, gos = mc._dedup_vertices(
+            pts_m, keys_m)
+
+        # classify each vertex (group): orphan (key -1), lower-boundary
+        # duplicate (both endpoints in my first plane), or own
+        k0s = keys_m[0][order]
+        k1s = keys_m[1][order]
+        new_group = jnp.concatenate([
+            jnp.ones((1,), jnp.bool_), gos[1:] != gos[:-1]])
+        M = gos.shape[0]
+        g_k0 = jnp.zeros((M,), jnp.int32).at[gos].max(
+            jnp.where(new_group, k0s, 0))
+        g_k1 = jnp.zeros((M,), jnp.int32).at[gos].max(
+            jnp.where(new_group, k1s, 0))
+        g_orphan = jnp.zeros((M,), jnp.bool_).at[gos].max(
+            new_group & (k0s < 0))
+        plane = lambda k: k // (Yp * Xp)
+        lower = z0
+        upper = z0 + Zs
+        is_vert = jnp.arange(M) < n_groups
+        # ownership: an in-plane vertex at a shard boundary belongs to the
+        # shard whose slab STARTS there (the upper one) — then every own
+        # key of shard s sorts strictly before every own key of shard s+1,
+        # so shard-order concatenation IS the global key order.
+        g_dup = (is_vert & ~g_orphan & (plane(g_k0) == upper)
+                 & (plane(g_k1) == upper) & (idx < n_shards - 1))
+        g_lower = (is_vert & ~g_orphan & (plane(g_k0) == lower)
+                   & (plane(g_k1) == lower))  # owned by me, dup'd in prev
+        # shard 0 owns the single global orphan slot; others drop theirs
+        g_own = is_vert & ~g_dup & (~g_orphan | (idx == 0))
+
+        own_rank = jnp.cumsum(g_own.astype(jnp.int32)) - 1
+        n_own = jnp.sum(g_own.astype(jnp.int32))
+        dup_rank = jnp.cumsum(g_dup.astype(jnp.int32)) - 1
+
+        # shard bases: exclusive prefix sum of n_own over shards
+        all_counts = jax.lax.all_gather(n_own, axis_name)  # (S,)
+        base = jnp.sum(jnp.where(jnp.arange(n_shards) < idx, all_counts, 0))
+
+        my_global = jnp.where(g_own, base + own_rank, 0)
+
+        # export my lower-plane vertices' global ids (key-ordered) to the
+        # PREVIOUS shard, whose upper-plane duplicates match positionally
+        lo_rank = jnp.cumsum(g_lower.astype(jnp.int32)) - 1
+        exports = jnp.zeros((BOUND,), jnp.int32).at[
+            jnp.where(g_lower, lo_rank, BOUND - 1)].set(
+            jnp.where(g_lower, my_global, 0), mode="drop")
+        n_up = jnp.sum(g_lower.astype(jnp.int32))
+        recv = jax.lax.ppermute(
+            exports, axis_name,
+            [(i, (i - 1) % n_shards) for i in range(n_shards)])
+
+        final_id = jnp.where(g_dup, recv[jnp.clip(dup_rank, 0, BOUND - 1)],
+                             my_global)
+        # orphan groups on shards > 0 map to global orphan 0 (never used by
+        # valid faces)
+        final_id = jnp.where(g_orphan & (idx > 0), 0, final_id)
+
+        faces_global = final_id[inverse_d]  # (M,) corner-major
+
+        # own vertices compacted into a max_out bucket, key-ordered
+        verts_own = jnp.zeros((3, M), jnp.float32).at[
+            :, jnp.where(g_own, own_rank, M - 1)].set(
+            jnp.where(g_own, verts_d, 0.0), mode="drop")
+        checks = jnp.stack([n_own, n_tris_l, n_up,
+                            jnp.sum(g_dup.astype(jnp.int32))])
+        return (verts_own[None], faces_global[None], checks[None])
+
+    f = jax.jit(shard_map(
+        extract_local, mesh=mesh, in_specs=(spec,),
+        out_specs=(P(axis_name), P(axis_name), P(axis_name))))
+    verts_sh, faces_sh, checks = f(maskp)
+    checks = np.asarray(checks)  # (S, 4): n_own, n_tris, n_up, n_dup
+    assert checks[:, 2].max() < BOUND, "boundary bucket overflow"
+
+    # host assembly in shard order = global key order
+    T = max_tris
+    sx, sy, sz = spacing
+    verts_parts = []
+    for s in range(n_shards):
+        vo = np.asarray(verts_sh[s])[:, :checks[s, 0]]
+        verts_parts.append(vo)
+    verts_zyx = np.concatenate(verts_parts, axis=1).T  # (V, 3) zyx, padded frame
+    faces_parts = []
+    for s in range(n_shards):
+        inv = np.asarray(faces_sh[s]).reshape(3, T)[:, :checks[s, 1]]
+        faces_parts.append(inv.T)
+    faces = np.concatenate(faces_parts, axis=0).astype(np.int32)
+
+    world = np.stack([verts_zyx[:, 2] * sx, verts_zyx[:, 1] * sy,
+                      verts_zyx[:, 0] * sz], axis=1).astype(np.float32)
+    # remove the one-voxel pad offset (Y/X pad + the conceptual leading
+    # empty Z plane that the halo of shard 0 provides)
+    world -= np.array([sx, sy, sz], np.float32)
+    return world, faces[:, ::-1]
+
+
 def sharded_active_cell_count(mesh: Mesh, axis_name: str = "z"):
     """Marching-cubes active-cell count over a Z-sharded mask volume with a
     1-slice halo (cells straddle shard boundaries; each shard owns the
     cells that START in it)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def local(vis):
         prev_halo, next_halo = halo_exchange_z(vis, axis_name)

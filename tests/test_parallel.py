@@ -111,3 +111,45 @@ def test_segment_job_progress_and_cancel():
     job2.join(timeout=600)
     assert job2.mask is None  # cancelled cleanly, no exception
     assert job2.exception is None
+
+
+def test_sharded_mask_to_surface_matches_single_device(zmesh):
+    """Z-sharded marching extraction + on-device stitch: vertices
+    bit-identical to the single-device path; faces equal as a set (order
+    is slab-concatenated, like the reference's slab join)."""
+    from invesalius3_tpu.ops import marching
+
+    zz, yy, xx = np.mgrid[:16, :20, :20].astype(np.float64)
+    d = np.sqrt((zz - 7.5) ** 2 + (yy - 9.5) ** 2 + (xx - 9.5) ** 2)
+    mask = np.where(d <= 6.5, 255, 0).astype(np.uint8)
+
+    want_v, want_f = marching.mask_to_surface(mask, spacing=(0.5, 0.7, 1.1))
+    got_v, got_f = sharded_ops.sharded_mask_to_surface(
+        zmesh, jnp.asarray(mask), spacing=(0.5, 0.7, 1.1))
+
+    np.testing.assert_allclose(got_v, want_v, atol=1e-5)
+    assert got_f.shape == want_f.shape
+    # same triangle set: canonicalize each face (rotation-invariant) + sort
+    def canon(f):
+        r = np.argmin(f, axis=1)
+        out = np.stack([f[np.arange(len(f)), (r + k) % 3] for k in range(3)], 1)
+        return out[np.lexsort((out[:, 2], out[:, 1], out[:, 0]))]
+
+    np.testing.assert_array_equal(canon(got_f), canon(want_f))
+
+
+def test_sharded_mask_to_surface_watertight_and_volume(zmesh):
+    from invesalius3_tpu.ops import mesh as mesh_ops
+
+    m = np.zeros((16, 18, 18), np.uint8)
+    m[4:12, 5:14, 3:15] = 255
+    v, f = sharded_ops.sharded_mask_to_surface(zmesh, jnp.asarray(m))
+    from collections import Counter
+
+    cnt = Counter()
+    for a, b, c in f:
+        for e in ((a, b), (b, c), (c, a)):
+            cnt[tuple(sorted(e))] += 1
+    assert set(cnt.values()) == {2}
+    vol, _ = mesh_ops.mass_properties(v.astype(np.float32), f)
+    assert abs(float(vol) - 8 * 9 * 12) / (8 * 9 * 12) < 0.12

@@ -27,6 +27,7 @@ from pathlib import Path
 import numpy as np
 
 from invesalius3_tpu import constants as const, events
+from invesalius3_tpu.utils.i18n import tr
 from invesalius3_tpu.core.project import Project
 from invesalius3_tpu.core.session import Session
 from invesalius3_tpu.core.slice import Slice
@@ -73,7 +74,7 @@ def import_data(args) -> Volume:
 
         groups = dicom.load_dicom_dir(args.dicom_dir)
         if not groups:
-            raise SystemExit(f"no DICOM series found in {args.dicom_dir}")
+            raise SystemExit(tr("no DICOM series found in {dir}").format(dir=args.dicom_dir))
         group = max(groups, key=lambda g: len(g.files))
         data, spacing, affine = dicom.group_to_volume(group)
         modality = group.files[0].get("Modality", "CT")
@@ -100,7 +101,7 @@ def import_data(args) -> Volume:
 
         img = nifti.read_nifti(path)
         return Volume.from_numpy(img.data, spacing=img.spacing, affine=img.affine)
-    raise SystemExit("no input given: use -i / --import-folder / --import-file")
+    raise SystemExit(tr("no input given: use -i / --import-folder / --import-file"))
 
 
 def parse_threshold(spec: str, modality: str = "CT"):
@@ -132,7 +133,8 @@ def main(argv=None) -> int:
         host, _, port = args.remote_host.partition(":")
         remote = RemoteControl(host, int(port or 5000))
         remote.connect()
-        print(f"remote control mirroring to {args.remote_host}", file=sys.stderr)
+        print(tr("remote control mirroring to {host}").format(host=args.remote_host),
+              file=sys.stderr)
     if args.use_pedal:
         from invesalius3_tpu.net.pedal_connection import PedalConnector
 
@@ -141,8 +143,9 @@ def main(argv=None) -> int:
         if args.cranioplasty:
             return run_cranioplasty(args.cranioplasty[0], args.cranioplasty[1])
         volume = import_data(args)
-        print(f"volume: {volume.shape} {volume.dtype} spacing={volume.spacing}",
-              file=sys.stderr)
+        print(tr("volume: {shape} {dtype} spacing={spacing}").format(
+            shape=volume.shape, dtype=volume.dtype, spacing=volume.spacing),
+            file=sys.stderr)
 
         slc = Slice(volume)
         project = Project()
@@ -155,7 +158,8 @@ def main(argv=None) -> int:
             mask = slc.create_new_mask(threshold_range=(tmin, tmax))
             project.add_mask(mask)
             n = int(np.asarray(mask.visible_array()).sum())
-            print(f"threshold [{tmin}, {tmax}]: {n} voxels", file=sys.stderr)
+            print(tr("threshold [{tmin}, {tmax}]: {n} voxels").format(
+                tmin=tmin, tmax=tmax, n=n), file=sys.stderr)
 
         if args.export_surface:
             if not slc.current_mask:
@@ -164,9 +168,11 @@ def main(argv=None) -> int:
                 quality=args.quality, algorithm=args.algorithm)
             project.add_surface(surf)
             surf.export(args.export_surface)
-            print(f"exported {args.export_surface}: {len(surf.faces)} triangles, "
-                  f"volume={surf.volume:.1f} mm^3, area={surf.area:.1f} mm^2",
-                  file=sys.stderr)
+            print(tr("exported {path}: {tris} triangles, volume={vol} mm^3, "
+                     "area={area} mm^2").format(
+                path=args.export_surface, tris=len(surf.faces),
+                vol=f"{surf.volume:.1f}", area=f"{surf.area:.1f}"),
+                file=sys.stderr)
 
         if args.export_all:
             base = Path(args.export_all)
@@ -192,7 +198,7 @@ def main(argv=None) -> int:
         if args.save_project:
             project.save(args.save_project)
             session.add_recent_project(args.save_project, project.name)
-            print(f"saved {args.save_project}", file=sys.stderr)
+            print(tr("saved {path}").format(path=args.save_project), file=sys.stderr)
 
         if args.export_project:
             out = args.export_project
@@ -200,14 +206,15 @@ def main(argv=None) -> int:
                 project.export_to_hdf5(out)
             else:
                 project.export_to_nifti(out)
-            print(f"exported project to {out}", file=sys.stderr)
+            print(tr("exported project to {path}").format(path=out), file=sys.stderr)
 
         if args.serve is not None:
             from invesalius3_tpu.server import ViewerServer
 
             srv = ViewerServer(slc, port=args.serve)
             srv.start()
-            print(f"viewer server on http://127.0.0.1:{srv.port}", file=sys.stderr)
+            print(tr("viewer server on {url}").format(
+                url=f"http://127.0.0.1:{srv.port}"), file=sys.stderr)
             try:
                 import time
 
@@ -238,8 +245,8 @@ def run_cranioplasty(input_path, output_path) -> int:
     m.data = jnp.asarray(mask_arr)
     surf = create_surface_from_mask(m, img.spacing, name="implant")
     surf.export(output_path)
-    print(f"implant exported to {output_path}: {len(surf.faces)} triangles",
-          file=sys.stderr)
+    print(tr("implant exported to {path}: {tris} triangles").format(
+        path=output_path, tris=len(surf.faces)), file=sys.stderr)
     return 0
 
 

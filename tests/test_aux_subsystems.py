@@ -374,3 +374,16 @@ def test_run_cmove_against_mini_pacs(tmp_path):
     vols = [dicom.read_dicom(f) for f in sorted(files)]
     assert all(v.get("PatientID") == "PM2" for v in vols)
     assert vols[0].pixel_array().shape == (8, 8)
+
+
+def test_i18n_catalogs_compile_and_translate(tmp_path):
+    from invesalius3_tpu.utils import i18n
+
+    assert {"pt_BR", "es", "de"}.issubset(set(i18n.get_locales()))
+    f = i18n.install_language("pt_BR")
+    assert f("saved {path}") == "salvo {path}"
+    f = i18n.install_language("es")
+    assert "umbral" in f("threshold [{tmin}, {tmax}]: {n} voxels")
+    f = i18n.install_language("nope")
+    assert f("saved {path}") == "saved {path}"  # identity fallback
+    i18n.install_language("en")

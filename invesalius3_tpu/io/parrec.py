@@ -74,9 +74,25 @@ def _parse_par(par_text: str) -> dict:
     return gen
 
 
-def read_par_rec(path) -> Tuple[np.ndarray, Tuple[float, float, float]]:
-    """Load a PAR/REC pair; ``path`` may point at either file.
-    Returns (volume zyx float32-or-int16, spacing xyz mm)."""
+def list_par_volumes(path) -> list:
+    """Enumerate the (dynamic, echo, phase, scan_seq) combinations a
+    multi-volume PAR contains — pick one and pass it to read_par_rec."""
+    par_path, _ = _find_pair(path)
+    gen = _parse_par(par_path.read_text(errors="replace"))
+    ncol = len(gen["rows"][0])
+
+    def col(row, name):
+        i = _COL[name]
+        return row[i] if i < ncol else 0.0
+
+    seen = sorted({(int(col(r, "dynamic")), int(col(r, "echo")),
+                    int(col(r, "phase")), int(col(r, "scan_seq")))
+                   for r in gen["rows"]})
+    return [{"dynamic": d, "echo": e, "phase": p, "scan_seq": s}
+            for d, e, p, s in seen]
+
+
+def _find_pair(path):
     p = Path(path)
     stem = p.with_suffix("")
     par_path = rec_path = None
@@ -88,8 +104,32 @@ def read_par_rec(path) -> Tuple[np.ndarray, Tuple[float, float, float]]:
             rec_path = stem.with_suffix(ext)
     if par_path is None or rec_path is None:
         raise FileNotFoundError(f"PAR/REC pair not found for {path}")
+    return par_path, rec_path
 
-    gen = _parse_par(par_path.read_text(errors="replace"))
+
+def _check_version(par_text: str) -> None:
+    """Reject pre-V4 exports with a clear error — the reference reads
+    PAR/REC through nibabel, which likewise supports V4/V4.1/V4.2 only."""
+    m = re.search(r"image export tool\s+V(\d+)", par_text, re.IGNORECASE)
+    if m and int(m.group(1)) < 4:
+        raise ValueError(
+            f"PAR V{m.group(1)} is not supported (V4/V4.1/V4.2 only, "
+            "matching the reference's nibabel reader); re-export with a "
+            "V4.x tool")
+
+
+def read_par_rec(path, dynamic: int = None, echo: int = None,
+                 phase: int = None) -> Tuple[np.ndarray, Tuple[float, float, float]]:
+    """Load a PAR/REC pair; ``path`` may point at either file.
+    Returns (volume zyx float32-or-int16, spacing xyz mm).
+
+    Multi-dynamic/echo/phase exports default to the first of each;
+    pass ``dynamic=``/``echo=``/``phase=`` (values from list_par_volumes)
+    to select another volume."""
+    par_path, rec_path = _find_pair(path)
+    par_text = par_path.read_text(errors="replace")
+    _check_version(par_text)
+    gen = _parse_par(par_text)
     rows = gen["rows"]
     ncol = len(rows[0])
 
@@ -97,13 +137,18 @@ def read_par_rec(path) -> Tuple[np.ndarray, Tuple[float, float, float]]:
         i = _COL[name]
         return row[i] if i < ncol else default
 
-    # first dynamic / echo / phase / scanning-sequence only (reference
-    # loads the full nibabel image; masks and segmentation operate on one
-    # volume) — without the echo/phase filter, multi-echo rows would stack
-    # as extra slices
-    for name in ("dynamic", "echo", "phase", "scan_seq"):
-        first = min(col(r, name) for r in rows)
-        rows = [r for r in rows if col(r, name) == first]
+    # one volume per read: the requested dynamic/echo/phase, defaulting to
+    # the first of each (reference loads one nibabel volume; without the
+    # echo/phase filter, multi-echo rows would stack as extra slices)
+    requested = {"dynamic": dynamic, "echo": echo, "phase": phase,
+                 "scan_seq": None}
+    for name, want in requested.items():
+        values = {col(r, name) for r in rows}
+        sel = float(want) if want is not None else min(values)
+        if sel not in values:
+            raise ValueError(
+                f"PAR has no {name}={want}; available: {sorted(values)}")
+        rows = [r for r in rows if col(r, name) == sel]
     rows.sort(key=lambda r: col(r, "slice"))
 
     bits = int(col(rows[0], "pix_bits", 16))

@@ -411,3 +411,51 @@ def test_vrml_and_inventor_export(tmp_path):
     text = iv.read_text()
     assert text.startswith("#Inventor V2.1 ascii")
     assert "IndexedFaceSet" in text
+
+
+def test_parrec_volume_selection_and_v3_reject(tmp_path):
+    from invesalius3_tpu.io import parrec
+
+    # two echoes interleaved in REC order
+    nz, ny, nx = 3, 4, 4
+    header = [
+        "# === GENERAL INFORMATION ===",
+        "# Research image export tool     V4.2",
+        ".    Max. number of slices/locations   :   3",
+        ".    Max. number of dynamics           :   1",
+        ".    FOV (ap,fh,rl) [mm]               :   16.0 12.0 16.0",
+        ".    Recon resolution (x, y)           :   4   4",
+        ".    Slice thickness [mm]              :   2.0",
+        ".    Slice gap [mm]                    :   0.0",
+    ]
+    rows = []
+    blocks = []
+    idx = 0
+    for sl in range(1, nz + 1):
+        for ec in (1, 2):
+            # sl ec dyn ph ty idx pix scan% recx recy ri rs ss + pad
+            row = [sl, ec, 1, 1, 0, 0, idx, 16, 100, nx, ny, 0.0, 1.0, 1.0]
+            row += [0.0] * 14 + [4.0, 3.0]  # pixel spacing y=3, x=4 at 28/29
+            rows.append(" ".join(str(v) for v in row))
+            blocks.append(np.full((ny, nx), 100 * sl + ec, np.int16))
+            idx += 1
+    par = "\n".join(header + rows) + "\n"
+    (tmp_path / "multi.PAR").write_text(par)
+    np.concatenate([b.ravel() for b in blocks]).astype("<i2").tofile(
+        tmp_path / "multi.REC")
+
+    vols = parrec.list_par_volumes(tmp_path / "multi.PAR")
+    assert {v["echo"] for v in vols} == {1, 2}
+    v1, spacing = parrec.read_par_rec(tmp_path / "multi.PAR")
+    assert v1.shape == (3, 4, 4)
+    np.testing.assert_array_equal(np.unique(v1), [101, 201, 301])
+    v2, _ = parrec.read_par_rec(tmp_path / "multi.PAR", echo=2)
+    np.testing.assert_array_equal(np.unique(v2), [102, 202, 302])
+    with pytest.raises(ValueError):
+        parrec.read_par_rec(tmp_path / "multi.PAR", echo=9)
+
+    v3 = par.replace("V4.2", "V3")
+    (tmp_path / "old.PAR").write_text(v3)
+    (tmp_path / "old.REC").write_bytes((tmp_path / "multi.REC").read_bytes())
+    with pytest.raises(ValueError, match="V3"):
+        parrec.read_par_rec(tmp_path / "old.PAR")

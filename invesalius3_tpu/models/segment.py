@@ -39,18 +39,22 @@ class WeightsUnavailableError(RuntimeError):
     """
 
 
-def _resolve_weights(weight_name: str, allow_random_init: bool):
+def _resolve_weights(weight_name: str, allow_random_init: bool, loader=None):
     """Try to load + convert the reference checkpoint for ``weight_name``.
 
-    Returns converted flax variables, or None when ``allow_random_init``
-    (with a loud warning). Raises WeightsUnavailableError otherwise.
+    ``loader`` is the per-architecture checkpoint converter (defaults to
+    unet3d's; ImplantSegmenter passes unet2d's).  Returns converted flax
+    variables, or None when ``allow_random_init`` (with a loud warning).
+    Raises WeightsUnavailableError otherwise.
     """
     try:
-        from invesalius3_tpu.models.unet3d import load_torch_checkpoint
         from invesalius3_tpu.net.download import get_weight_file
 
+        if loader is None:
+            from invesalius3_tpu.models.unet3d import load_torch_checkpoint
+            loader = load_torch_checkpoint
         path = get_weight_file(weight_name)
-        return load_torch_checkpoint(path)
+        return loader(path)
     except Exception as e:
         if allow_random_init:
             warnings.warn(
@@ -283,38 +287,15 @@ class ImplantSegmenter:
     def __init__(self, variables=None, model=None, method: str = "binary",
                  overlap: float = 0.5, patch_size: int = 480,
                  allow_random_init: bool = False):
-        import flax.linen as nn
-
-        class Unet2D(nn.Module):
-            features: int = 16
-
-            @nn.compact
-            def __call__(self, x, train: bool = False):
-                f = self.features
-
-                def block(x, feats):
-                    x = nn.Conv(feats, (3, 3), dtype=jnp.bfloat16)(x)
-                    x = nn.BatchNorm(use_running_average=not train,
-                                     dtype=jnp.float32)(x)
-                    x = nn.relu(x)
-                    return x
-
-                e1 = block(x, f)
-                e2 = block(nn.max_pool(e1, (2, 2), (2, 2)), f * 2)
-                e3 = block(nn.max_pool(e2, (2, 2), (2, 2)), f * 4)
-                u2 = nn.ConvTranspose(f * 2, (2, 2), (2, 2), dtype=jnp.bfloat16)(e3)
-                d2 = block(jnp.concatenate([u2, e2], -1), f * 2)
-                u1 = nn.ConvTranspose(f, (2, 2), (2, 2), dtype=jnp.bfloat16)(d2)
-                d1 = block(jnp.concatenate([u1, e1], -1), f)
-                out = nn.Conv(1, (1, 1))(d1)
-                return jax.nn.sigmoid(out.astype(jnp.float32))
+        from invesalius3_tpu.models.unet2d import Unet2D, load_torch_checkpoint
 
         self.model = model or Unet2D()
         self.method = method
         self.overlap = overlap
         self.patch_size = patch_size
         if variables is None:
-            variables = _resolve_weights(self.WEIGHT_NAME, allow_random_init)
+            variables = _resolve_weights(self.WEIGHT_NAME, allow_random_init,
+                                         loader=load_torch_checkpoint)
         if variables is None:  # explicit random init (tests / smoke only)
             variables = self.model.init(
                 jax.random.PRNGKey(0),

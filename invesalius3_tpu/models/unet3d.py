@@ -177,10 +177,9 @@ def convert_torch_state_dict(state: Dict[str, "np.ndarray"]) -> Dict:
 
 
 def load_torch_checkpoint(path) -> Dict:
-    """Load a reference ``.pt`` torch checkpoint (state_dict or module)."""
-    import torch
+    """Load a reference torch checkpoint — eager ``.pt`` state_dict
+    (brain/trachea) or TorchScript archive (mandible, reference
+    segment.py:260 torch.jit.load) — and convert."""
+    from invesalius3_tpu.models.torch_convert import torch_state_dict
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
-    if hasattr(obj, "state_dict"):
-        obj = obj.state_dict()
-    return convert_torch_state_dict({k: v.numpy() for k, v in obj.items()})
+    return convert_torch_state_dict(torch_state_dict(path))

@@ -406,21 +406,49 @@ def _adjacency_from_sorted_corners(inverse, order, group_of_sorted,
     ok = sorted_valid & (2 * pos + 1 < D2)
     g = jnp.where(ok, group_of_sorted, V)  # dummy column for masked writes
     sentinel = jnp.int32(V)  # sorts after every real vertex id
-    table = jnp.full((D2, V + 1), sentinel, jnp.int32)
-    table = table.at[jnp.where(ok, 2 * pos, 0), g].set(
-        jnp.where(ok, nb1, sentinel), unique_indices=True)
-    table = table.at[jnp.where(ok, 2 * pos + 1, 0), g].set(
-        jnp.where(ok, nb2, sentinel), unique_indices=True)
-    table = jnp.sort(table[:, :V], axis=0)  # tiny axis: a fixed sort network
+    # 1-D flattened scatter (a 2-D scatter with two index vectors lowers
+    # to a serial loop on TPU); row-major (D2, V+1)
+    flat = jnp.full((D2 * (V + 1),), sentinel, jnp.int32)
+    lin1 = jnp.where(ok, (2 * pos) * (V + 1) + g, D2 * (V + 1) - 1)
+    lin2 = jnp.where(ok, (2 * pos + 1) * (V + 1) + g, D2 * (V + 1) - 1)
+    flat = flat.at[lin1].set(jnp.where(ok, nb1, sentinel))
+    flat = flat.at[lin2].set(jnp.where(ok, nb2, sentinel))
+    table = flat.reshape(D2, V + 1)[:, :V]
+    # sort the tiny D2 axis with an explicit bitonic network of
+    # jnp.minimum/maximum passes — pure elementwise, runs at HBM speed
+    # (XLA's general sort HLO is orders of magnitude slower here)
+    table = _bitonic_sort_rows(table)
     dedup = table[0::2]  # duplicates pair up; sentinels pad the tail
     deg = jnp.zeros((V + 1,), jnp.int32).at[g].max(pos + 1)[:V]
     return dedup, deg
 
 
+def _bitonic_sort_rows(table: jax.Array) -> jax.Array:
+    """Sort along axis 0 (a power-of-two, <= ~64) with a static bitonic
+    network: log^2(D) compare-exchange stages of whole-row min/max."""
+    D = table.shape[0]
+    assert D & (D - 1) == 0, "bitonic network needs a power-of-two axis"
+    rows = [table[i] for i in range(D)]
+    k = 2
+    while k <= D:
+        j = k // 2
+        while j >= 1:
+            for i in range(D):
+                l = i ^ j
+                if l > i:
+                    up = (i & k) == 0
+                    lo = jnp.minimum(rows[i], rows[l])
+                    hi = jnp.maximum(rows[i], rows[l])
+                    rows[i], rows[l] = (lo, hi) if up else (hi, lo)
+            j //= 2
+        k *= 2
+    return jnp.stack(rows)
+
+
 def adjacency_from_device_mesh(dm) -> Tuple[jax.Array, jax.Array]:
     """(neigh (D, V_pad), deg (V_pad,)) for a marching.DeviceMesh."""
     max_deg = int(_max_group_size(dm.group_of_sorted, dm.sorted_valid))
-    max_deg = max(8, ((max_deg + 7) // 8) * 8)  # bucket to limit recompiles
+    max_deg = max(8, 1 << (max_deg - 1).bit_length())  # pow2: bitonic + cache
     T = dm.faces3t.shape[1]
     return _adjacency_from_sorted_corners(
         dm.inverse, dm.order, dm.group_of_sorted, dm.sorted_valid,

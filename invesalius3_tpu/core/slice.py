@@ -214,6 +214,38 @@ class Slice:
         self.bus.send_message("slice.mask_added", index=out.index, name=out.name)
         return out
 
+    # -- mask statistics (reference slice_.py:2283-2321) -------------------------
+    def calc_image_density(self, mask: Optional[Mask] = None):
+        """(min, max, mean, std) of the image under the visible mask
+        (reference slice_.py:2283 calc_image_density)."""
+        mask = mask or self.current_mask
+        sel = jnp.where(mask.visible_array(),
+                        self.matrix.astype(jnp.float32), jnp.nan)
+        n = jnp.sum(mask.visible_array())
+        if int(n) == 0:
+            return 0, 0, 0, 0
+        return (float(jnp.nanmin(sel)), float(jnp.nanmax(sel)),
+                float(jnp.nanmean(sel)), float(jnp.nanstd(sel)))
+
+    def calc_mask_area(self, mask: Optional[Mask] = None) -> float:
+        """Exposed-surface area of the visible mask in mm^2 via the exposed-
+        face kernel correlated at non-zero voxels (reference
+        slice_.py:2298-2321 calc_mask_area -> convolve_non_zero with cval=1:
+        each mask voxel contributes face-area per 6-neighbor not in the
+        mask; the volume border counts as inside)."""
+        from invesalius3_tpu.ops.filters import convolve_non_zero
+
+        mask = mask or self.current_mask
+        bin_img = mask.visible_array().astype(jnp.float32)
+        sx, sy, sz = self.spacing
+        kernel = np.zeros((3, 3, 3))
+        kernel[1, 1, 1] = 2 * sx * sy + 2 * sx * sz + 2 * sy * sz
+        kernel[0, 1, 1] = kernel[2, 1, 1] = -(sx * sy)
+        kernel[1, 0, 1] = kernel[1, 2, 1] = -(sx * sz)
+        kernel[1, 1, 0] = kernel[1, 1, 2] = -(sy * sz)
+        return float(jnp.sum(convolve_non_zero(
+            bin_img, jnp.asarray(kernel), 1.0)))
+
     # -- crop box (reference geometry.py Box + CropMaskInteractorStyle) ----------
     def create_crop_box(self):
         """A full-volume crop Box sized/spaced to the current volume."""

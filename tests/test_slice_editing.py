@@ -214,3 +214,42 @@ def test_flip_and_swap_volume():
     np.testing.assert_array_equal(
         np.asarray(slc.matrix), orig[::-1].swapaxes(2, 1))
     assert np.asarray(m.data).shape == (6, 10, 8)
+
+
+# ---------------------------------------------------------------------------
+# mask statistics (reference slice_.py:2283-2321)
+# ---------------------------------------------------------------------------
+def test_calc_mask_area_analytic_box():
+    """An isolated axis-aligned box of voxels has the analytic surface area
+    2*(XY + XZ + YZ) of its physical dimensions."""
+    ct = np.full((16, 16, 16), -1000, np.int16)
+    ct[4:8, 5:11, 2:10] = 1000  # 4 z-voxels x 6 y x 8 x
+    vol = Volume.from_numpy(ct, spacing=(0.5, 0.5, 1.0))
+    slc = Slice(vol)
+    slc.create_new_mask(threshold_range=(500, 2000))
+    X, Y, Z = 8 * 0.5, 6 * 0.5, 4 * 1.0
+    want = 2 * (X * Y + X * Z + Y * Z)
+    assert abs(slc.calc_mask_area() - want) < 1e-3
+
+
+def test_calc_mask_area_border_voxels_count_as_inside():
+    """convolve_non_zero is called with cval=1, so faces on the volume
+    border are NOT exposed (reference convolve_non_zero cval=1 call)."""
+    ct = np.full((8, 8, 8), 1000, np.int16)  # mask fills the whole volume
+    vol = Volume.from_numpy(ct, spacing=(1.0, 1.0, 1.0))
+    slc = Slice(vol)
+    slc.create_new_mask(threshold_range=(500, 2000))
+    assert abs(slc.calc_mask_area()) < 1e-3  # fully enclosed: zero area
+
+
+def test_calc_image_density():
+    ct = np.full((8, 8, 8), -1000, np.int16)
+    ct[2:4, 2:4, 2:4] = np.arange(8, dtype=np.int16).reshape(2, 2, 2)
+    vol = Volume.from_numpy(ct, spacing=(1.0, 1.0, 1.0))
+    slc = Slice(vol)
+    slc.create_new_mask(threshold_range=(0, 100))
+    mn, mx, mean, std = slc.calc_image_density()
+    vals = np.arange(8, dtype=np.float64)  # all inside threshold_range
+    assert mn == 0 and mx == 7
+    assert abs(mean - vals.mean()) < 1e-5
+    assert abs(std - vals.std()) < 1e-5

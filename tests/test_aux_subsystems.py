@@ -387,3 +387,88 @@ def test_i18n_catalogs_compile_and_translate(tmp_path):
     f = i18n.install_language("nope")
     assert f("saved {path}") == "saved {path}"  # identity fallback
     i18n.install_language("en")
+
+
+def test_sh_basis_orthonormal():
+    """Real-SH basis columns are orthonormal over the sphere (Monte-Carlo
+    quadrature over a Fibonacci lattice)."""
+    import jax.numpy as jnp
+    from invesalius3_tpu.navigation.tractography import n_sh_coefficients, sh_basis
+
+    n = 8192
+    i = np.arange(n)
+    phi = np.pi * (3.0 - np.sqrt(5.0)) * i
+    z = 1.0 - 2.0 * (i + 0.5) / n
+    r = np.sqrt(1.0 - z * z)
+    dirs = np.stack([z, r * np.sin(phi), r * np.cos(phi)], axis=-1)  # (z,y,x)
+    B = np.asarray(sh_basis(jnp.asarray(dirs, jnp.float32), 4))
+    C = n_sh_coefficients(4)
+    assert B.shape == (n, C)
+    gram = B.T @ B * (4 * np.pi / n)
+    np.testing.assert_allclose(gram, np.eye(C), atol=2e-2)
+    # Y_00 is the constant 1/(2 sqrt(pi))
+    np.testing.assert_allclose(B[:, 0], 1.0 / (2 * np.sqrt(np.pi)), rtol=1e-5)
+
+
+def _z_aligned_fod(lmax=4, sharp=8.0):
+    """SH coefficients of an axially-symmetric FOD peaked along +/-z,
+    by projecting exp(sharp*(dz^2 - 1)) onto the basis."""
+    import jax.numpy as jnp
+    from invesalius3_tpu.navigation.tractography import sh_basis
+
+    n = 4096
+    i = np.arange(n)
+    phi = np.pi * (3.0 - np.sqrt(5.0)) * i
+    z = 1.0 - 2.0 * (i + 0.5) / n
+    r = np.sqrt(1.0 - z * z)
+    dirs = np.stack([z, r * np.sin(phi), r * np.cos(phi)], axis=-1)
+    f = np.exp(sharp * (dirs[:, 0] ** 2 - 1.0))
+    B = np.asarray(sh_basis(jnp.asarray(dirs, jnp.float32), lmax))
+    return (B.T @ f) * (4 * np.pi / n)  # (C,)
+
+
+def test_probabilistic_tracking_follows_fod():
+    """On a uniform z-peaked FOD volume, probabilistic streamlines advance
+    along z with bounded lateral spread; a zero FOD kills all tracks."""
+    import jax
+    import jax.numpy as jnp
+    from invesalius3_tpu.navigation.tractography import (
+        n_sh_coefficients, track_streamlines_probabilistic)
+
+    shape = (64, 24, 24)
+    coef = _z_aligned_fod()
+    fod = np.broadcast_to(coef, shape + (len(coef),)).astype(np.float32)
+    mask = np.ones(shape, bool)
+    seeds = np.tile(np.array([[8.0, 12.0, 12.0]], np.float32), (32, 1))
+    paths, valid = track_streamlines_probabilistic(
+        jnp.asarray(fod), jnp.asarray(mask), jnp.asarray(seeds),
+        jax.random.PRNGKey(0), step_size=0.5, n_steps=60,
+        max_angle=0.3, min_fod_amp=0.1)  # equator of the lmax=4 FOD is ~0.04
+    paths, valid = np.asarray(paths), np.asarray(valid)
+    assert valid[0].all()
+    dz = np.abs(paths[-1, :, 0] - paths[0, :, 0])  # FOD is +/-z symmetric
+    lateral = np.linalg.norm(paths[-1, :, 1:] - paths[0, :, 1:], axis=1)
+    alive_frac = valid[-1].mean()
+    assert alive_frac > 0.8
+    a = valid[-1]
+    assert (dz[a] > 20).all()              # ~30 voxels of forward progress
+    assert (lateral[a] < dz[a] * 0.6).all()  # cone-bounded wander
+
+    # zero FOD: every candidate is below min_fod_amp -> all dead at step 1
+    paths0, valid0 = track_streamlines_probabilistic(
+        jnp.zeros_like(jnp.asarray(fod)), jnp.asarray(mask),
+        jnp.asarray(seeds), jax.random.PRNGKey(0), n_steps=8)
+    assert not np.asarray(valid0)[1:].any()
+
+
+def test_tracts_thread_probabilistic_mode():
+    import queue as _q
+    from invesalius3_tpu.navigation.tractography import ComputeTractsThread
+
+    shape = (32, 16, 16)
+    coef = _z_aligned_fod()
+    fod = np.broadcast_to(coef, shape + (len(coef),)).astype(np.float32)
+    th = ComputeTractsThread(_q.Queue(), stop_mask=np.ones(shape, bool),
+                             fod_sh=fod, n_tracts_total=8, n_steps=16)
+    paths, valid = th.compute_once(np.array([4.0, 8.0, 8.0]))
+    assert paths.shape == (17, 8, 3) and valid[0].all()

@@ -147,6 +147,8 @@ class DicomFile:
         for fb in frame_bytes:
             if self.transfer_syntax == codecs.RLE_LOSSLESS:
                 arr = codecs.rle_decode_frame(fb, rows, cols, bits, spp)
+            elif self.transfer_syntax == codecs.JPEG_BASELINE:
+                arr = codecs.jpeg_baseline_decode(fb)
             else:  # JPEG lossless process 14
                 arr = codecs.jpegll_decode(fb)
                 if arr.shape[:2] != (rows, cols):
@@ -583,6 +585,8 @@ def write_dicom(path, pixels: "np.ndarray", tags: dict,
     elif transfer_syntax in codecs.DECODABLE_SYNTAXES:
         if transfer_syntax == codecs.RLE_LOSSLESS:
             frag = codecs.rle_encode_frame(pixels)
+        elif transfer_syntax == codecs.JPEG_BASELINE:
+            frag = codecs.jpeg_baseline_encode(pixels)
         else:
             # JPEG lossless encodes unsigned sample values; signed pixels
             # round-trip through their uint bit pattern

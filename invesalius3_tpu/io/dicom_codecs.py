@@ -24,7 +24,33 @@ import numpy as np
 RLE_LOSSLESS = "1.2.840.10008.1.2.5"
 JPEG_LOSSLESS_P14 = "1.2.840.10008.1.2.4.57"
 JPEG_LOSSLESS_SV1 = "1.2.840.10008.1.2.4.70"
-DECODABLE_SYNTAXES = (RLE_LOSSLESS, JPEG_LOSSLESS_P14, JPEG_LOSSLESS_SV1)
+JPEG_BASELINE = "1.2.840.10008.1.2.4.50"  # 8-bit lossy (PIL codec)
+DECODABLE_SYNTAXES = (RLE_LOSSLESS, JPEG_LOSSLESS_P14, JPEG_LOSSLESS_SV1,
+                      JPEG_BASELINE)
+
+
+def jpeg_baseline_decode(data: bytes) -> "np.ndarray":
+    """Decode an 8-bit baseline JPEG frame (transfer syntax .4.50) via
+    PIL — the one lossy syntax common enough to matter (ultrasound /
+    secondary capture).  12-bit extended (.4.51) stays unsupported."""
+    import io as _io
+
+    from PIL import Image
+
+    return np.asarray(Image.open(_io.BytesIO(data)))
+
+
+def jpeg_baseline_encode(arr: "np.ndarray", quality: int = 95) -> bytes:
+    """Encode an (rows, cols) uint8 frame as baseline JPEG (fixtures)."""
+    import io as _io
+
+    from PIL import Image
+
+    if arr.dtype != np.uint8:
+        raise ValueError("baseline JPEG is 8-bit only")
+    b = _io.BytesIO()
+    Image.fromarray(arr).save(b, "JPEG", quality=quality)
+    return b.getvalue()
 
 
 # ---------------------------------------------------------------------------

@@ -459,3 +459,26 @@ def test_parrec_volume_selection_and_v3_reject(tmp_path):
     (tmp_path / "old.REC").write_bytes((tmp_path / "multi.REC").read_bytes())
     with pytest.raises(ValueError, match="V3"):
         parrec.read_par_rec(tmp_path / "old.PAR")
+
+
+def test_dicom_jpeg_baseline_roundtrip(tmp_path):
+    """8-bit baseline JPEG (transfer syntax .4.50, the common lossy
+    ultrasound/secondary-capture export) decodes via PIL; lossy, so the
+    round trip is approximate."""
+    from invesalius3_tpu.io import dicom_codecs as codecs
+
+    yy, xx = np.mgrid[:32, :32]
+    px = (128 + 60 * np.sin(yy / 5.0) * np.cos(xx / 7.0)).astype(np.uint8)
+    p = tmp_path / "jpegbase.dcm"
+    dicom.write_dicom(p, px, {
+        "PatientID": "P1", "Modality": "US",
+        "SeriesInstanceUID": "1.2.3.11", "InstanceNumber": 1,
+        "ImagePositionPatient": [0.0, 0.0, 0.0],
+        "ImageOrientationPatient": [1, 0, 0, 0, 1, 0],
+        "PixelSpacing": [0.5, 0.5],
+    }, transfer_syntax=codecs.JPEG_BASELINE)
+    f = dicom.read_dicom(p)
+    assert f.transfer_syntax == codecs.JPEG_BASELINE
+    arr = f.pixel_array()
+    assert arr.dtype == np.uint8 and arr.shape == (32, 32)
+    assert np.abs(arr.astype(np.int16) - px.astype(np.int16)).mean() < 3.0

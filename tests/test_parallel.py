@@ -153,3 +153,40 @@ def test_sharded_mask_to_surface_watertight_and_volume(zmesh):
     assert set(cnt.values()) == {2}
     vol, _ = mesh_ops.mass_properties(v.astype(np.float32), f)
     assert abs(float(vol) - 8 * 9 * 12) / (8 * 9 * 12) < 0.12
+
+
+def test_distributed_single_process_noop(monkeypatch):
+    """initialize() is a no-op single-process; global_mesh covers all
+    devices; local_data_slice spans the whole batch."""
+    from invesalius3_tpu.parallel import distributed
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+    assert distributed.initialize() is False
+    assert not distributed.is_multiprocess_env()
+    pid, n = distributed.process_info()
+    assert pid == 0 and n == 1
+    mesh = distributed.global_mesh(("z",))
+    import jax
+    assert mesh.devices.size == len(jax.devices())
+    mesh2 = distributed.global_mesh(("data", "z"))
+    assert mesh2.devices.size == len(jax.devices())
+    assert distributed.local_data_slice(16) == slice(0, 16)
+
+
+def test_distributed_mesh_runs_sharded_op():
+    """A global_mesh drives the existing sharded ops unchanged."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from invesalius3_tpu.parallel import distributed, sharded_ops
+
+    mesh = distributed.global_mesh(("z",))
+    n = mesh.devices.size
+    vol = np.zeros((8 * n, 16, 16), np.int16)
+    vol[2 * n : 6 * n, 4:12, 4:12] = 1000
+    v = jax.device_put(vol, NamedSharding(mesh, P("z", None, None)))
+    count_fn = sharded_ops.sharded_active_cell_count(mesh)
+    assert int(np.asarray(count_fn(v > 500))[0]) > 0

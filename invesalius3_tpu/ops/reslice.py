@@ -189,4 +189,6 @@ def apply_view_matrix_transform(
     nx = (tx / tw) / sx
 
     out = sample_volume(volume, nx, ny, nz, method, cval)
+    if jnp.issubdtype(volume.dtype, jnp.integer):
+        out = jnp.round(out)  # truncation would bias interpolated values
     return out.astype(volume.dtype)

@@ -253,3 +253,71 @@ def test_calc_image_density():
     assert mn == 0 and mx == 7
     assert abs(mean - vals.mean()) < 1e-5
     assert abs(std - vals.std()) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# reorientation (reference slice_.py:1969 apply_reorientation)
+# ---------------------------------------------------------------------------
+def test_apply_reorientation_identity():
+    vol = _volume((10, 12, 14))
+    slc = Slice(vol)
+    before = np.asarray(slc.matrix).copy()
+    slc.apply_reorientation(angles=(0.0, 0.0, 0.0))
+    after = np.asarray(slc.matrix)
+    # identity transform: interior voxels unchanged (border ring may take
+    # cval per the reference's [0, dim-1) validity rule)
+    np.testing.assert_array_equal(after[1:-1, 1:-1, 1:-1],
+                                  before[1:-1, 1:-1, 1:-1])
+
+
+def test_apply_reorientation_scipy_oracle():
+    """The resample equals scipy.ndimage.affine_transform under the same
+    M = T1 R^T T0 matrix (trilinear, (z, y, x) coords, spacing 1)."""
+    from scipy import ndimage
+
+    from invesalius3_tpu.ops import transforms
+
+    ct = rng.integers(-1000, 2000, (16, 16, 16)).astype(np.int16)
+    vol = Volume.from_numpy(ct, spacing=(1.0, 1.0, 1.0))
+    slc = Slice(vol)
+    m1 = slc.create_new_mask(threshold_range=(500, 2000))
+    angles = (0.2, -0.1, np.pi / 2)
+    slc.apply_reorientation(angles=angles, interp_method=const.INTERP_TRILINEAR)
+    got = np.asarray(slc.matrix)
+
+    ax, ay, az = angles
+    R = transforms.euler_matrix(az, ay, ax, axes="sxyz")
+    c = 8.0
+    T0 = transforms.translation_matrix((-c, -c, -c))
+    T1 = transforms.translation_matrix((c, c, c))
+    M = T1 @ R.T @ T0
+    want = ndimage.affine_transform(
+        ct.astype(np.float64), M[:3, :3], offset=M[:3, 3], order=1,
+        mode="constant", cval=float(ct.min()))
+    # compare where every sample was interior under our validity rule
+    zz, yy, xx = np.mgrid[:16, :16, :16].astype(np.float64)
+    p = np.stack([zz, yy, xx, np.ones_like(zz)])
+    q = np.einsum("ij,jzyx->izyx", M, p)
+    interior = ((q[0] >= 0) & (q[0] < 15) & (q[1] >= 0) & (q[1] < 15)
+                & (q[2] >= 0) & (q[2] < 15))
+    diff = np.abs(got.astype(np.float64) - want)[interior]
+    assert (diff <= 1.0).mean() > 0.999, diff.max()
+    # masks follow the image (non-edited: re-thresholded from the rotation)
+    mask_want = (got >= 500) & (got <= 2000)
+    mask_got = np.asarray(m1.data) == 255
+    assert (mask_got == mask_want).all()
+
+
+def test_apply_reorientation_carries_edited_mask():
+    ct = np.full((12, 12, 12), -1000, np.int16)
+    vol = Volume.from_numpy(ct, spacing=(1.0, 1.0, 1.0))
+    slc = Slice(vol)
+    m = slc.create_new_mask(threshold_range=(500, 2000))
+    import jax.numpy as jnp
+    d = np.zeros((12, 12, 12), np.uint8)
+    d[5:7, 5:7, 5:7] = 254  # manual edit blob at the center
+    m.apply(jnp.asarray(d))
+    assert m.was_edited
+    slc.apply_reorientation(angles=(0.0, 0.0, np.pi / 2))
+    out = np.asarray(m.data)
+    assert (out == 254).sum() >= 4  # center blob survives the rotation

@@ -360,16 +360,13 @@ def _staircase_core_3t(normals3f, faces3t, n_vertices_pad, t, stack_orientation)
 @jax.jit
 def _max_group_size(group_of_sorted: jax.Array, sorted_valid: jax.Array):
     """Maximum incident-corner count over vertices (= max vertex degree on
-    a closed manifold)."""
+    a closed manifold) — one scatter-add + max.  (An associative_scan
+    formulation compiled for tens of minutes through the remote-compile
+    hop; scatters lower to simple kernels.)"""
     M = group_of_sorted.shape[0]
-    arange = jnp.arange(M, dtype=jnp.int32)
-    new_group = jnp.concatenate([
-        jnp.ones((1,), jnp.bool_),
-        group_of_sorted[1:] != group_of_sorted[:-1]])
-    start = jax.lax.associative_scan(jnp.maximum,
-                                     jnp.where(new_group, arange, 0))
-    pos = arange - start
-    return jnp.max(jnp.where(sorted_valid, pos, 0)) + 1
+    ones = sorted_valid.astype(jnp.int32)
+    deg = jnp.zeros((M,), jnp.int32).at[group_of_sorted].add(ones)
+    return jnp.max(deg)
 
 
 @partial(jax.jit, static_argnames=("T", "n_verts_pad", "max_deg"))
@@ -390,12 +387,11 @@ def _adjacency_from_sorted_corners(inverse, order, group_of_sorted,
     M = order.shape[0]
     V = n_verts_pad
     arange = jnp.arange(M, dtype=jnp.int32)
-    new_group = jnp.concatenate([
-        jnp.ones((1,), jnp.bool_),
-        group_of_sorted[1:] != group_of_sorted[:-1]])
-    start = jax.lax.associative_scan(jnp.maximum,
-                                     jnp.where(new_group, arange, 0))
-    pos = arange - start  # incident-corner rank within the vertex
+    # groups are contiguous in sorted order: each group's start index is a
+    # scatter-min of positions (no associative_scan — see _max_group_size)
+    start_of = jnp.full((V + 1,), M, jnp.int32).at[
+        jnp.minimum(group_of_sorted, V)].min(arange)
+    pos = arange - start_of[jnp.minimum(group_of_sorted, V)]
 
     tri = order % T
     corner = order // T

@@ -30,23 +30,29 @@ from invesalius3_tpu.ops.morphology import _offsets, shift_nd, structure_3d
 def _segmented_max_scan(values: jax.Array, mask: jax.Array, axis: int, reverse: bool) -> jax.Array:
     """Running max within contiguous True-runs of ``mask`` along ``axis``.
 
-    Implemented as an associative scan over (reset, value) pairs where
-    ``reset`` marks the start of a new run.
+    Statically-unrolled doubling (Hillis-Steele) over (reset, value) pairs
+    where ``reset`` marks the start of a new run: log2(len) elementwise
+    steps of shifted combines.  (``lax.associative_scan`` lowers to the
+    same recurrence but its HLO stalled the TPU backend's compiler for
+    tens of minutes — see ops/mesh.py _max_group_size.)
     """
     prev_mask = shift_nd(mask, tuple(1 if a == axis else 0 for a in range(mask.ndim))
                          if not reverse else tuple(-1 if a == axis else 0 for a in range(mask.ndim)),
                          fill=False)
     reset = ~(mask & prev_mask)
 
-    def combine(a, b):
-        ra, va = a
-        rb, vb = b
-        return ra | rb, jnp.where(rb, vb, jnp.maximum(va, vb))
-
-    _, out = jax.lax.associative_scan(
-        combine, (reset, values), axis=axis, reverse=reverse
-    )
-    return jnp.where(mask, out, values)
+    sgn = 1 if not reverse else -1
+    n = values.shape[axis]
+    v, r = values, reset
+    d = 1
+    while d < n:
+        off = tuple(sgn * d if a == axis else 0 for a in range(values.ndim))
+        v_prev = shift_nd(v, off, fill=0)
+        r_prev = shift_nd(r, off, fill=True)  # off-edge counts as a reset
+        v = jnp.where(r, v, jnp.maximum(v, v_prev))
+        r = r | r_prev
+        d *= 2
+    return jnp.where(mask, v, values)
 
 
 @partial(jax.jit, static_argnames=("connectivity",))

@@ -40,6 +40,16 @@ def write_stl(path, verts: np.ndarray, faces: np.ndarray, binary: bool = True,
             header = (name.encode()[:80]).ljust(80, b"\0")
             f.write(header)
             f.write(struct.pack("<I", len(faces)))
+            try:  # single-pass native packer: this host executes numpy's
+                # strided field-writes at ~4 MB/s, so the (n, 50) record
+                # interleave below costs minutes at 7M triangles
+                from invesalius3_tpu import native
+
+                if native.available():
+                    f.write(native.stl_pack(verts, faces))
+                    return
+            except Exception:
+                pass
             # contiguous byte-buffer assembly: structured-field assignment
             # (tri["v"] = ...) is a strided copy that costs ~40 s at 7M
             # triangles; plain uint8 block copies are ~100x faster

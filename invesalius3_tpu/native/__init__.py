@@ -29,7 +29,7 @@ _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
 
 
-_SOURCES = ("decimate.cpp", "codecs.cpp")
+_SOURCES = ("decimate.cpp", "codecs.cpp", "meshpack.cpp")
 
 
 def _build() -> Optional[ctypes.CDLL]:
@@ -89,6 +89,27 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.packbits_decode.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+    ]
+    lib.stl_pack.restype = ctypes.c_int
+    lib.stl_pack.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.verts3v_f16_to_n3.restype = ctypes.c_int
+    lib.verts3v_f16_to_n3.argtypes = [
+        ctypes.POINTER(ctypes.c_uint16), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.verts3v_f32_to_n3.restype = ctypes.c_int
+    lib.verts3v_f32_to_n3.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.faces_u24_to_n3.restype = ctypes.c_int
+    lib.faces_u24_to_n3.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
     ]
 
 
@@ -165,3 +186,61 @@ def packbits_decode(data: bytes, expected: int) -> bytes:
     if n < 0:
         raise RuntimeError("packbits_decode: truncated or oversized segment")
     return dst[:n].tobytes()
+
+
+def stl_pack(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """(nf, 50)-byte binary-STL records (normal, corners, attr=0) in one
+    streaming pass.  Raises RuntimeError if the native lib is missing."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native meshpack unavailable (no g++)")
+    verts = np.ascontiguousarray(verts, np.float32)
+    faces = np.ascontiguousarray(faces, np.int32)
+    out = np.empty((len(faces), 50), np.uint8)
+    rc = lib.stl_pack(
+        verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(verts),
+        faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(faces),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc != 0:
+        raise RuntimeError("stl_pack: face index out of range")
+    return out
+
+
+def verts3v_to_n3(rows: np.ndarray, n: int) -> np.ndarray:
+    """(3, V_pad) float16/float32 device layout -> (n, 3) float32."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native meshpack unavailable (no g++)")
+    rows = np.ascontiguousarray(rows)
+    out = np.empty((n, 3), np.float32)
+    if rows.dtype == np.float16:
+        rc = lib.verts3v_f16_to_n3(
+            rows.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            rows.shape[1], n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    else:
+        rows = np.ascontiguousarray(rows, np.float32)
+        rc = lib.verts3v_f32_to_n3(
+            rows.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            rows.shape[1], n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    if rc != 0:
+        raise RuntimeError("verts3v_to_n3 failed")
+    return out
+
+
+def faces_u24_to_n3(packed: np.ndarray, n: int) -> np.ndarray:
+    """(9, T_pad) uint8 packed uint24 corners -> (n, 3) int32 faces."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native meshpack unavailable (no g++)")
+    packed = np.ascontiguousarray(packed, np.uint8)
+    out = np.empty((n, 3), np.int32)
+    rc = lib.faces_u24_to_n3(
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        packed.shape[1], n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if rc != 0:
+        raise RuntimeError("faces_u24_to_n3 failed")
+    return out

@@ -493,12 +493,18 @@ def mesh_to_host(dm: DeviceMesh, fp16: bool = True
 
     if os.environ.get("INV3_F32_VERTS") == "1":
         fp16 = False
-    if fp16:
-        verts = np.asarray(_verts_f16(dm.verts3v)).astype(np.float32)
-    else:
-        verts = np.asarray(dm.verts3v)
-    verts = np.ascontiguousarray(verts.T[:dm.n_verts])
+    rows = np.asarray(_verts_f16(dm.verts3v) if fp16 else dm.verts3v)
     packed = np.asarray(_pack_uint24(dm.faces3t))  # (9, T_pad) u8
+    try:  # native streaming unpack: numpy's strided transposes/field ops
+        # run at ~4 MB/s on this host (minutes at 512^3 mesh sizes)
+        from invesalius3_tpu import native
+
+        if native.available():
+            return (native.verts3v_to_n3(rows, dm.n_verts),
+                    native.faces_u24_to_n3(packed, dm.n_tris))
+    except Exception:
+        pass
+    verts = np.ascontiguousarray(rows.astype(np.float32).T[:dm.n_verts])
     b = packed[:, :dm.n_tris].astype(np.int32)
     faces = np.empty((3, dm.n_tris), np.int32)
     for c in range(3):

@@ -242,7 +242,13 @@ def _materialize(
     dim to 128 lanes on TPU (42x bandwidth), and (T, 3, 3) pads ~114x (a
     single such copy demanded 25.7 GB at 512^3).
 
-    Returns (pts (3 corners, 3 zyx, T) f32, keys (3 corners, 2, T) i32).
+    Returns (pts (3 corners, 3 zyx, T) f32, keys (3 corners, T) i32) where
+    a key is the lattice-EDGE id ``min_endpoint_lin * 8 + code``: tet edges
+    join cube corners, so the endpoint offset decomposes uniquely as
+    a*1 + b*X + c*X*Y with a, b, c in {0, 1} (axis edges, face diagonals,
+    the body diagonal) and code = a + 2b + 4c in 1..7.  One int32 per
+    vertex instead of an endpoint pair halves the dedup sort payload.
+    Callers assert 8 * Z * Y * X < 2^31.
     """
     Z, Y, X = vol_shape
     tets = jnp.asarray(TETS)  # (6, 4) small table
@@ -289,7 +295,13 @@ def _materialize(
         py = lat_y(la) + t * (lat_y(lb) - lat_y(la))
         px = lat_x(la) + t * (lat_x(lb) - lat_x(la))
         pcs.append((pz, py, px))
-        lakeys.append((jnp.minimum(la, lb), jnp.maximum(la, lb)))
+        lo = jnp.minimum(la, lb)
+        diff = jnp.abs(lb - la)  # a*1 + b*X + c*X*Y, each in {0, 1}
+        c_ = diff // (Y * X)
+        rem = diff % (Y * X)
+        b_ = rem // X
+        a_ = rem % X
+        lakeys.append(lo * 8 + (a_ + 2 * b_ + 4 * c_))
 
     # inside-corner centroid of the tet (unrolled over the 4 tet corners)
     czs = cys = cxs = wsum = None
@@ -320,15 +332,12 @@ def _materialize(
     out_p = [pcs[0], [jnp.where(outward, a, b) for a, b in zip(pcs[1], pcs[2])],
              [jnp.where(outward, a, b) for a, b in zip(pcs[2], pcs[1])]]
     out_k = [lakeys[0],
-             (jnp.where(outward, lakeys[1][0], lakeys[2][0]),
-              jnp.where(outward, lakeys[1][1], lakeys[2][1])),
-             (jnp.where(outward, lakeys[2][0], lakeys[1][0]),
-              jnp.where(outward, lakeys[2][1], lakeys[1][1]))]
+             jnp.where(outward, lakeys[1], lakeys[2]),
+             jnp.where(outward, lakeys[2], lakeys[1])]
 
     pts = jnp.stack([jnp.stack([jnp.where(slot_ok, comp, 0.0) for comp in corner])
                      for corner in out_p])  # (3 corners, 3 zyx, T)
-    keys = jnp.stack([jnp.stack([jnp.where(slot_ok, comp, -1) for comp in corner])
-                      for corner in out_k])  # (3 corners, 2, T)
+    keys = jnp.stack([jnp.where(slot_ok, k, -1) for k in out_k])  # (3, T)
     return pts, keys
 
 
@@ -336,23 +345,23 @@ def _materialize(
 def _dedup_vertices(pts: jax.Array, keys: jax.Array):
     """Device-side shared-vertex dedup by lattice-edge key.
 
-    pts: (3 zyx, M) float32, keys: (2, M) int32 sorted lattice-id pairs
+    pts: (3 zyx, M) float32, keys: (M,) int32 lattice-edge ids
     (invalid slots = -1, one group at the front after sorting).
     Returns (verts (3, M) padded, inverse (M,) int32 group ids, n_groups,
     order (M,) sorted-corner permutation, group_of_sorted (M,)).
 
-    The sort byproducts are the mesh's vertex-incidence structure for
-    free: corners sorted by owning vertex (``order``) with group ids
-    (``group_of_sorted``) — ca_smoothing's adjacency build reuses them
-    instead of paying its own 44M-element lexsort.
+    The single int32 key (vs an endpoint pair) halves the sort payload —
+    one sort_key_val pass.  The sort byproducts are the mesh's
+    vertex-incidence structure for free: corners sorted by owning vertex
+    (``order``) with group ids (``group_of_sorted``) — ca_smoothing's
+    adjacency build reuses them instead of paying its own lexsort.
     """
     M = pts.shape[1]
-    order = jnp.lexsort((keys[1], keys[0]))
-    k0 = keys[0][order]
-    k1 = keys[1][order]
+    _, order = jax.lax.sort_key_val(keys, jnp.arange(M, dtype=jnp.int32))
+    ks = keys[order]
     new_group = jnp.concatenate([
         jnp.ones((1,), jnp.int32),
-        ((k0[1:] != k0[:-1]) | (k1[1:] != k1[:-1])).astype(jnp.int32),
+        (ks[1:] != ks[:-1]).astype(jnp.int32),
     ])
     group_of_sorted = jnp.cumsum(new_group) - 1  # (M,)
     inverse = jnp.zeros((M,), jnp.int32).at[order].set(group_of_sorted)
@@ -411,6 +420,9 @@ def marching_cubes_device(
     arrays — callers chain smoothing/measures without a host round trip.
     """
     field = jnp.asarray(field)
+    if 8 * int(np.prod(field.shape)) >= 2**31:
+        raise ValueError("volume too large for int32 lattice-edge keys "
+                         "(> ~640^3); shard it over a mesh instead")
     if max_active is None or max_tris is None:
         n_act, n_tri = (int(x) for x in count_cells_and_triangles(field, iso))
         if max_active is None:
@@ -445,13 +457,13 @@ def marching_cubes_device(
             pts_parts.append(p)
             key_parts.append(k)
         pts = jnp.concatenate(pts_parts, axis=2)
-        keys = jnp.concatenate(key_parts, axis=2)
+        keys = jnp.concatenate(key_parts, axis=1)  # (3 corners, T)
     del corner_lin, vals, ins, case, tri_slots
 
     # flatten vertices corner-major: m = corner * T + t
     T = pts.shape[2]
     pts_m = pts.transpose(1, 0, 2).reshape(3, 3 * T)  # (3 zyx, M)
-    keys_m = keys.transpose(1, 0, 2).reshape(2, 3 * T)  # (2, M)
+    keys_m = keys.reshape(3 * T)  # (M,) corner-major
 
     verts_d, inverse_d, n_groups, order, group_of_sorted = _dedup_vertices(
         pts_m, keys_m)
@@ -463,7 +475,7 @@ def marching_cubes_device(
         verts_d[:, :V_pad] if V_pad <= verts_d.shape[1]
         else jnp.pad(verts_d, ((0, 0), (0, V_pad - verts_d.shape[1]))),
         inverse_d, T, tuple(spacing), tuple(origin_shift))
-    sorted_valid = keys_m[0][order] >= 0
+    sorted_valid = keys_m[order] >= 0
     return DeviceMesh(
         verts3v=verts3v, faces3t=faces3t, n_verts=n_groups, n_tris=n_tris,
         inverse=inverse_d, order=order, group_of_sorted=group_of_sorted,

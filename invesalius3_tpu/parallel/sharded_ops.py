@@ -227,30 +227,31 @@ def sharded_mask_to_surface(mesh: Mesh, mask: jax.Array,
         case, tri_slots, n_tris_l = mc._emit_slots(ins, keep, max_tris)
         pts, keys = mc._materialize(corner_lin, vals, ins, case, tri_slots,
                                     0.5, local_shape)
-        # local -> global: z += z0 (coordinates); keys += z0 * Yp * Xp
+        # local -> global: z += z0 (coordinates); the edge key is
+        # lattice_lin * 8 + diff_code, so the lin shift scales by 8
         pts = pts.at[:, 0, :].add(jnp.float32(z0))
-        keys = jnp.where(keys >= 0, keys + z0 * Yp * Xp, -1)
+        keys = jnp.where(keys >= 0, keys + 8 * z0 * Yp * Xp, -1)
 
         T = pts.shape[2]
         pts_m = pts.transpose(1, 0, 2).reshape(3, 3 * T)
-        keys_m = keys.transpose(1, 0, 2).reshape(2, 3 * T)
+        keys_m = keys.reshape(3 * T)
         verts_d, inverse_d, n_groups, order, gos = mc._dedup_vertices(
             pts_m, keys_m)
 
         # classify each vertex (group): orphan (key -1), lower-boundary
-        # duplicate (both endpoints in my first plane), or own
-        k0s = keys_m[0][order]
-        k1s = keys_m[1][order]
+        # duplicate (an in-plane edge in my first plane), or own
+        ks = keys_m[order]
         new_group = jnp.concatenate([
             jnp.ones((1,), jnp.bool_), gos[1:] != gos[:-1]])
         M = gos.shape[0]
-        g_k0 = jnp.zeros((M,), jnp.int32).at[gos].max(
-            jnp.where(new_group, k0s, 0))
-        g_k1 = jnp.zeros((M,), jnp.int32).at[gos].max(
-            jnp.where(new_group, k1s, 0))
+        g_key = jnp.zeros((M,), jnp.int32).at[gos].max(
+            jnp.where(new_group, ks, 0))
         g_orphan = jnp.zeros((M,), jnp.bool_).at[gos].max(
-            new_group & (k0s < 0))
-        plane = lambda k: k // (Yp * Xp)
+            new_group & (ks < 0))
+        # edge key -> (plane of the low endpoint, diff code); both
+        # endpoints lie in that plane iff the z bit (4) of the code is 0
+        g_plane = (g_key // 8) // (Yp * Xp)
+        g_inplane = (g_key % 8) < 4
         lower = z0
         upper = z0 + Zs
         is_vert = jnp.arange(M) < n_groups
@@ -258,10 +259,10 @@ def sharded_mask_to_surface(mesh: Mesh, mask: jax.Array,
         # shard whose slab STARTS there (the upper one) — then every own
         # key of shard s sorts strictly before every own key of shard s+1,
         # so shard-order concatenation IS the global key order.
-        g_dup = (is_vert & ~g_orphan & (plane(g_k0) == upper)
-                 & (plane(g_k1) == upper) & (idx < n_shards - 1))
-        g_lower = (is_vert & ~g_orphan & (plane(g_k0) == lower)
-                   & (plane(g_k1) == lower))  # owned by me, dup'd in prev
+        g_dup = (is_vert & ~g_orphan & g_inplane & (g_plane == upper)
+                 & (idx < n_shards - 1))
+        g_lower = (is_vert & ~g_orphan & g_inplane
+                   & (g_plane == lower))  # owned by me, dup'd in prev
         # shard 0 owns the single global orphan slot; others drop theirs
         g_own = is_vert & ~g_dup & (~g_orphan | (idx == 0))
 

@@ -369,10 +369,10 @@ def _max_group_size(group_of_sorted: jax.Array, sorted_valid: jax.Array):
     return jnp.max(deg)
 
 
-@partial(jax.jit, static_argnames=("T", "n_verts_pad", "max_deg"))
+@partial(jax.jit, static_argnames=("T", "n_verts_pad", "max_deg", "out_deg"))
 def _adjacency_from_sorted_corners(inverse, order, group_of_sorted,
                                    sorted_valid, T: int, n_verts_pad: int,
-                                   max_deg: int):
+                                   max_deg: int, out_deg: int = None):
     """Deduplicated (max_deg, V) neighbor table + degrees, built from the
     vertex-dedup sort the marching stage already paid for.
 
@@ -415,6 +415,8 @@ def _adjacency_from_sorted_corners(inverse, order, group_of_sorted,
     # (XLA's general sort HLO is orders of magnitude slower here)
     table = _bitonic_sort_rows(table)
     dedup = table[0::2]  # duplicates pair up; sentinels pad the tail
+    if out_deg is not None:  # trim pow2 padding rows: smoothing gathers
+        dedup = dedup[:out_deg]  # scale with the REAL max degree
     deg = jnp.zeros((V + 1,), jnp.int32).at[g].max(pos + 1)[:V]
     return dedup, deg
 
@@ -442,13 +444,17 @@ def _bitonic_sort_rows(table: jax.Array) -> jax.Array:
 
 
 def adjacency_from_device_mesh(dm) -> Tuple[jax.Array, jax.Array]:
-    """(neigh (D, V_pad), deg (V_pad,)) for a marching.DeviceMesh."""
-    max_deg = int(_max_group_size(dm.group_of_sorted, dm.sorted_valid))
-    max_deg = max(8, 1 << (max_deg - 1).bit_length())  # pow2: bitonic + cache
+    """(neigh (D, V_pad), deg (V_pad,)) for a marching.DeviceMesh.
+    D is the real max degree bucketed to 4 (the pow2 padding the bitonic
+    network needs is trimmed before return — every downstream smoothing
+    gather pays per row)."""
+    mg = int(_max_group_size(dm.group_of_sorted, dm.sorted_valid))
+    max_deg = max(8, 1 << (mg - 1).bit_length())  # pow2: bitonic + cache
+    out_deg = min(max_deg, ((mg + 3) // 4) * 4)
     T = dm.faces3t.shape[1]
     return _adjacency_from_sorted_corners(
         dm.inverse, dm.order, dm.group_of_sorted, dm.sorted_valid,
-        T, dm.verts3v.shape[1], max_deg)
+        T, dm.verts3v.shape[1], max_deg, out_deg)
 
 
 # ---------------------------------------------------------------------------

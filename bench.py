@@ -87,20 +87,21 @@ def main() -> None:
             smoothed = mesh_ops.ca_smoothing(verts, faces, 0.7, 3.0, 0.5, 10)
             mesh_io.write_stl(out, smoothed, faces)
             return verts, faces, out
-        # 3. fused device pipeline: marching -> ca smoothing -> one packed
-        # transfer (no intermediate host copies)
+        # 3. fused device pipeline: marching -> ca smoothing -> streamed
+        # STL (no host mesh at all; transfer/pack/write overlap)
         dm = marching.mask_to_surface_device(mask, spacing=(0.5, 0.5, 0.5))
         out3v = mesh_ops.ca_smoothing_device(dm, 0.7, 3.0, 0.5, 10)
-        smoothed, faces = marching.mesh_to_host(
-            dataclasses.replace(dm, verts3v=out3v))
-        mesh_io.write_stl(out, smoothed, faces)
-        return smoothed, faces, out
+        mesh_io.write_stl_from_device(
+            out, dataclasses.replace(dm, verts3v=out3v))
+        return dm.n_verts, dm.n_tris, out
 
     # warmup: compile everything on the same shapes
     t0 = time.perf_counter()
-    verts, faces, _ = pipeline()
+    n_verts, n_tris, _ = pipeline()
+    if not np.isscalar(n_verts):  # sharded path returns host arrays
+        n_verts, n_tris = len(n_verts), len(n_tris)
     log(f"warmup (incl. compile): {time.perf_counter() - t0:.2f}s — "
-        f"{len(verts)} verts, {len(faces)} tris")
+        f"{n_verts} verts, {n_tris} tris")
 
     # timed run
     times = []

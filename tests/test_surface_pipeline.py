@@ -285,3 +285,26 @@ def test_mesh_to_host_fp16_packing():
     v16, f16_ = marching.mesh_to_host(dm, fp16=True)
     np.testing.assert_array_equal(f32_, f16_)
     np.testing.assert_allclose(v16, v32, atol=0.05)  # fp16 ulp at ~16mm
+
+
+def test_write_stl_from_device_matches_host_path(tmp_path):
+    """The streamed device->STL writer produces the same triangle soup as
+    mesh_to_host + write_stl (both fp16-quantized verts)."""
+    from invesalius3_tpu.io import mesh_io
+    from invesalius3_tpu import native
+
+    if not native.available():
+        import pytest
+        pytest.skip("no native meshpack")
+    mask = _cube_mask()
+    dm = marching.mask_to_surface_device(mask, spacing=(0.5, 0.5, 1.0))
+    p1 = tmp_path / "stream.stl"
+    p2 = tmp_path / "host.stl"
+    mesh_io.write_stl_from_device(p1, dm)
+    verts, faces = marching.mesh_to_host(dm)
+    mesh_io.write_stl(p2, verts, faces)
+    v1, f1 = mesh_io.read_stl(p1)
+    v2, f2 = mesh_io.read_stl(p2)
+    assert len(f1) == len(f2) == dm.n_tris
+    np.testing.assert_array_equal(np.sort(v1.round(3), axis=0),
+                                  np.sort(v2.round(3), axis=0))

@@ -45,6 +45,41 @@ class Project:
         # (reference project.py image_versions + slice_.py:2330)
         self.image_versions: list = []
 
+    # -- construction ------------------------------------------------------------
+    @classmethod
+    def from_matrix(cls, name: str, matrix, orientation: str = "AXIAL",
+                    spacing=(1.0, 1.0, 1.0), modality: str = "CT",
+                    window_width: Optional[float] = None,
+                    window_level: Optional[float] = None) -> "Project":
+        """New project from a numpy 3D array — the plugin/scripting entry
+        point (reference control.py:1033 create_project_from_matrix;
+        default window spans the data range)."""
+        matrix = np.asarray(matrix)
+        if matrix.ndim != 3:
+            raise ValueError("matrix must be a 3D array")
+        lo, hi = int(matrix.min()), int(matrix.max())
+        proj = cls()
+        proj.name = name
+        proj.modality = modality
+        proj.original_orientation = orientation
+        proj.window = float(window_width if window_width is not None
+                            else hi - lo)
+        proj.level = float(window_level if window_level is not None
+                           else (hi + lo) // 2)
+        proj.volume = Volume.from_numpy(matrix.astype(np.int16),
+                                        spacing=tuple(spacing))
+        return proj
+
+    def make_slice(self):
+        """A Slice facade over this project's volume with the project's
+        window applied (what the reference wires up after
+        create_project_from_matrix)."""
+        from invesalius3_tpu.core.slice import Slice
+
+        slc = Slice(self.volume)
+        slc.set_window(self.window, self.level)
+        return slc
+
     # -- volume convenience ------------------------------------------------------
     @property
     def spacing(self):

@@ -213,3 +213,23 @@ def test_cli_end_to_end(tmp_path):
     loaded = Project.open(out_proj)
     assert loaded.volume.shape == (12, 32, 32)
     assert len(loaded.mask_dict) == 1
+
+
+def test_project_from_matrix(tmp_path):
+    """Plugin/scripting entry point (reference control.py:1033): project
+    from a numpy array with range-derived window, .inv3 round trip."""
+    import numpy as np
+    from invesalius3_tpu.core.project import Project
+
+    m = np.zeros((8, 8, 8), np.int16)
+    m[2:6, 2:6, 2:6] = 1000
+    proj = Project.from_matrix("frommat", m, spacing=(0.5, 0.5, 2.0))
+    assert proj.window == 1000.0 and proj.level == 500.0
+    assert proj.volume.spacing == (0.5, 0.5, 2.0)
+    slc = proj.make_slice()
+    assert slc.matrix.shape == (8, 8, 8)
+    p = tmp_path / "m.inv3"
+    proj.save(p)
+    loaded = Project.open(p)
+    np.testing.assert_array_equal(np.asarray(loaded.volume.data), m)
+    assert loaded.name == "frommat"

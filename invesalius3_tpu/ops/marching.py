@@ -426,9 +426,9 @@ def marching_cubes_device(
     if max_active is None or max_tris is None:
         n_act, n_tri = (int(x) for x in count_cells_and_triangles(field, iso))
         if max_active is None:
-            max_active = max(1024, _next_pow2(n_act))
+            max_active = max(1024, _round_bucket(n_act))
         if max_tris is None:
-            max_tris = max(2048, _next_pow2(int(n_tri)))
+            max_tris = max(2048, _round_bucket(int(n_tri)))
 
     corner_lin, vals, ins, valid_cell, n_active = _extract_cells(
         field, iso, max_active)
@@ -438,12 +438,14 @@ def marching_cubes_device(
     if n_active_i > max_active or n_tris > max_tris:  # bucket overflow: retry
         return marching_cubes_device(
             field, iso, spacing,
-            max_active=_next_pow2(n_active_i),
-            max_tris=_next_pow2(max(n_tris, n_active_i * 4)),
+            max_active=_round_bucket(n_active_i),
+            max_tris=_round_bucket(max(n_tris, n_active_i * 4)),
             origin_shift=origin_shift,
         )
     # materialize in fixed-size chunks: caps the per-program live set
-    CHUNK = 1 << 21
+    # chunk size = the bucket granule (which always divides max_tris), so
+    # every dynamic slice is full-size — a clamped slice would re-emit slots
+    CHUNK = min(1 << 21, 1 << ((max_tris - 1).bit_length() - 3))
     vol_shape = tuple(int(s) for s in field.shape)
     if max_tris <= CHUNK:
         pts, keys = _materialize(corner_lin, vals, ins, case, tri_slots,
@@ -470,7 +472,7 @@ def marching_cubes_device(
     n_groups = int(n_groups)
     # the invalid-slot group (keys == -1 sorts first) is one orphan vertex
     # when padding slots exist; valid faces never reference it.
-    V_pad = max(1024, _next_pow2(n_groups))
+    V_pad = max(1024, _round_bucket(n_groups))
     verts3v, faces3t = _finalize_device(
         verts_d[:, :V_pad] if V_pad <= verts_d.shape[1]
         else jnp.pad(verts_d, ((0, 0), (0, V_pad - verts_d.shape[1]))),
@@ -542,6 +544,18 @@ def _next_pow2(n: int) -> int:
     while p < n:
         p *= 2
     return p
+
+
+def _round_bucket(n: int) -> int:
+    """Smallest (8+k) * 2^(e-3) >= n (k in 0..7): 1/8-pow2 steps.  Padding
+    waste drops from <=2x (pow2) to <=12.5% — materialize/dedup/taubin all
+    pay per padded element — while the jit cache stays bounded (8 shapes
+    per octave)."""
+    if n <= 8:
+        return max(1, n)
+    e = (n - 1).bit_length()  # n <= 2^e
+    g = 1 << (e - 3)
+    return ((n + g - 1) // g) * g
 
 
 def mask_to_surface_device(

@@ -288,7 +288,8 @@ def propagate_weights(
 
 @partial(jax.jit, static_argnames=())
 def _staircase_core_t(normals3f, faces_j, n_vertices_pad, t, stack_orientation):
-    """normals (3, F); per-axis deviation spreads scatter into (3, V)."""
+    """normals (3, F), faces (F, 3); 1-D row scatters (see
+    _staircase_core_3t)."""
     axes = jnp.stack([
         stack_orientation,
         jnp.asarray([0.0, 1.0, 0.0], jnp.float32),
@@ -296,15 +297,19 @@ def _staircase_core_t(normals3f, faces_j, n_vertices_pad, t, stack_orientation):
     ])  # (3 axes, 3 comps)
     of = 1.0 - jnp.abs(axes @ normals3f)  # (3 axes, F)
     V = n_vertices_pad.shape[0]
-    vmax = jnp.full((3, V), -jnp.inf)
-    vmin = jnp.full((3, V), jnp.inf)
-    for c in range(3):
-        idx = faces_j[:, c]
-        vmax = vmax.at[:, idx].max(of)
-        vmin = vmin.at[:, idx].min(of)
-    spread = vmax - vmin  # (3, V)
-    has_face = jnp.isfinite(spread).all(axis=0)
-    return has_face & (spread >= t).any(axis=0)
+    has_face = None
+    flag = jnp.zeros((V,), jnp.bool_)
+    for a in range(3):
+        vmax = jnp.full((V,), -jnp.inf)
+        vmin = jnp.full((V,), jnp.inf)
+        for c in range(3):
+            idx = faces_j[:, c]
+            vmax = vmax.at[idx].max(of[a])
+            vmin = vmin.at[idx].min(of[a])
+        if has_face is None:
+            has_face = jnp.isfinite(vmax)
+        flag = flag | ((vmax - vmin) >= t)
+    return has_face & flag
 
 
 def _staircase_core(verts_j, faces_j, normals_j, t, stack_orientation):
@@ -333,7 +338,10 @@ def _face_normals_3t(verts3v: jax.Array, faces3t: jax.Array) -> jax.Array:
 
 @jax.jit
 def _staircase_core_3t(normals3f, faces3t, n_vertices_pad, t, stack_orientation):
-    """_staircase_core_t for corner-major (3, F) faces."""
+    """_staircase_core_t for corner-major (3, F) faces.
+
+    Unrolled to 1-D row scatters: the (3, V)-row form (`.at[:, idx]`)
+    measured 3.7 s at 512^3 vs 1.5 s for eighteen plain 1-D scatters."""
     axes = jnp.stack([
         stack_orientation,
         jnp.asarray([0.0, 1.0, 0.0], jnp.float32),
@@ -341,15 +349,19 @@ def _staircase_core_3t(normals3f, faces3t, n_vertices_pad, t, stack_orientation)
     ])
     of = 1.0 - jnp.abs(axes @ normals3f)  # (3 axes, F)
     V = n_vertices_pad.shape[0]
-    vmax = jnp.full((3, V), -jnp.inf)
-    vmin = jnp.full((3, V), jnp.inf)
-    for c in range(3):
-        idx = faces3t[c]
-        vmax = vmax.at[:, idx].max(of)
-        vmin = vmin.at[:, idx].min(of)
-    spread = vmax - vmin
-    has_face = jnp.isfinite(spread).all(axis=0)
-    return has_face & (spread >= t).any(axis=0)
+    has_face = None
+    flag = jnp.zeros((V,), jnp.bool_)
+    for a in range(3):
+        vmax = jnp.full((V,), -jnp.inf)
+        vmin = jnp.full((V,), jnp.inf)
+        for c in range(3):
+            idx = faces3t[c]
+            vmax = vmax.at[idx].max(of[a])
+            vmin = vmin.at[idx].min(of[a])
+        if has_face is None:
+            has_face = jnp.isfinite(vmax)
+        flag = flag | ((vmax - vmin) >= t)
+    return has_face & flag
 
 
 # ---------------------------------------------------------------------------

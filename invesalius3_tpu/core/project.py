@@ -57,6 +57,14 @@ class Project:
         matrix = np.asarray(matrix)
         if matrix.ndim != 3:
             raise ValueError("matrix must be a 3D array")
+        if matrix.dtype != np.int16:
+            # the reference documents int16-only; convert other integer
+            # dtypes when the values fit, refuse lossy casts
+            if (matrix.dtype.kind not in "iu"
+                    or matrix.min() < -32768 or matrix.max() > 32767):
+                raise ValueError(
+                    f"matrix must be int16-representable (got {matrix.dtype}"
+                    f" range [{matrix.min()}, {matrix.max()}])")
         lo, hi = int(matrix.min()), int(matrix.max())
         proj = cls()
         proj.name = name

@@ -151,9 +151,9 @@ class DicomFile:
                 arr = codecs.jpeg_baseline_decode(fb)
             else:  # JPEG lossless process 14
                 arr = codecs.jpegll_decode(fb)
-                if arr.shape[:2] != (rows, cols):
-                    raise DicomError(
-                        f"{self.path}: JPEG frame {arr.shape} != ({rows},{cols})")
+            if arr.shape[:2] != (rows, cols):
+                raise DicomError(
+                    f"{self.path}: frame {arr.shape} != ({rows},{cols})")
             if arr.ndim == 3:  # RGB etc -> luminance, like the raw path
                 arr = arr.mean(axis=2)
             if signed:

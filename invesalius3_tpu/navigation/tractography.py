@@ -280,6 +280,8 @@ class ComputeTractsThread(threading.Thread):
         if direction_field is None and fod_sh is None:
             raise ValueError("need direction_field (deterministic) or "
                              "fod_sh (probabilistic)")
+        if stop_mask is None:
+            raise ValueError("stop_mask is required (ACT-style stopping)")
         self.pose_queue = pose_queue
         self.direction_field = (None if direction_field is None
                                 else jnp.asarray(direction_field, jnp.float32))

@@ -423,6 +423,11 @@ def marching_cubes_device(
     if 8 * int(np.prod(field.shape)) >= 2**31:
         raise ValueError("volume too large for int32 lattice-edge keys "
                          "(> ~640^3); shard it over a mesh instead")
+    if max_tris is not None:
+        # chunked materialization requires bucket-aligned sizes (the
+        # granule must divide max_tris or the last dynamic slice clamps
+        # and re-emits slots)
+        max_tris = _round_bucket(max_tris)
     if max_active is None or max_tris is None:
         n_act, n_tri = (int(x) for x in count_cells_and_triangles(field, iso))
         if max_active is None:
@@ -445,7 +450,7 @@ def marching_cubes_device(
     # materialize in fixed-size chunks: caps the per-program live set
     # chunk size = the bucket granule (which always divides max_tris), so
     # every dynamic slice is full-size — a clamped slice would re-emit slots
-    CHUNK = min(1 << 21, 1 << ((max_tris - 1).bit_length() - 3))
+    CHUNK = min(1 << 21, 1 << max(0, (max_tris - 1).bit_length() - 3))
     vol_shape = tuple(int(s) for s in field.shape)
     if max_tris <= CHUNK:
         pts, keys = _materialize(corner_lin, vals, ins, case, tri_slots,

@@ -51,10 +51,13 @@ def _lmip_kernel(params_ref, vol_ref, out_ref):
     Z = vol_ref.shape[0]
 
     first = vol_ref[0]
+    # flags carried as 0/1 float32: an i1 vector loop carry fails to
+    # legalize on the current Mosaic toolchain ("failed to legalize
+    # operation 'scf.for'"); transient bool masks inside the body are fine
     init = (
         first,  # max_val
-        (first >= tmin) & (first <= tmax),  # start
-        jnp.zeros_like(first, dtype=jnp.bool_),  # stopped
+        ((first >= tmin) & (first <= tmax)).astype(jnp.float32),  # start
+        jnp.zeros_like(first),  # stopped
     )
 
     def body(z, carry):
@@ -62,10 +65,12 @@ def _lmip_kernel(params_ref, vol_ref, out_ref):
         val = vol_ref[z]
         greater = val > max_val
         less = val < max_val
-        new_stopped = stopped | (less & start & ~stopped)
-        new_max = jnp.where(~stopped & greater, val, max_val)
+        new_stopped = jnp.maximum(stopped, jnp.where(less, start, 0.0))
+        new_max = jnp.where((stopped == 0.0) & greater, val, max_val)
         in_range = (val >= tmin) & (val <= tmax)
-        new_start = jnp.where(~new_stopped, start | in_range, start)
+        new_start = jnp.where(new_stopped == 0.0,
+                              jnp.maximum(start, in_range.astype(jnp.float32)),
+                              start)
         return new_max, new_start, new_stopped
 
     max_val, _, _ = jax.lax.fori_loop(0, Z, body, init)
@@ -111,8 +116,8 @@ def _mida_kernel(params_ref, vol_ref, out_ref):
         jnp.zeros(shape, jnp.float32),  # fmax
         jnp.zeros(shape, jnp.float32),  # alpha_p
         jnp.zeros(shape, jnp.float32),  # colour_p
-        jnp.zeros(shape, jnp.bool_),  # stopped
-    )
+        jnp.zeros(shape, jnp.float32),  # stopped (0/1: i1 carries fail to
+    )                                   # legalize; see _lmip_kernel)
     min_v = wl - ww / 2.0
     max_v = wl + ww / 2.0
 
@@ -126,10 +131,12 @@ def _mida_kernel(params_ref, vol_ref, out_ref):
         alpha = jnp.clip((vl - min_v) / (max_v - min_v), 0.0, 1.0)
         colour = bt * colour_p + (1.0 - bt * alpha_p) * fpi * alpha
         new_alpha = bt * alpha_p + (1.0 - bt * alpha_p) * alpha
-        out_fmax = jnp.where(stopped, fmax, new_fmax)
-        out_alpha = jnp.where(stopped, alpha_p, new_alpha)
-        out_colour = jnp.where(stopped, colour_p, colour)
-        new_stopped = stopped | (out_alpha >= 1.0)
+        run = stopped == 0.0
+        out_fmax = jnp.where(run, new_fmax, fmax)
+        out_alpha = jnp.where(run, new_alpha, alpha_p)
+        out_colour = jnp.where(run, colour, colour_p)
+        new_stopped = jnp.maximum(stopped,
+                                  (out_alpha >= 1.0).astype(jnp.float32))
         return out_fmax, out_alpha, out_colour, new_stopped
 
     _, _, colour_p, _ = jax.lax.fori_loop(0, Z, body, init)

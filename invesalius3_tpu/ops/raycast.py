@@ -305,85 +305,96 @@ def raycast(
     crop_plane: Optional[jax.Array] = None,  # (4,) plane eq in voxel coords
     background: Tuple[float, float, float] = (0.0, 0.0, 0.0),
 ) -> jax.Array:
-    """Returns (H, W, 3) float32 image in [0, 1]."""
+    """Returns (H, W, 3) float32 image in [0, 1].
+
+    TPU layout: every per-ray quantity is a plain (H, W) plane — carrying
+    (H, W, 3) through the scan pads the trailing 3 to 128 lanes (42x
+    bandwidth) and at 512^3/512^2 it crashed the TPU worker outright; the
+    RGBA LUT is gathered channel-by-channel from 1-D rows for the same
+    reason."""
     H, W = origins.shape[:2]
     dt = t_max / n_steps
-    step = direction * dt
+    step = direction * dt  # (3,)
     n_lut = lut_rgba.shape[0]
     vol_f = volume.astype(jnp.float32)
+    oz, oy, ox = origins[..., 0], origins[..., 1], origins[..., 2]
+    lut_t = lut_rgba.T  # (4 channels, N)
 
-    def lut_lookup(v):
+    def lut_idx(v):
         idx = (v - lut_min) / (lut_max - lut_min) * (n_lut - 1)
-        idx = jnp.clip(idx, 0, n_lut - 1).astype(jnp.int32)
-        return lut_rgba[idx]
+        return jnp.clip(idx, 0, n_lut - 1).astype(jnp.int32)
 
-    def sample(pos):
-        z, y, x = pos[..., 0], pos[..., 1], pos[..., 2]
+    def sample(pz, py, px):
         dzv, dyv, dxv = vol_f.shape
         valid = (
-            (z >= 0) & (z < dzv - 1) & (y >= 0) & (y < dyv - 1)
-            & (x >= 0) & (x < dxv - 1)
+            (pz >= 0) & (pz < dzv - 1) & (py >= 0) & (py < dyv - 1)
+            & (px >= 0) & (px < dxv - 1)
         )
         if crop_plane is not None:
             keep = (
-                crop_plane[0] * z + crop_plane[1] * y + crop_plane[2] * x + crop_plane[3]
+                crop_plane[0] * pz + crop_plane[1] * py + crop_plane[2] * px
+                + crop_plane[3]
             ) >= 0
             valid = valid & keep
-        v = trilinear(vol_f, jnp.where(valid, x, 0.0), jnp.where(valid, y, 0.0),
-                      jnp.where(valid, z, 0.0))
+        v = trilinear(vol_f, jnp.where(valid, px, 0.0),
+                      jnp.where(valid, py, 0.0), jnp.where(valid, pz, 0.0))
         return jnp.where(valid, v, jnp.float32(lut_min)), valid
+
+    def ray_pos(i):
+        t = i.astype(jnp.float32)
+        return oz + step[0] * t, oy + step[1] * t, ox + step[2] * t
 
     if mode == "mip":
         def body(carry, i):
             best = carry
-            pos = origins + step * i.astype(jnp.float32)
-            v, valid = sample(pos)
+            v, valid = sample(*ray_pos(i))
             best = jnp.maximum(best, jnp.where(valid, v, best))
             return best, None
 
         init = jnp.full((H, W), jnp.float32(lut_min))
         best, _ = jax.lax.scan(body, init, jnp.arange(n_steps))
-        rgba = lut_lookup(best)
-        return rgba[..., :3]
+        idx = lut_idx(best)
+        return jnp.stack([lut_t[c][idx] for c in range(3)], axis=-1)
 
     # composite front-to-back
-    grad_shift = jnp.asarray([1.0, 1.0, 1.0], jnp.float32)
+    dn = direction / jnp.linalg.norm(direction)
 
     def body(carry, i):
-        colour, alpha, done = carry
-        pos = origins + step * i.astype(jnp.float32)
-        v, valid = sample(pos)
-        rgba = lut_lookup(v)
-        a = jnp.where(valid & ~done, rgba[..., 3], 0.0)
-        rgb = rgba[..., :3]
+        cr, cg, cb, alpha, done = carry
+        pz, py, px = ray_pos(i)
+        v, valid = sample(pz, py, px)
+        idx = lut_idx(v)
+        a = jnp.where(valid & ~done, lut_t[3][idx], 0.0)
+        r, g, b = lut_t[0][idx], lut_t[1][idx], lut_t[2][idx]
         if use_shading:
             # central-difference gradient diffuse shading (headlight)
-            eps = 1.0
-            gz, _ = sample(pos + jnp.array([eps, 0, 0], jnp.float32))
-            gz2, _ = sample(pos - jnp.array([eps, 0, 0], jnp.float32))
-            gy, _ = sample(pos + jnp.array([0, eps, 0], jnp.float32))
-            gy2, _ = sample(pos - jnp.array([0, eps, 0], jnp.float32))
-            gx, _ = sample(pos + jnp.array([0, 0, eps], jnp.float32))
-            gx2, _ = sample(pos - jnp.array([0, 0, eps], jnp.float32))
-            g = jnp.stack([gz - gz2, gy - gy2, gx - gx2], axis=-1)
-            gn = jnp.linalg.norm(g, axis=-1, keepdims=True)
-            g = g / jnp.where(gn == 0, 1.0, gn)
-            diffuse = jnp.abs(jnp.sum(g * (-direction / jnp.linalg.norm(direction)), axis=-1))
-            rgb = rgb * (0.3 + 0.7 * diffuse[..., None])
+            gzp, _ = sample(pz + 1.0, py, px)
+            gzm, _ = sample(pz - 1.0, py, px)
+            gyp, _ = sample(pz, py + 1.0, px)
+            gym, _ = sample(pz, py - 1.0, px)
+            gxp, _ = sample(pz, py, px + 1.0)
+            gxm, _ = sample(pz, py, px - 1.0)
+            dz_, dy_, dx_ = gzp - gzm, gyp - gym, gxp - gxm
+            gn = jnp.sqrt(dz_ * dz_ + dy_ * dy_ + dx_ * dx_)
+            gn = jnp.where(gn == 0, 1.0, gn)
+            diffuse = jnp.abs(dz_ * dn[0] + dy_ * dn[1] + dx_ * dn[2]) / gn
+            shade = 0.3 + 0.7 * diffuse
+            r, g, b = r * shade, g * shade, b * shade
         w = (1.0 - alpha) * a
-        colour = colour + rgb * w[..., None]
+        cr = cr + r * w
+        cg = cg + g * w
+        cb = cb + b * w
         alpha = alpha + w
         done = done | (alpha >= 0.99)
-        return (colour, alpha, done), None
+        return (cr, cg, cb, alpha, done), None
 
-    init = (
-        jnp.zeros((H, W, 3), jnp.float32),
-        jnp.zeros((H, W), jnp.float32),
-        jnp.zeros((H, W), jnp.bool_),
-    )
-    (colour, alpha, _), _ = jax.lax.scan(body, init, jnp.arange(n_steps))
+    zero = jnp.zeros((H, W), jnp.float32)
+    init = (zero, zero, zero, zero, jnp.zeros((H, W), jnp.bool_))
+    (cr, cg, cb, alpha, _), _ = jax.lax.scan(body, init, jnp.arange(n_steps))
     bg = jnp.asarray(background, jnp.float32)
-    return colour + (1.0 - alpha[..., None]) * bg
+    rem = 1.0 - alpha
+    return jnp.stack([cr + rem * bg[0], cg + rem * bg[1], cb + rem * bg[2]],
+                     axis=-1)
 
 
 def render(

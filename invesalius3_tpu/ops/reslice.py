@@ -33,11 +33,16 @@ def _wrap(idx: jax.Array, dim: int) -> jax.Array:
 
 
 def _gather(volume: jax.Array, zi, yi, xi) -> jax.Array:
+    """Flat 1-D gather: a three-index-vector gather over a 512^3 operand
+    crashed the TPU worker outright (and multi-coordinate gathers lower
+    worse than linear ones generally).  int32 linear ids bound the volume
+    to < 2^31 voxels (~1290^3)."""
     dz, dy, dx = volume.shape
     zi = _wrap(zi, dz)
     yi = _wrap(yi, dy)
     xi = _wrap(xi, dx)
-    return volume[zi, yi, xi]
+    lin = (zi * dy + yi) * dx + xi
+    return volume.reshape(-1)[lin]
 
 
 def trilinear(volume: jax.Array, x, y, z) -> jax.Array:

@@ -119,5 +119,8 @@ def local_data_slice(global_batch: int) -> slice:
     import jax
 
     pid, n = jax.process_index(), jax.process_count()
+    if global_batch % n:
+        raise ValueError(f"global_batch {global_batch} must divide evenly "
+                         f"over {n} processes (rows would be dropped)")
     per = global_batch // n
     return slice(pid * per, (pid + 1) * per)

@@ -204,6 +204,11 @@ def sharded_mask_to_surface(mesh: Mesh, mask: jax.Array,
     counts = np.asarray(counts)  # (n_shards, 2)
     max_active = max(1024, mc._next_pow2(int(counts[:, 0].max())))
     max_tris = max(2048, mc._next_pow2(int(counts[:, 1].max())))
+    # global lattice-edge keys are lin * 8 + code in int32 (the same bound
+    # marching_cubes_device enforces single-device)
+    if 8 * (n_shards * Zs + 2) * Yp * Xp >= 2**31:
+        raise ValueError("global volume too large for int32 lattice-edge "
+                         "keys (> ~640^3 equivalent)")
 
     # --- pass 2: extraction + local dedup + stitch
     BOUND = 1 << 16  # boundary-plane vertex bucket (checked below)

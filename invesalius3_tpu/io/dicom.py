@@ -633,8 +633,10 @@ def fix_gantry_tilt(volume: "np.ndarray", spacing, tilt_degrees: float) -> "np.n
     y1c = jnp.clip(y0 + 1, 0, Y - 1)
     zz = jnp.arange(Z, dtype=jnp.int32)[:, None, None]
     xx = jnp.arange(X, dtype=jnp.int32)[None, None, :]
-    a = v[zz, jnp.broadcast_to(y0c, (Z, Y, X)), xx]
-    b = v[zz, jnp.broadcast_to(y1c, (Z, Y, X)), xx]
+    # flat gathers (multi-index gathers crash the TPU worker at 512^3)
+    vf = v.reshape(-1)
+    a = vf[(zz * Y + jnp.broadcast_to(y0c, (Z, Y, X))) * X + xx]
+    b = vf[(zz * Y + jnp.broadcast_to(y1c, (Z, Y, X))) * X + xx]
     out = a * (1 - t) + b * t
     valid = (src >= 0) & (src <= Y - 1)
     out = jnp.where(jnp.broadcast_to(valid, (Z, Y, X)), out, cval)

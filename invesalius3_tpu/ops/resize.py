@@ -39,7 +39,10 @@ def resize_volume(volume: jax.Array, out_shape: Tuple[int, int, int],
         zi = jnp.round(z).astype(jnp.int32)
         yi = jnp.round(y).astype(jnp.int32)
         xi = jnp.round(x).astype(jnp.int32)
-        return volume[zi, yi, xi]
+        # flat gather: multi-index-vector gathers crash the TPU worker at
+        # 512^3 operands (see reslice._gather)
+        Zi, Yi, Xi = volume.shape
+        return volume.reshape(-1)[(zi * Yi + yi) * Xi + xi]
     out = trilinear(volume, x, y, z)
     return out.astype(volume.dtype)
 

@@ -186,12 +186,13 @@ def make_handler(state: AppState):
                     from invesalius3_tpu.ops import raycast
 
                     preset = raycast.builtin_preset(q.get("preset", "Bone"))
-                    img = raycast.render(
-                        np.asarray(slc.matrix), slc.spacing, preset,
+                    # shear-warp: streaming slice compositing (the gather
+                    # raycaster is seconds/frame on TPU at full volumes)
+                    img = raycast.shear_warp_render(
+                        slc.matrix, slc.spacing, preset,
                         azimuth=float(q.get("azimuth", 0)),
                         elevation=float(q.get("elevation", 0)),
                         image_size=int(q.get("size", 256)),
-                        n_steps=int(q.get("steps", 128)),
                     )
                     self._png(img)
                 elif len(parts) == 3 and parts[:2] == ["api", "surface"]:

@@ -442,8 +442,8 @@ def render_mask_preview(
     preset = RaycastPreset(
         name="MaskPreview", lut_min=0.0, lut_max=255.0, rgba=lut,
         use_shading=True)
-    return render(mask, spacing, preset, azimuth=azimuth, elevation=elevation,
-                  image_size=image_size, n_steps=n_steps)
+    return shear_warp_render(mask, spacing, preset, azimuth=azimuth,
+                             elevation=elevation, image_size=image_size)
 
 
 # ---------------------------------------------------------------------------

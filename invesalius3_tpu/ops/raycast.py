@@ -665,3 +665,77 @@ def shear_warp_render(
         rem = (1.0 - img4[..., 3:4])
         rgb = img4[..., :3] + rem * bg[None, None, :]
     return np.asarray(jnp.clip(rgb, 0.0, 1.0) * 255.0).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# User preset persistence (reference control.py:1422-1450 Load/SaveRaycastingPreset)
+# ---------------------------------------------------------------------------
+
+
+def preset_to_plist(preset: RaycastPreset, n_nodes: int = 64) -> bytes:
+    """Serialize a preset as a reference-compatible advanced-CLUT plist
+    (one 16-bit curve sampled from the baked LUT); round-trips through
+    RaycastPreset.from_plist."""
+    n = preset.rgba.shape[0]
+    pos = np.linspace(0, n - 1, n_nodes).astype(int)
+    xs = np.linspace(preset.lut_min, preset.lut_max, n)[pos]
+    curve = [{"x": float(x), "y": float(preset.rgba[i, 3])}
+             for x, i in zip(xs, pos)]
+    colors = [{"red": float(preset.rgba[i, 0]),
+               "green": float(preset.rgba[i, 1]),
+               "blue": float(preset.rgba[i, 2])} for i in pos]
+    d = {
+        "name": preset.name,
+        "advancedCLUT": True,
+        "16bitClutCurves": [curve],
+        "16bitClutColors": [colors],
+        "useShading": bool(preset.use_shading),
+        "projection": 2 if preset.projection_mode == "mip" else 0,
+        "backgroundColorRedComponent": float(preset.background[0]),
+        "backgroundColorGreenComponent": float(preset.background[1]),
+        "backgroundColorBlueComponent": float(preset.background[2]),
+        "wl": float(preset.wl),
+        "ww": float(preset.ww),
+    }
+    return plistlib.dumps(d)
+
+
+def _user_preset_dir():
+    from invesalius3_tpu.utils import paths
+
+    return paths.user_presets_dir() / "raycasting"
+
+
+def save_user_preset(preset: RaycastPreset, name: Optional[str] = None):
+    """Persist a (possibly edited) preset under the user config dir
+    (reference SaveRaycastingPreset -> USER_RAYCASTING_PRESETS_DIRECTORY)."""
+    import dataclasses as _dc
+
+    name = name or preset.name
+    preset = _dc.replace(preset, name=name)
+    d = _user_preset_dir()
+    d.mkdir(parents=True, exist_ok=True)
+    path = d / f"{name}.plist"
+    path.write_bytes(preset_to_plist(preset))
+    return path
+
+
+def load_preset(name: str, lut_size: int = 2048) -> RaycastPreset:
+    """Builtin catalog first, then the user preset dir (reference
+    LoadRaycastingPreset lookup order)."""
+    if name in _PRESET_SPECS:
+        return builtin_preset(name, lut_size)
+    path = _user_preset_dir() / f"{name}.plist"
+    if path.exists():
+        return RaycastPreset.from_plist(path, lut_size)
+    raise KeyError(f"no raycasting preset {name!r}")
+
+
+def available_presets():
+    """Builtin + saved user preset names."""
+    names = list(_PRESET_SPECS)
+    d = _user_preset_dir()
+    if d.is_dir():
+        names += sorted(p.stem for p in d.glob("*.plist")
+                        if p.stem not in _PRESET_SPECS)
+    return names

@@ -330,3 +330,32 @@ def test_shear_warp_shading_modulates():
     on = a.sum(axis=-1) > 10
     assert ((b.sum(axis=-1) > 10) == on).mean() > 0.97  # same footprint
     assert b[on].mean() < a[on].mean()  # shading only darkens
+
+
+def test_user_preset_save_load_roundtrip(tmp_path, monkeypatch):
+    """Save -> plist -> load round trip (reference Save/LoadRaycastingPreset),
+    including the user-dir lookup order and catalog listing."""
+    import dataclasses
+
+    monkeypatch.setattr("invesalius3_tpu.utils.paths.user_dir",
+                        lambda: tmp_path)
+    src = dataclasses.replace(raycast.builtin_preset("Bone"),
+                              background=(0.1, 0.2, 0.3))
+    p = raycast.save_user_preset(src, "My Bone")
+    assert p.exists()
+    assert "My Bone" in raycast.available_presets()
+    back = raycast.load_preset("My Bone")
+    assert back.name == "My Bone"
+    assert back.use_shading == src.use_shading
+    assert np.allclose(back.background, src.background)
+    assert abs(back.lut_min - src.lut_min) < 1e-3
+    # baked LUT approximates the original (piecewise-linear resample)
+    xs = np.linspace(src.lut_min, src.lut_max, 64)
+    si = ((xs - src.lut_min) / (src.lut_max - src.lut_min)
+          * (src.rgba.shape[0] - 1)).astype(int)
+    bi = ((xs - back.lut_min) / (back.lut_max - back.lut_min)
+          * (back.rgba.shape[0] - 1)).astype(int)
+    vis = src.rgba[si, 3] > 0.01  # colour only matters where alpha > 0
+    assert np.abs(src.rgba[si][vis] - back.rgba[bi][vis]).max() < 0.05
+    with pytest.raises(KeyError):
+        raycast.load_preset("nope")

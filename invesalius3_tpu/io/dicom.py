@@ -10,8 +10,10 @@ ImagePositionPatient and mixed-series splitting) and imagedata_utils
 volume.
 
 Scope: implicit/explicit VR little endian, single- and multi-frame,
-MONOCHROME1/2, rescale slope/intercept; compressed transfer syntaxes are
-detected and rejected with a clear error (the env has no JPEG codecs).
+MONOCHROME1/2, rescale slope/intercept.  Compressed transfer syntaxes are
+decoded natively: RLE Lossless and JPEG Lossless (SV1) via
+``io/dicom_codecs.py``, 8-bit baseline JPEG via PIL; remaining encodings
+(J2K, lossy 12-bit) are rejected with a clear error.
 """
 
 from __future__ import annotations

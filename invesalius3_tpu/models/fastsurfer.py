@@ -331,6 +331,16 @@ def load_torch_checkpoint(path) -> Dict:
     return convert_torch_state_dict({k: v.numpy() for k, v in obj.items()})
 
 
+def load_onnx_checkpoint(path) -> Dict:
+    """Load published FastSurfer ONNX weights (the format the reference
+    ships for parcellation, reference fastsurfer_subpart/inference.py:159
+    TinyGradInference + tinygrad_extra/onnx.py) via initializer extraction —
+    no ONNX runtime involved."""
+    from .onnx_convert import onnx_state_dict
+
+    return convert_torch_state_dict(onnx_state_dict(path))
+
+
 # ---------------------------------------------------------------------------
 # 2.5D pipeline: conform -> thick slices -> 3 views -> aggregate
 # ---------------------------------------------------------------------------

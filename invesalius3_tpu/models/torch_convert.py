@@ -38,8 +38,15 @@ def torch_state_dict(path) -> Dict[str, np.ndarray]:
 
     Accepts: an eager checkpoint (raw state_dict, or a dict with a
     ``model_state_dict``/``state_dict`` entry per the reference's training
-    scripts), a pickled ``nn.Module``, or a TorchScript archive.
+    scripts), a pickled ``nn.Module``, a TorchScript archive, or an ONNX
+    model (initializer extraction via models/onnx_convert.py — the format
+    the reference ships FastSurfer parcellation weights in, reference
+    segment.py:197-209 onnx.load + OnnxRunner).
     """
+    if str(path).lower().endswith(".onnx"):
+        from .onnx_convert import onnx_state_dict
+
+        return onnx_state_dict(path)
     import torch
 
     try:

@@ -157,3 +157,74 @@ def test_pipeline_merged_sagittal_runs():
     assert labels.max() < 79
     ids = pipe.run(vol, conform_size=16, return_freesurfer_ids=True)
     assert set(np.unique(ids)).issubset(set(fs.class_ids().tolist()))
+
+
+def test_onnx_checkpoint_ingestion(tmp_path):
+    """Round-trip: torch state_dict -> synthetic ONNX file (hand-rolled
+    protobuf writer) -> onnx reader -> name-based converter -> identical
+    outputs.  Mirrors the reference's ONNX weight distribution for
+    parcellation (reference segment.py:197-209, tinygrad_extra/onnx.py)."""
+    from invesalius3_tpu.models import onnx_convert as oc
+
+    torch.manual_seed(3)
+    num_classes, f = 5, 8
+    tm = TorchFastSurferCNN(num_classes, f=f).eval()
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.3)
+                m.running_var.uniform_(0.5, 1.5)
+    state = {k: v.numpy() for k, v in tm.state_dict().items()}
+
+    p = tmp_path / "sagittal.onnx"
+    oc.write_onnx(p, state)
+
+    # raw initializer extraction preserves names, shapes, values
+    back = oc.onnx_state_dict(p)
+    keys = {k for k in state if not k.endswith("num_batches_tracked")}
+    assert set(back) == keys
+    for k in keys:
+        np.testing.assert_array_equal(back[k], state[k])
+
+    variables = fs.load_onnx_checkpoint(p)
+    fm = fs.FastSurferCNN(num_classes=num_classes, filters=f,
+                          dtype=jnp.float32)
+    x = np.random.default_rng(5).normal(size=(1, 16, 16, 7)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    got = np.asarray(fm.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want,
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_onnx_reader_data_variants(tmp_path):
+    """Reader handles packed float_data/int64 fields and fp16, not just
+    raw_data (exporters differ in which they emit)."""
+    from invesalius3_tpu.models import onnx_convert as oc
+
+    # hand-encode a model whose tensors use float_data / int64_data paths
+    def field(num, wire, payload):
+        return oc._varint((num << 3) | wire) + (
+            oc._varint(len(payload)) + payload if wire == 2 else payload)
+
+    import struct as st
+    f32 = np.array([1.5, -2.25, 3.0], np.float32)
+    t1 = (field(1, 0, oc._varint(3)) + field(2, 0, oc._varint(1))
+          + field(8, 2, b"w.float_data")
+          + field(4, 2, st.pack("<3f", *f32)))
+    i64 = [7, -3]
+    enc = b"".join(oc._varint(v & ((1 << 64) - 1)) for v in i64)
+    t2 = (field(1, 0, oc._varint(2)) + field(2, 0, oc._varint(7))
+          + field(8, 2, b"w.int64") + field(7, 2, enc))
+    h16 = np.array([0.5, 2.0], np.float16)
+    t3 = (field(1, 0, oc._varint(2)) + field(2, 0, oc._varint(10))
+          + field(8, 2, b"w.fp16") + field(9, 2, h16.tobytes()))
+    graph = field(5, 2, t1) + field(5, 2, t2) + field(5, 2, t3)
+    model = field(1, 0, oc._varint(8)) + field(7, 2, graph)
+    p = tmp_path / "variants.onnx"
+    p.write_bytes(model)
+
+    out = oc.onnx_state_dict(p)
+    np.testing.assert_array_equal(out["w.float_data"], f32)
+    np.testing.assert_array_equal(out["w.int64"], np.array(i64, np.int64))
+    np.testing.assert_array_equal(out["w.fp16"], h16.astype(np.float32))

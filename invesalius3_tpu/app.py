@@ -43,6 +43,10 @@ def parse_command_line(argv=None) -> argparse.Namespace:
     p.add_argument("--import-file", dest="other_file", help="import NIfTI/Analyze/.inv3 file")
     p.add_argument("-t", "--threshold", help="'min,max' or a preset name (e.g. Bone)")
     p.add_argument("-e", "--export", dest="export_surface", help="export surface mesh file")
+    p.add_argument("--import-surface", dest="import_surface", metavar="FILE",
+                   help="import a mesh file (STL/PLY/OBJ/VTP/3MF/.bin) as a "
+                        "surface; small holes are capped (reference "
+                        "surface.py:619 OnImportSurfaceFile)")
     p.add_argument("-a", "--export-to-all", dest="export_all",
                    help="basename: export one surface per threshold preset")
     p.add_argument("-s", "--save", dest="save_project", help="save .inv3 project")
@@ -142,6 +146,25 @@ def main(argv=None) -> int:
     try:
         if args.cranioplasty:
             return run_cranioplasty(args.cranioplasty[0], args.cranioplasty[1])
+        if args.import_surface and not (args.dicom_dir or args.bitmap_dir
+                                        or args.other_file):
+            # standalone mesh flow: import (+hole-fill), report, re-export
+            from invesalius3_tpu.core.surface import import_surface_file
+
+            surf = import_surface_file(args.import_surface)
+            print(tr("imported {path}: {tris} triangles, volume={vol} mm^3, "
+                     "area={area} mm^2").format(
+                path=args.import_surface, tris=len(surf.faces),
+                vol=f"{surf.volume:.1f}", area=f"{surf.area:.1f}"),
+                file=sys.stderr)
+            if surf.filled_holes:
+                print(tr("filled {n} holes").format(n=surf.filled_holes),
+                      file=sys.stderr)
+            if args.export_surface:
+                surf.export(args.export_surface)
+                print(tr("exported {path}").format(path=args.export_surface),
+                      file=sys.stderr)
+            return 0
         volume = import_data(args)
         print(tr("volume: {shape} {dtype} spacing={spacing}").format(
             shape=volume.shape, dtype=volume.dtype, spacing=volume.spacing),
@@ -160,6 +183,17 @@ def main(argv=None) -> int:
             n = int(np.asarray(mask.visible_array()).sum())
             print(tr("threshold [{tmin}, {tmax}]: {n} voxels").format(
                 tmin=tmin, tmax=tmax, n=n), file=sys.stderr)
+
+        if args.import_surface:
+            from invesalius3_tpu.core.surface import import_surface_file
+
+            surf = import_surface_file(args.import_surface)
+            project.add_surface(surf)
+            print(tr("imported {path}: {tris} triangles, volume={vol} mm^3, "
+                     "area={area} mm^2").format(
+                path=args.import_surface, tris=len(surf.faces),
+                vol=f"{surf.volume:.1f}", area=f"{surf.area:.1f}"),
+                file=sys.stderr)
 
         if args.export_surface:
             if not slc.current_mask:

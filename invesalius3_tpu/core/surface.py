@@ -88,6 +88,37 @@ class Surface:
         return s
 
 
+def import_surface_file(path, fill_holes_size: float = 300.0,
+                        name: str = "") -> Surface:
+    """Read a mesh file into a Surface, capping small open boundaries.
+
+    Reference surface.py:619 ``OnImportSurfaceFile`` (STL/PLY/OBJ/VTP via
+    VTK readers) and :437 ``OnImportCustomBinFile`` (neuronavigation .bin);
+    imported scanner meshes are commonly non-watertight, so the same
+    fill-holes stage the creation pipeline runs (surface_process.py:397-415,
+    HoleSize=300) is applied here.  Pass ``fill_holes_size=0`` to skip.
+    """
+    from pathlib import Path
+
+    from invesalius3_tpu.io import mesh_io
+
+    p = Path(path)
+    if p.suffix.lower() == ".bin":
+        verts, faces = mesh_io.read_neuronav_bin(p)
+    else:
+        verts, faces = mesh_io.import_surface(p)
+    n_filled = 0
+    if fill_holes_size:
+        verts, faces, n_filled = mesh_ops.fill_holes(verts, faces,
+                                                     fill_holes_size)
+    s = Surface(vertices=np.asarray(verts, np.float32),
+                faces=np.asarray(faces, np.int32),
+                name=name or p.stem)
+    s.filled_holes = n_filled
+    s.compute_properties()
+    return s
+
+
 def create_surface_from_mask(
     mask: Mask,
     spacing: Tuple[float, float, float],

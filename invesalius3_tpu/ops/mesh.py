@@ -602,6 +602,95 @@ def ca_smoothing(
 
 
 # ---------------------------------------------------------------------------
+# Hole filling (vtkFillHolesFilter semantics, reference
+# surface_process.py:397-415 — HoleSize=300 cap on created surfaces and the
+# mesh-import flow surface.py:619)
+# ---------------------------------------------------------------------------
+
+
+def boundary_loops(faces: np.ndarray, n_vertices: int) -> list:
+    """Closed boundary loops (vertex index lists, walk order = the directed
+    boundary edges of the existing faces).
+
+    An undirected edge used by exactly one face is a boundary edge.  On a
+    consistently-wound manifold each boundary vertex has one outgoing
+    boundary edge, so loops chain by successor.  Open/non-manifold chains
+    are dropped (vtk does the same silently).
+    """
+    faces = np.asarray(faces, np.int64)
+    if len(faces) == 0:
+        return []
+    src = np.concatenate([faces[:, 0], faces[:, 1], faces[:, 2]])
+    dst = np.concatenate([faces[:, 1], faces[:, 2], faces[:, 0]])
+    key = np.minimum(src, dst) * n_vertices + np.maximum(src, dst)
+    uniq, inv, counts = np.unique(key, return_inverse=True, return_counts=True)
+    on_boundary = counts[inv] == 1
+    bsrc, bdst = src[on_boundary], dst[on_boundary]
+    succ: dict = {}
+    for a, b in zip(bsrc.tolist(), bdst.tolist()):
+        if a in succ:  # non-manifold pinch: keep first, drop rest
+            continue
+        succ[a] = b
+    loops = []
+    visited: set = set()
+    for start in succ:
+        if start in visited:
+            continue
+        loop = [start]
+        visited.add(start)
+        cur = succ[start]
+        ok = True
+        while cur != start:
+            if cur in visited or cur not in succ or len(loop) > len(succ):
+                ok = False
+                break
+            loop.append(cur)
+            visited.add(cur)
+            cur = succ[cur]
+        if ok and len(loop) >= 3:
+            loops.append(loop)
+    return loops
+
+
+def fill_holes(verts: np.ndarray, faces: np.ndarray,
+               hole_size: float = 300.0) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Cap boundary loops whose circumsphere radius <= ``hole_size``.
+
+    Triangulation: centroid fan (adds one vertex per hole) wound opposite
+    to the boundary edges so the cap pairs every boundary edge and the
+    mesh stays consistently oriented.  Returns (verts, faces, n_filled).
+    """
+    verts = np.asarray(verts, np.float32)
+    faces = np.asarray(faces, np.int32)
+    loops = boundary_loops(faces, len(verts))
+    new_verts = [verts]
+    new_faces = [faces]
+    n_total = len(verts)
+    n_filled = 0
+    for loop in loops:
+        pts = verts[loop]
+        radius = 0.5 * float(np.linalg.norm(pts.max(0) - pts.min(0)))
+        if radius > hole_size:
+            continue
+        if len(loop) == 3:
+            a, b, c = loop
+            cap = np.array([[c, b, a]], np.int32)
+        else:
+            centroid = pts.mean(0, dtype=np.float64).astype(np.float32)
+            ci = n_total
+            new_verts.append(centroid[None])
+            n_total += 1
+            nxt = np.roll(loop, -1)
+            cap = np.stack([nxt, np.asarray(loop), np.full(len(loop), ci)],
+                           axis=1).astype(np.int32)
+        new_faces.append(cap)
+        n_filled += 1
+    if n_filled == 0:
+        return verts, faces, 0
+    return (np.concatenate(new_verts), np.concatenate(new_faces), n_filled)
+
+
+# ---------------------------------------------------------------------------
 # Connectivity filtering on meshes (vtkPolyDataConnectivityFilter semantics)
 # ---------------------------------------------------------------------------
 

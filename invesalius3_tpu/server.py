@@ -32,6 +32,7 @@ surface the viewers consumed:
   POST /api/measures {"kind",...}          add linear/angular measurement
   POST /api/measures/remove {"index"}
   POST /api/surface {"algorithm",...}      create surface from the mask
+  POST /api/surface/import {"path",...}    import a mesh file (+hole fill)
   GET  /api/surface/{index}.stl            download a surface
   GET  /api/events                         recent bus events (polling)
 
@@ -323,6 +324,19 @@ def make_handler(state: AppState):
                     mask = slc.current_mask or slc.create_new_mask(apply_threshold=False)
                     mask.apply(jnp.where(labels == keep, jnp.uint8(253), jnp.uint8(0)))
                     self._json({"voxels": int(np.asarray(labels == keep).sum())})
+                elif self.path == "/api/surface/import":
+                    from invesalius3_tpu.core.surface import import_surface_file
+
+                    surf = import_surface_file(
+                        body["path"],
+                        fill_holes_size=float(body.get("fill_holes_size", 300.0)))
+                    state.surfaces[surf.index] = surf
+                    state.record_event("surface.imported", {"index": surf.index})
+                    self._json({
+                        "index": surf.index, "triangles": int(len(surf.faces)),
+                        "filled_holes": surf.filled_holes,
+                        "volume_mm3": surf.volume, "area_mm2": surf.area,
+                    })
                 elif self.path == "/api/surface":
                     surf = slc.create_surface_from_mask(
                         algorithm=body.get("algorithm", "Default"),

@@ -2,6 +2,7 @@
 and mesh I/O round-trips — semantics of the reference surface pipeline
 (surface_process.py create_surface_piece/join_process_surface)."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -308,3 +309,81 @@ def test_write_stl_from_device_matches_host_path(tmp_path):
     assert len(f1) == len(f2) == dm.n_tris
     np.testing.assert_array_equal(np.sort(v1.round(3), axis=0),
                                   np.sort(v2.round(3), axis=0))
+
+
+# ---------------------------------------------------------------------------
+# Hole filling + mesh import flow (reference surface_process.py:397-415
+# vtkFillHolesFilter(HoleSize=300); surface.py:619 OnImportSurfaceFile)
+# ---------------------------------------------------------------------------
+
+
+def _punch_hole(verts, faces, n_remove=1):
+    """Remove the n_remove faces nearest +z apex to open a boundary loop."""
+    tri_z = verts[faces].mean(axis=1)[:, 2]
+    drop = np.argsort(tri_z)[-n_remove:]
+    keep = np.ones(len(faces), bool)
+    keep[drop] = False
+    return faces[keep]
+
+
+def test_fill_holes_restores_watertight():
+    from invesalius3_tpu.ops import mesh as mesh_ops
+
+    mask = _sphere_mask(32, 12.0)
+    verts, faces = marching.mask_to_surface(mask)
+    verts, faces = np.asarray(verts), np.asarray(faces)
+    full_vol = float(np.asarray(mesh_ops.mass_properties(
+        jnp.asarray(verts), jnp.asarray(faces))[0]))
+
+    holed = _punch_hole(verts, faces, n_remove=6)
+    assert len(mesh_ops.boundary_loops(holed, len(verts))) >= 1
+
+    v2, f2, n_filled = mesh_ops.fill_holes(verts, holed)
+    assert n_filled >= 1
+    assert mesh_ops.boundary_loops(f2, len(v2)) == []
+    # every edge used exactly twice -> watertight, consistent winding
+    cnt = _edge_face_counts(f2)
+    assert set(cnt.values()) == {2}
+    vol = float(np.asarray(mesh_ops.mass_properties(
+        jnp.asarray(v2), jnp.asarray(f2))[0]))
+    assert abs(vol - full_vol) / full_vol < 0.01
+
+
+def test_fill_holes_respects_size_cap():
+    from invesalius3_tpu.ops import mesh as mesh_ops
+
+    verts, faces = marching.mask_to_surface(_sphere_mask(32, 12.0))
+    verts, faces = np.asarray(verts), np.asarray(faces)
+    holed = _punch_hole(verts, faces, n_remove=4)
+    v2, f2, n_filled = mesh_ops.fill_holes(verts, holed, hole_size=1e-3)
+    assert n_filled == 0 and len(f2) == len(holed)
+
+
+def test_import_surface_file_fills_and_measures(tmp_path):
+    from invesalius3_tpu.core.surface import import_surface_file
+    from invesalius3_tpu.ops import mesh as mesh_ops
+
+    verts, faces = marching.mask_to_surface(_sphere_mask(32, 12.0))
+    verts, faces = np.asarray(verts), np.asarray(faces)
+    holed = _punch_hole(verts, faces, n_remove=6)
+    p = tmp_path / "holed.stl"
+    mesh_io.write_stl(p, verts, holed)
+
+    surf = import_surface_file(p)
+    assert surf.name == "holed"
+    assert surf.filled_holes >= 1
+    assert surf.volume > 0 and surf.area > 0
+    assert mesh_ops.boundary_loops(surf.faces, len(surf.vertices)) == []
+
+
+def test_cli_standalone_surface_import(tmp_path, capsys):
+    from invesalius3_tpu import app
+
+    verts, faces = marching.mask_to_surface(_cube_mask())
+    p = tmp_path / "cube.stl"
+    mesh_io.write_stl(p, np.asarray(verts), np.asarray(faces))
+    out = tmp_path / "cube.ply"
+    rc = app.main(["--import-surface", str(p), "-e", str(out)])
+    assert rc == 0 and out.exists()
+    v2, f2 = mesh_io.read_ply(out)
+    assert len(f2) == len(np.asarray(faces))

@@ -151,8 +151,22 @@ class Measurement:
     def to_dict(self) -> dict:
         return dataclasses.asdict(self)
 
+    # reference constants.py int codes (measurements written by the
+    # reference serialize type/location as ints; constants.py:98-112)
+    _REF_TYPES = {6: LINEAR, 7: ANGULAR, 8: DENSITY_ELLIPSE, 9: DENSITY_POLYGON}
+    _REF_LOCATIONS = {1: "AXIAL", 2: "CORONAL", 3: "SAGITAL", 5: "SURFACE"}
+
     @classmethod
     def from_dict(cls, d: dict) -> "Measurement":
+        d = dict(d)
+        if isinstance(d.get("type"), int):
+            d["type"] = cls._REF_TYPES.get(d["type"], LINEAR)
+        if isinstance(d.get("location"), int):
+            d["location"] = cls._REF_LOCATIONS.get(d["location"], "AXIAL")
+        if "points" in d:
+            d["points"] = [list(p) for p in d["points"]]
+        if "colour" in d:
+            d["colour"] = tuple(d["colour"])[:3]
         known = {f.name for f in dataclasses.fields(cls)}
         return cls(**{k: v for k, v in d.items() if k in known})
 

@@ -235,9 +235,10 @@ class Project:
             from invesalius3_tpu.io import mesh_io
             import tempfile, os
 
+            vtp_member = info.get("polydata") or info["surface_file"]
             fd, tmp = tempfile.mkstemp(suffix=".vtp")
             os.close(fd)
-            Path(tmp).write_bytes(members[info["surface_file"]])
+            Path(tmp).write_bytes(members[Path(vtp_member).name])
             verts, faces = mesh_io.read_vtp(tmp)
             os.remove(tmp)
             proj.surface_dict[info["index"]] = Surface.load_plist(

@@ -63,16 +63,19 @@ class Surface:
         mesh_io.export_surface(path, self.vertices, self.faces, **kw)
 
     def save_plist(self, vtp_name: str) -> bytes:
+        # exact reference key set (surface.py:136-146 SavePlist) so archives
+        # open in the reference: "polydata" names the .vtp member
         return plistlib.dumps(
             {
+                "colour": list(self.colour),
                 "index": self.index,
                 "name": self.name,
-                "colour": list(self.colour),
+                "polydata": vtp_name,
                 "transparency": self.transparency,
                 "visible": self.is_shown,
                 "volume": self.volume,
                 "area": self.area,
-                "surface_file": vtp_name,
+                "category": self.category,
             }
         )
 
@@ -85,6 +88,7 @@ class Surface:
         s.is_shown = info.get("visible", True)
         s.volume = info.get("volume", 0.0)
         s.area = info.get("area", 0.0)
+        s.category = info.get("category", "General")
         return s
 
 

@@ -248,17 +248,126 @@ def write_vtp(path, verts: np.ndarray, faces: np.ndarray) -> None:
         )
 
 
+_VTK_XML_DTYPES = {
+    "Float32": np.float32, "Float64": np.float64,
+    "Int8": np.int8, "UInt8": np.uint8, "Int16": np.int16,
+    "UInt16": np.uint16, "Int32": np.int32, "UInt32": np.uint32,
+    "Int64": np.int64, "UInt64": np.uint64,
+}
+
+
+def _vtk_b64_read(b64: str, header_dtype, compressed: bool) -> bytes:
+    """Decode one VTK XML base64 payload (inline ``format="binary"`` or one
+    appended-data slice).
+
+    Uncompressed: base64(header || data) in a single stream, header = one
+    integer byte count.  Compressed (vtkZLibDataCompressor): the header
+    ``[n_blocks, block_size, last_block_size, z_size_0..]`` is base64-encoded
+    SEPARATELY from the concatenated zlib blocks — the two streams are
+    simply concatenated, so the header must be decoded in two passes (the
+    block count is only known after reading the first integer).
+    """
+    import base64
+    import zlib
+
+    hsize = np.dtype(header_dtype).itemsize
+    if not compressed:
+        raw = base64.b64decode(b64 + "===")
+        n = int(np.frombuffer(raw[:hsize], header_dtype)[0])
+        return raw[hsize:hsize + n]
+    # pass 1: first integer = number of blocks (a full-quantum slice of
+    # ceil(hsize/3)*4 chars decodes to >= hsize bytes)
+    first = base64.b64decode(b64[: -(-hsize // 3) * 4])
+    n_blocks = int(np.frombuffer(first[:hsize], header_dtype)[0])
+    header_len = (3 + n_blocks) * hsize
+    b64_header_chars = -(-header_len // 3) * 4  # ceil to base64 quantum
+    header = np.frombuffer(
+        base64.b64decode(b64[:b64_header_chars] + "==="), header_dtype)
+    data = base64.b64decode(b64[b64_header_chars:] + "===")
+    out = []
+    pos = 0
+    for zsize in header[3:3 + n_blocks]:
+        out.append(zlib.decompress(data[pos:pos + int(zsize)]))
+        pos += int(zsize)
+    return b"".join(out)
+
+
+def _vtk_raw_appended(buf: bytes, offset: int, header_dtype,
+                      compressed: bool) -> bytes:
+    import zlib
+
+    hsize = np.dtype(header_dtype).itemsize
+    if not compressed:
+        n = int(np.frombuffer(buf[offset:offset + hsize], header_dtype)[0])
+        return buf[offset + hsize:offset + hsize + n]
+    head = np.frombuffer(buf[offset:offset + 3 * hsize], header_dtype)
+    n_blocks = int(head[0])
+    header = np.frombuffer(buf[offset:offset + (3 + n_blocks) * hsize],
+                           header_dtype)
+    pos = offset + (3 + n_blocks) * hsize
+    out = []
+    for zsize in header[3:3 + n_blocks]:
+        out.append(zlib.decompress(buf[pos:pos + int(zsize)]))
+        pos += int(zsize)
+    return b"".join(out)
+
+
 def read_vtp(path) -> Tuple[np.ndarray, np.ndarray]:
+    """Read VTK XML PolyData in any mode the reference's
+    ``vtkXMLPolyDataWriter`` emits (reference polydata_utils.py:159 Export —
+    ascii or binary, surface .vtp inside .inv3 archives is binary): inline
+    ascii, inline base64 ``format="binary"``, and ``format="appended"``
+    (base64 or raw encoding), with optional vtkZLibDataCompressor blocks
+    and UInt32/UInt64 headers."""
+    import re
     import xml.etree.ElementTree as ET
 
-    tree = ET.parse(path)
-    piece = tree.getroot().find(".//Piece")
-    pts_da = piece.find("./Points/DataArray")
-    verts = np.fromstring(pts_da.text, sep=" ", dtype=np.float32).reshape(-1, 3)
+    data = Path(path).read_bytes()
+    # the <AppendedData encoding="raw"> body is not valid XML — split it off
+    appended_raw = None
+    m = re.search(br'<AppendedData\s+encoding="raw"\s*>', data)
+    if m:
+        body_start = data.index(b"_", m.end()) + 1
+        end = data.rindex(b"</AppendedData>")
+        appended_raw = data[body_start:end]
+        data = data[:m.start()] + b"</VTKFile>"
+    root = ET.fromstring(data.decode("utf-8", errors="replace"))
+    header_dtype = _VTK_XML_DTYPES[root.get("header_type", "UInt32")]
+    compressed = root.get("compressor", "") == "vtkZLibDataCompressor"
+    appended_b64 = None
+    app = root.find("AppendedData")
+    if app is not None and app.get("encoding", "base64") == "base64":
+        appended_b64 = "".join(app.itertext()).strip().lstrip("_")
+
+    def decode_array(da) -> np.ndarray:
+        dtype = _VTK_XML_DTYPES[da.get("type")]
+        fmt = da.get("format", "ascii")
+        if fmt == "ascii":
+            return np.fromstring("".join(da.itertext()), sep=" ", dtype=dtype)
+        if fmt == "binary":
+            raw = _vtk_b64_read("".join(da.itertext()).strip(),
+                                header_dtype, compressed)
+        elif fmt == "appended":
+            off = int(da.get("offset", 0))
+            if appended_raw is not None:
+                raw = _vtk_raw_appended(appended_raw, off, header_dtype,
+                                        compressed)
+            elif appended_b64 is not None:
+                raw = _vtk_b64_read(appended_b64[off:], header_dtype,
+                                    compressed)
+            else:
+                raise ValueError("appended DataArray without AppendedData")
+        else:
+            raise ValueError(f"unknown DataArray format {fmt!r}")
+        return np.frombuffer(raw, dtype)
+
+    piece = root.find(".//Piece")
+    verts = decode_array(piece.find("./Points/DataArray")).astype(
+        np.float32).reshape(-1, 3)
     conn = None
     for da in piece.find("./Polys"):
         if da.get("Name") == "connectivity":
-            conn = np.fromstring(da.text, sep=" ", dtype=np.int64)
+            conn = decode_array(da)
     return verts, conn.reshape(-1, 3).astype(np.int32)
 
 

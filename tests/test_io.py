@@ -482,3 +482,94 @@ def test_dicom_jpeg_baseline_roundtrip(tmp_path):
     arr = f.pixel_array()
     assert arr.dtype == np.uint8 and arr.shape == (32, 32)
     assert np.abs(arr.astype(np.int16) - px.astype(np.int16)).mean() < 3.0
+
+
+# ---------------------------------------------------------------------------
+# Cross-implementation .inv3 fixtures (reference project.py:219-345 layout:
+# subdir'd tar members, reference plist key sets, bordered mask .dat,
+# binary-mode VTK XML surfaces)
+# ---------------------------------------------------------------------------
+
+
+def _fixture(name):
+    import pathlib
+
+    return pathlib.Path(__file__).parent / "fixtures" / name
+
+
+def test_reference_inv3_opens():
+    from invesalius3_tpu.core.project import Project
+    from tests.fixtures.gen_fixtures import cube_mesh, synth_volume
+
+    proj = Project.open(_fixture("reference_layout.inv3"))
+    ct = synth_volume(16)
+    assert proj.name == "FIXTURE SPHERE"
+    assert proj.modality == "CT"
+    np.testing.assert_array_equal(np.asarray(proj.volume.data), ct)
+    assert tuple(proj.spacing) == (0.5, 0.5, 1.0)
+
+    m = proj.mask_dict[0]
+    bone = ((ct >= 226) & (ct <= 3071)).astype(np.uint8) * 255
+    np.testing.assert_array_equal(np.asarray(m.data), bone)
+    assert tuple(m.threshold_range) == (226, 3071)
+
+    cv, cf = cube_mesh()
+    s0 = proj.surface_dict[0]  # zlib-compressed inline-binary vtp
+    np.testing.assert_allclose(s0.vertices, cv, atol=0)
+    np.testing.assert_array_equal(np.asarray(s0.faces), cf)
+    s1 = proj.surface_dict[1]  # appended-raw uint64-header vtp
+    np.testing.assert_allclose(s1.vertices, cv + 8.0, atol=0)
+    np.testing.assert_array_equal(np.asarray(s1.faces), cf)
+
+    # int-coded measurement types/locations (reference constants.py:98-112)
+    from invesalius3_tpu.core.measures import Measurement
+
+    m0 = Measurement.from_dict(proj.measurement_dict[0])
+    assert m0.type == "linear" and m0.location == "AXIAL" and m0.value == 5.0
+    m1 = Measurement.from_dict(proj.measurement_dict[1])
+    assert m1.type == "angular" and m1.location == "CORONAL"
+    assert len(m1.points) == 3
+
+
+def test_repo_inv3_fixture_matches_reference_layout():
+    """Both fixtures describe the same scene; opening them must yield
+    identical voxels/meshes, and the repo-written archive must use the
+    reference's member naming + plist key sets so the reference can open
+    it back."""
+    import plistlib
+    import tarfile
+
+    from invesalius3_tpu.core.project import Project
+
+    pa = Project.open(_fixture("reference_layout.inv3"))
+    pb = Project.open(_fixture("repo_written.inv3"))
+    np.testing.assert_array_equal(np.asarray(pa.volume.data),
+                                  np.asarray(pb.volume.data))
+    np.testing.assert_array_equal(np.asarray(pa.mask_dict[0].data),
+                                  np.asarray(pb.mask_dict[0].data))
+    np.testing.assert_allclose(pa.surface_dict[0].vertices,
+                               pb.surface_dict[0].vertices)
+    np.testing.assert_array_equal(pa.surface_dict[0].faces,
+                                  pb.surface_dict[0].faces)
+
+    with tarfile.open(_fixture("repo_written.inv3")) as tar:
+        members = {m.name.split("/")[-1]: tar.extractfile(m).read()
+                   for m in tar.getmembers() if m.isfile()}
+    main = plistlib.loads(members["main.plist"])
+    # keys the reference's load_from_folder reads unconditionally
+    for key in ("format_version", "name", "modality", "orientation",
+                "window_width", "window_level", "scalar_range", "spacing",
+                "matrix", "masks", "surfaces", "measurements"):
+        assert key in main, key
+    mask_info = plistlib.loads(members[main["masks"]["0"]])
+    for key in ("index", "name", "colour", "opacity", "threshold_range",
+                "edition_threshold_range", "visible", "mask_file",
+                "mask_shape"):
+        assert key in mask_info, key
+    # bordered layout: dat size matches (shape+1)^3
+    assert len(members[mask_info["mask_file"]]) == int(
+        np.prod(mask_info["mask_shape"]))
+    surf_info = plistlib.loads(members[main["surfaces"]["0"]])
+    for key in ("index", "name", "colour", "polydata", "transparency",
+                "visible", "volume", "area"):
+        assert key in surf_info, key

@@ -22,6 +22,7 @@ ANGULAR = "angular"
 DENSITY_ELLIPSE = "density_ellipse"
 DENSITY_POLYGON = "density_polygon"
 GEODESIC = "geodesic"
+ANNOTATION = "annotation"
 
 
 def calculate_distance(p1, p2) -> float:
@@ -152,8 +153,9 @@ class Measurement:
         return dataclasses.asdict(self)
 
     # reference constants.py int codes (measurements written by the
-    # reference serialize type/location as ints; constants.py:98-112)
-    _REF_TYPES = {6: LINEAR, 7: ANGULAR, 8: DENSITY_ELLIPSE, 9: DENSITY_POLYGON}
+    # reference serialize type/location as ints; constants.py:98-113)
+    _REF_TYPES = {6: LINEAR, 7: ANGULAR, 8: DENSITY_ELLIPSE, 9: DENSITY_POLYGON,
+                  10: ANNOTATION}
     _REF_LOCATIONS = {1: "AXIAL", 2: "CORONAL", 3: "SAGITAL", 5: "SURFACE"}
 
     @classmethod
@@ -200,6 +202,19 @@ class MeasurementManager:
             value=angle_from_3_points(p0, p1, p2), unit="deg",
             location=location, slice_number=slice_number,
             name=f"M {self._next + 1}"))
+
+    def add_annotation(self, point, text: str, lead_point=None,
+                       location="AXIAL", slice_number=0) -> Measurement:
+        """Text note anchored at a point with an optional leader-line end
+        (reference measures.py:1320 AnnotationMeasure: marker point +
+        text beside it; ``value`` holds the text)."""
+        points = [list(point)]
+        if lead_point is not None:
+            points.append(list(lead_point))
+        return self._add(Measurement(
+            type=ANNOTATION, points=points, value=text, unit="",
+            location=location, slice_number=slice_number,
+            name=f"A {self._next + 1}"))
 
     def add_density_ellipse(self, image2d, center_yx, ry, rx, **kw) -> Measurement:
         stats = density_ellipse(image2d, center_yx, ry, rx)

@@ -112,10 +112,18 @@ class Slice:
                            ww: Optional[float] = None,
                            wl: Optional[float] = None,
                            projection: Optional[int] = None,
-                           slabs: Optional[int] = None, **kw) -> np.ndarray:
+                           slabs: Optional[int] = None,
+                           measures=None,
+                           crop_box=None,
+                           cross=None, **kw) -> np.ndarray:
         """WW/WL-mapped RGB of a slice + mask overlay — the 2D viewer's
         per-frame path (reference do_ww_wl + do_blend).  The optional
-        overrides are request-local: they never mutate the shared state."""
+        overrides are request-local: they never mutate the shared state.
+
+        ``measures`` (MeasurementManager or iterable of Measurement),
+        ``crop_box`` (geometry.Box) and ``cross`` ((x, y) pixel) composite
+        the canvas-layer overlays the reference draws on every slice
+        (reference gui/widgets/canvas_renderer.py:77, data/measures.py:877)."""
         ww = self.window_width if ww is None else ww
         wl = self.window_level if wl is None else wl
         img = self.get_image_slice(
@@ -130,6 +138,21 @@ class Slice:
             rgb = rgb.astype(np.float32)
             rgb[vis] = rgb[vis] * (1 - op) + colour * op
             rgb = rgb.astype(np.uint8)
+        if measures is not None or crop_box is not None or cross is not None:
+            from invesalius3_tpu.core import canvas
+
+            if not rgb.flags.writeable:  # np view of a jax buffer
+                rgb = rgb.copy()
+            if crop_box is not None:
+                canvas.draw_crop_box(rgb, crop_box, orientation, slice_number)
+            if measures is not None:
+                items = getattr(measures, "measures", None)
+                items = items.values() if items is not None else measures
+                for m in items:
+                    canvas.draw_measure(rgb, m, orientation, slice_number,
+                                        self.spacing)
+            if cross is not None:
+                canvas.draw_cross(rgb, cross)
         return rgb
 
     def get_mask_slice(self, orientation: str, slice_number: int) -> np.ndarray:

@@ -10,6 +10,9 @@ surface the viewers consumed:
   GET  /                                   built-in web viewer page
   GET  /api/status                         volume/mask/surface inventory
   GET  /api/slice/{orientation}/{index}    rendered RGB slice (PNG) with
+                                           measure/crop/cross overlays
+                                           (?overlays=0 disables; ?cx=&cy=
+                                           draws the crosshair) and
         ?ww=&wl=&projection=&slabs=        mask overlay (query params are
                                            request-local: GETs never mutate)
   GET  /api/render?azimuth=&elevation=     raycast volume render (PNG)
@@ -64,6 +67,7 @@ class AppState:
 
         self.slice = slc
         self.surfaces = {}
+        self.crop_box = None  # last /api/crop box, drawn as slice overlay
         self.recent_events = []
         self.measures = MeasurementManager(bus=slc.bus)
         self.lock = threading.Lock()  # serializes state-changing POSTs
@@ -152,12 +156,20 @@ def make_handler(state: AppState):
                 elif len(parts) == 4 and parts[:2] == ["api", "slice"]:
                     orientation = parts[2].upper()
                     index = int(parts[3])
+                    cross = None
+                    if "cx" in q and "cy" in q:
+                        cross = (float(q["cx"]), float(q["cy"]))
                     rgb = slc.get_rendered_slice(
                         orientation, index,
                         ww=float(q["ww"]) if "ww" in q else None,
                         wl=float(q["wl"]) if "wl" in q else None,
                         projection=int(q["projection"]) if "projection" in q else None,
                         slabs=int(q["slabs"]) if "slabs" in q else None,
+                        measures=(None if q.get("overlays") == "0"
+                                  else state.measures),
+                        crop_box=(state.crop_box
+                                  if q.get("overlays") != "0" else None),
+                        cross=cross,
                     )
                     self._png(rgb)
                 elif url.path == "/api/measures":
@@ -254,7 +266,9 @@ def make_handler(state: AppState):
                     box = slc.create_crop_box()
                     box.set_limits(*body["limits"])
                     box.clamp()
-                    slc.apply_crop(box)
+                    state.crop_box = box
+                    if body.get("apply", True):
+                        slc.apply_crop(box)
                     self._json({"limits": list(box.limits)})
                 elif self.path == "/api/filter":
                     label = slc.apply_image_filter(
@@ -275,6 +289,12 @@ def make_handler(state: AppState):
                     elif kind == "angular":
                         m = state.measures.add_angular(
                             body["p0"], body["p1"], body["p2"],
+                            location=body.get("location", "AXIAL"),
+                            slice_number=int(body.get("slice_number", 0)))
+                    elif kind == "annotation":
+                        m = state.measures.add_annotation(
+                            body["point"], body.get("text", ""),
+                            lead_point=body.get("lead_point"),
                             location=body.get("location", "AXIAL"),
                             slice_number=int(body.get("slice_number", 0)))
                     elif kind == "density_ellipse":

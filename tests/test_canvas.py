@@ -1,0 +1,138 @@
+"""Slice-overlay compositing (core/canvas.py) — the canvas-renderer
+equivalent (reference gui/widgets/canvas_renderer.py:77, measures'
+draw_to_canvas measures.py:877/1533/1320/1818)."""
+
+import numpy as np
+import pytest
+
+from invesalius3_tpu.core import canvas
+from invesalius3_tpu.core.measures import MeasurementManager, Measurement
+
+
+def blank(h=64, w=64):
+    return np.zeros((h, w, 3), np.uint8)
+
+
+def test_draw_line_endpoints_and_clip():
+    img = blank()
+    canvas.draw_line(img, (5, 10), (40, 10), (255, 0, 0))
+    assert tuple(img[10, 5]) == (255, 0, 0)
+    assert tuple(img[10, 40]) == (255, 0, 0)
+    assert tuple(img[10, 41]) == (0, 0, 0)
+    # off-image coordinates must clip, not wrap/raise
+    canvas.draw_line(img, (-20, -5), (100, 90), (0, 255, 0))
+
+
+def test_draw_rect_and_dashed():
+    img = blank()
+    canvas.draw_rect(img, (8, 8), (30, 20), (255, 255, 0))
+    assert tuple(img[8, 15]) == (255, 255, 0)
+    assert tuple(img[20, 30]) == (255, 255, 0)
+    img2 = blank()
+    canvas.draw_rect(img2, (8, 8), (30, 20), (255, 255, 0), dashed=True)
+    edge = img2[8, 8:31]
+    assert edge.any() and not edge.all(axis=1).all()  # gaps exist
+
+
+def test_text_mask_and_draw_text():
+    m = canvas.text_mask("12.3 MM")
+    assert m.shape[0] == 7 and m.any()
+    img = blank()
+    canvas.draw_text(img, (4, 4), "12", (255, 255, 255), background=None)
+    assert (img[4:11, 4:15] == 255).any()
+
+
+def test_linear_measure_draws_on_its_slice_only():
+    img = blank()
+    m = Measurement(type="linear", location="AXIAL", slice_number=5,
+                    points=[[10.0, 12.0, 5.0], [30.0, 12.0, 5.0]],
+                    value=20.0, colour=(1.0, 0.0, 0.0))
+    drawn = canvas.draw_measure(img, m, "AXIAL", 5, (1.0, 1.0, 1.0))
+    assert drawn
+    assert tuple(img[12, 20]) == (255, 0, 0)  # line midpoint
+    img2 = blank()
+    assert not canvas.draw_measure(img2, m, "AXIAL", 9, (1.0, 1.0, 1.0))
+    assert not img2.any()
+    img3 = blank()
+    assert not canvas.draw_measure(img3, m, "CORONAL", 5, (1.0, 1.0, 1.0))
+
+
+def test_spacing_scales_world_to_pixel():
+    # world x=20mm with sx=2.0 -> col 10
+    assert canvas.world_to_pixel((20.0, 6.0, 0.0), "AXIAL", (2.0, 3.0, 1.0)) \
+        == (10.0, 2.0)
+    assert canvas.measure_slice_index((20.0, 6.0, 8.0), "AXIAL",
+                                      (2.0, 3.0, 2.0)) == 4
+
+
+def test_angular_and_annotation_render():
+    img = blank()
+    m = Measurement(type="angular", location="AXIAL", slice_number=0,
+                    points=[[10, 30, 0], [10, 10, 0], [30, 10, 0]],
+                    value=90.0, colour=(0.0, 1.0, 0.0))
+    assert canvas.draw_measure(img, m, "AXIAL", 0, (1, 1, 1))
+    assert tuple(img[20, 10]) == (0, 255, 0)  # first ray
+    assert tuple(img[10, 20]) == (0, 255, 0)  # second ray
+
+    img = blank()
+    a = Measurement(type="annotation", location="AXIAL", slice_number=0,
+                    points=[[12, 40, 0], [30, 22, 0]], value="LESION",
+                    colour=(1.0, 1.0, 0.0))
+    assert canvas.draw_measure(img, a, "AXIAL", 0, (1, 1, 1))
+    assert img.any()
+
+
+def test_density_ellipse_outline():
+    img = blank()
+    m = Measurement(type="density_ellipse", location="AXIAL", slice_number=0,
+                    points=[[32, 32, 0]], value=120.0, colour=(0.0, 0.0, 1.0),
+                    extra={"rx": 10.0, "ry": 6.0, "mean": 120.0})
+    assert canvas.draw_measure(img, m, "AXIAL", 0, (1, 1, 1))
+    assert tuple(img[32, 42]) == (0, 0, 255)  # +rx extreme
+    assert tuple(img[38, 32]) == (0, 0, 255)  # +ry extreme
+
+
+def test_crop_box_draws_only_inside_range():
+    class Box:
+        limits = (2, 8, 5, 20, 6, 30)
+
+    img = blank()
+    assert canvas.draw_crop_box(img, Box(), "AXIAL", 4)
+    assert img[5, 6:31].any()  # top edge (dashed — some pixels set)
+    img2 = blank()
+    assert not canvas.draw_crop_box(img2, Box(), "AXIAL", 12)
+    img3 = blank()
+    assert canvas.draw_crop_box(img3, Box(), "CORONAL", 10)
+
+
+def test_manager_annotation_reference_code_roundtrip():
+    mgr = MeasurementManager()
+    a = mgr.add_annotation((5.0, 6.0, 7.0), "CHECK HERE", slice_number=7)
+    assert a.type == "annotation" and a.value == "CHECK HERE"
+    # reference int code 10 (constants.py:113) maps back to annotation
+    m = Measurement.from_dict({"index": 0, "type": 10, "location": 1,
+                               "points": [(1, 2, 3)], "value": "note"})
+    assert m.type == "annotation" and m.location == "AXIAL"
+
+
+def test_rendered_slice_with_overlays():
+    from invesalius3_tpu.core.slice import Slice
+    from invesalius3_tpu.core.volume import Volume
+
+    ct = np.zeros((8, 64, 64), np.int16)
+    slc = Slice(Volume.from_numpy(ct, spacing=(1.0, 1.0, 1.0)))
+    mgr = MeasurementManager(bus=slc.bus)
+    mgr.add_linear((10.0, 31.0, 3.0), (50.0, 31.0, 3.0), slice_number=3)
+    base = slc.get_rendered_slice("AXIAL", 3)
+    with_m = slc.get_rendered_slice("AXIAL", 3, measures=mgr)
+    assert not np.array_equal(base, with_m)
+    assert np.array_equal(base, slc.get_rendered_slice("AXIAL", 2,
+                                                       measures=mgr))
+
+    class Box:
+        limits = (0, 7, 10, 50, 10, 50)
+
+    with_crop = slc.get_rendered_slice("AXIAL", 3, crop_box=Box())
+    assert not np.array_equal(base, with_crop)
+    with_cross = slc.get_rendered_slice("AXIAL", 3, cross=(32, 32))
+    assert not np.array_equal(base, with_cross)

@@ -21,6 +21,14 @@ import time
 
 import numpy as np
 
+# persistent compile cache: the tunneled remote compiler takes 10-60 s per
+# 512^3 program, so cold runs dominate wall clock without it (no-op if the
+# backend can't serialize executables)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_tpu_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -71,7 +79,15 @@ def main() -> None:
         import dataclasses
 
         # 1. watershed segmentation on the morphological gradient
-        labels = watershed.watershed(ct, markers_j, algorithm="Watershed")
+        if sharded:
+            from invesalius3_tpu.parallel import sharded_ops
+
+            ws_run = getattr(pipeline, "_ws_run", None)
+            if ws_run is None:
+                ws_run = pipeline._ws_run = sharded_ops.sharded_watershed(zmesh)
+            labels = ws_run(ct, markers_j, algorithm="Watershed")
+        else:
+            labels = watershed.watershed(ct, markers_j, algorithm="Watershed")
         # 2. basin -> binary mask (uint8 0/255)
         mask = jnp.where(labels == 1, jnp.uint8(255), jnp.uint8(0))
         jax.block_until_ready(mask)

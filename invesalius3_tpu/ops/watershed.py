@@ -77,10 +77,9 @@ def _sweep_axis(rank, lab, f, axis: int, reverse: bool):
         nl = jnp.where(take, pl, li)
         return (nr, nl), (nr, nl)
 
-    init = (
-        jnp.full(r.shape[1:], _INF_RANK, r.dtype),
-        jnp.zeros(l.shape[1:], l.dtype),
-    )
+    # derive inits from the inputs (full_like keeps shard_map's varying-axis
+    # type; fresh jnp.full constants are unvarying and fail scan typing)
+    init = (jnp.full_like(r[0], _INF_RANK), jnp.zeros_like(l[0]))
     _, (nr, nl) = jax.lax.scan(step, init, (r, l, v), reverse=reverse)
     return jnp.moveaxis(nr, 0, axis), jnp.moveaxis(nl, 0, axis)
 
@@ -241,6 +240,34 @@ def _one_round(rank, lab, f, lab0, frozen, connectivity: int):
     return rank, lab
 
 
+def _one_round_padded(rank_p, lab_p, f_p, connectivity: int):
+    """One relaxation round on ghost-padded local arrays (first/last Z
+    plane = neighbor shard's boundary, exchanged by the sharded driver in
+    parallel/sharded_ops.py).  Ghost planes participate as scan carries /
+    relax parents only; the caller slices them off, so their own updated
+    values are never observed."""
+    rank, lab = rank_p, lab_p
+    if _use_pallas_sweep():
+        from invesalius3_tpu.ops import pallas_kernels as pk
+
+        rank, lab = pk.watershed_sweep_z(rank, lab, f_p)
+        rank, lab = pk.watershed_sweep_y(rank, lab, f_p)
+        rt, lt = pk.watershed_sweep_y(
+            jnp.swapaxes(rank, 1, 2), jnp.swapaxes(lab, 1, 2),
+            jnp.swapaxes(f_p, 1, 2))
+        rank, lab = jnp.swapaxes(rt, 1, 2), jnp.swapaxes(lt, 1, 2)
+        axes = ()
+    else:
+        axes = (0, 1, 2)
+    for axis in axes:
+        for reverse in (False, True):
+            nr, nl = _sweep_axis(rank, lab, f_p, axis, reverse)
+            take = nr < rank
+            rank = jnp.where(take, nr, rank)
+            lab = jnp.where(take, nl, lab)
+    return _neighbor_relax(rank, lab, f_p, _offsets_for(connectivity))
+
+
 @partial(jax.jit, static_argnames=("connectivity", "inner_rounds"),
          donate_argnums=(0, 1))
 def _refine_round(rank, lab, f, lab0, frozen, connectivity: int = 6,
@@ -335,11 +362,20 @@ def watershed_ift_multigrid(
             (2, 2, 2), (2, 2, 2), padding="SAME")
         rank_c, lab_sol_c = solve(f_c, lab_c, level - 1)
         # upsample: every fine voxel inherits its cell's (upper-bound) rank
-        # with dist saturated, and the coarse label as a hint
+        # with dist saturated, and the coarse label as a hint.
+        # VALIDITY FIX: a coarse SEED cell has rank 0, but only the one
+        # marker voxel inside it truly costs 0 — its 7 siblings' true cost
+        # can be anything up to the cell's pooled f.  An init below the
+        # true rank is unrecoverable (relaxation only decreases) and seeds
+        # a false-low equilibrium that blocks correct labels from
+        # propagating through.  max(coarse cost, pooled f) is a valid
+        # upper bound for every voxel of the cell: non-seed cells already
+        # satisfy cost_c >= f_c (the relax includes the cell's own f);
+        # seed cells get the in-cell path bound f_c.
         up = lambda a: jnp.repeat(jnp.repeat(jnp.repeat(
             a, 2, axis=0), 2, axis=1), 2, axis=2)[
             : f_lvl.shape[0], : f_lvl.shape[1], : f_lvl.shape[2]]
-        cost_up = up(rank_c >> _DIST_BITS)
+        cost_up = up(jnp.maximum(rank_c >> _DIST_BITS, f_c))
         rank_init = jnp.where(
             cost_up >= (_INF_RANK >> _DIST_BITS),
             _INF_RANK,

@@ -122,6 +122,180 @@ def sharded_floodfill_threshold(mesh: Mesh, strct: np.ndarray, axis_name: str = 
 
 
 # ---------------------------------------------------------------------------
+# Z-sharded watershed (SURVEY P3 + P1 halo pattern)
+# ---------------------------------------------------------------------------
+
+
+def _halo_z(x: jax.Array, axis_name: str, edge_fill) -> jax.Array:
+    """Ghost-pad a local Z-shard with its neighbors' boundary planes:
+    returns (n_local + 2, Y, X); outer edges get ``edge_fill``."""
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    prev_halo = jax.lax.ppermute(x[-1:], axis_name,
+                                 [(i, (i + 1) % n) for i in range(n)])
+    next_halo = jax.lax.ppermute(x[:1], axis_name,
+                                 [(i, (i - 1) % n) for i in range(n)])
+    fill = jnp.full_like(prev_halo, edge_fill)
+    prev_halo = jnp.where(idx == 0, fill, prev_halo)
+    next_halo = jnp.where(idx == n - 1, fill, next_halo)
+    return jnp.concatenate([prev_halo, x, next_halo], axis=0)
+
+
+def sharded_watershed(mesh: Mesh, connectivity: int = 6,
+                      axis_name: str = "z", levels: int | None = None,
+                      quiet_rounds: int = 1):
+    """Z-sharded marker watershed: the full multigrid IFT solver runs
+    inside ONE shard_map program.
+
+    Per relaxation round each shard ghost-pads rank/lab with its
+    neighbors' boundary planes (``ppermute``), runs the 6 directional
+    sweeps + neighbor relax locally (ops/watershed.py ``_one_round_padded``
+    — the same Pallas/scan kernels as single-device), and drops the
+    ghosts; label stability is checked with a global ``psum``.  Bellman
+    relaxation converges to the identical fixpoint from any schedule, so
+    basins match the single-device solver voxel-for-voxel (asserted in
+    tests/test_parallel.py); cross-shard information moves one shard per
+    round, which the coarse multigrid levels make cheap (a level-3 coarse
+    grid spans the volume in a handful of rounds).
+
+    The multigrid transfer operators (2x max-pool down, repeat-up) are
+    Z-uniform, so they stay shard-local; Z extents must divide evenly by
+    2^levels * n_shards.
+
+    Mirrors reference watershed_process.py:19 ``do_watershed`` (subprocess
+    + scipy/skimage) as the multi-chip path.
+    """
+    from jax import shard_map
+
+    from invesalius3_tpu.ops import watershed as ws
+    from invesalius3_tpu.ops.morphology import shift_nd
+
+    n_shards = mesh.shape[axis_name]
+
+    def local(image, markers, mg_z, mg_y, mg_x, use_gradient, n_levels,
+              debug_rank=False):
+        # f: shifted-to-positive image, optional morphological gradient
+        img = (image - jax.lax.pmin(jnp.min(image), axis_name)).astype(jnp.int32)
+        if use_gradient:  # static: morphological gradient with 1-plane halo
+            # separate edge fills so outer-volume ghost planes are identity
+            # elements for max resp. min (matches reduce_window SAME edges)
+            big = jnp.iinfo(jnp.int32).max
+            img_lo = _halo_z(img, axis_name, -big - 1)  # identity for max
+            img_hi = _halo_z(img, axis_name, big)       # identity for min
+            offs = [(dz, dy, dx)
+                    for dz in range(-(mg_z // 2), mg_z // 2 + 1)
+                    for dy in range(-(mg_y // 2), mg_y // 2 + 1)
+                    for dx in range(-(mg_x // 2), mg_x // 2 + 1)]
+            dil = img_lo
+            ero = img_hi
+            for off in offs:
+                if off == (0, 0, 0):
+                    continue
+                dil = jnp.maximum(dil, shift_nd(img_lo, off, fill=-big - 1))
+                ero = jnp.minimum(ero, shift_nd(img_hi, off, fill=big))
+            f_fine = (dil - ero)[1:-1]
+        else:
+            f_fine = img
+        f_fine = jnp.clip(f_fine, 0, 2**16 - 2)
+        lab_fine = markers.astype(jnp.int32)
+
+        def refine(f, lab0, rank_init, lab_init):
+            frozen = lab0 != 0
+            rank0 = jnp.where(frozen, jnp.int32(0), rank_init)
+            lab0_applied = jnp.where(frozen, lab0, lab_init)
+
+            def round_(state):
+                rank, lab, quiet = state
+                rank_p = _halo_z(rank, axis_name, ws._INF_RANK)
+                lab_p = _halo_z(lab, axis_name, 0)
+                # outer-edge ghost f = 2^16-1: one above any real cost
+                # (f clips to 2^16-2), so the in-round sweeps running over
+                # the ghost plane can never fabricate a winning path
+                # through out-of-volume space.  (A ghost f of 0 is a
+                # zero-cost superhighway: the backward Z sweep writes
+                # column minima into the ghost plane, the Y/X sweeps
+                # spread them for free, and the neighbor relax injects
+                # them back as phantom shortcuts.)  Interior ghosts carry
+                # the neighbor's REAL boundary f, so paths through them
+                # are genuine relaxations.
+                f_p = _halo_z(f, axis_name, 2**16 - 1)
+                nr, nl = ws._one_round_padded(rank_p, lab_p, f_p, connectivity)
+                nr, nl = nr[1:-1], nl[1:-1]
+                nr = jnp.where(frozen, jnp.int32(0), nr)
+                nl = jnp.where(frozen, lab0, nl)
+                # full rank+label stability: with halo-limited propagation
+                # (1 shard-hop per round), a label-only quiet window can
+                # close while better (cost, dist) ranks are still in
+                # flight across shards — tie voxels would then keep the
+                # wrong side.  Rank quiescence IS the Bellman fixpoint.
+                changed = jax.lax.psum(
+                    (jnp.any(nl != lab) | jnp.any(nr != rank)).astype(jnp.int32),
+                    axis_name) > 0
+                quiet = jnp.where(changed, 0, quiet + 1)
+                return nr, nl, quiet
+
+            rank, lab, _ = jax.lax.while_loop(
+                lambda s: s[2] < quiet_rounds, round_,
+                (rank0, lab0_applied, jnp.int32(0)))
+            return rank, lab
+
+        def solve(f_lvl, lab_lvl, level):
+            if level == 0 or f_lvl.shape[0] <= 4:  # local planes per shard
+                rank_init = jnp.full(f_lvl.shape, ws._INF_RANK, jnp.int32)
+                return refine(f_lvl, lab_lvl, rank_init, lab_lvl)
+            f_c = jax.lax.reduce_window(
+                f_lvl, -(2**31), jax.lax.max, (2, 2, 2), (2, 2, 2),
+                padding="SAME")
+            lab_c = jax.lax.reduce_window(
+                lab_lvl, jnp.int32(-(2**15)), jax.lax.max, (2, 2, 2),
+                (2, 2, 2), padding="SAME")
+            rank_c, lab_sol_c = solve(f_c, lab_c, level - 1)
+            up = lambda a: jnp.repeat(jnp.repeat(jnp.repeat(
+                a, 2, axis=0), 2, axis=1), 2, axis=2)[
+                : f_lvl.shape[0], : f_lvl.shape[1], : f_lvl.shape[2]]
+            # max with pooled f: the coarse-seed-cell validity fix
+            # (ops/watershed.py watershed_ift_multigrid has the proof)
+            cost_up = up(jnp.maximum(rank_c >> ws._DIST_BITS, f_c))
+            rank_init = jnp.where(
+                cost_up >= (ws._INF_RANK >> ws._DIST_BITS), ws._INF_RANK,
+                cost_up * (1 << ws._DIST_BITS) + ws._DIST_MAX)
+            return refine(f_lvl, lab_lvl, rank_init, up(lab_sol_c))
+
+        rank_out, lab = solve(f_fine, lab_fine, n_levels)
+        if debug_rank:
+            return lab.astype(jnp.int16), rank_out
+        return lab.astype(jnp.int16)
+
+    spec = P(axis_name, None, None)
+
+    def run(image, markers, algorithm: str = "Watershed",
+            mg_size=(3, 3, 3), debug_rank: bool = False):
+        n_levels = levels
+        if n_levels is None:
+            n_levels = 3 if min(image.shape) >= 192 else 0
+        local_z = image.shape[0] // n_shards
+        while n_levels > 0 and (local_z % (2 ** n_levels)
+                                or (local_z // 2 ** n_levels) < 1):
+            n_levels -= 1
+        fn = shard_map(
+            partial(local, mg_z=int(mg_size[0]), mg_y=int(mg_size[1]),
+                    mg_x=int(mg_size[2]),
+                    use_gradient=(algorithm == "Watershed"),
+                    n_levels=n_levels, debug_rank=debug_rank),
+            mesh=mesh, in_specs=(spec, spec),
+            out_specs=((spec, spec) if debug_rank else spec),
+            # pallas_call outputs carry no varying-axis annotation; the
+            # sweeps are verified vs single-device by tests instead
+            check_vma=False)
+        sharding = NamedSharding(mesh, spec)
+        image = jax.device_put(jnp.asarray(image), sharding)
+        markers = jax.device_put(jnp.asarray(markers), sharding)
+        return jax.jit(fn)(image, markers)
+
+    return run
+
+
+# ---------------------------------------------------------------------------
 # Z-sharded marching-tetrahedra surface extraction (SURVEY P1)
 # ---------------------------------------------------------------------------
 

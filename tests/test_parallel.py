@@ -190,3 +190,61 @@ def test_distributed_mesh_runs_sharded_op():
     v = jax.device_put(vol, NamedSharding(mesh, P("z", None, None)))
     count_fn = sharded_ops.sharded_active_cell_count(mesh)
     assert int(np.asarray(count_fn(v > 500))[0]) > 0
+
+
+# ---------------------------------------------------------------------------
+# Z-sharded watershed (VERDICT r2 item 1: full-pipeline sharding)
+# ---------------------------------------------------------------------------
+
+
+def _ws_volume(n=64, seed=3):
+    """Two clear basins separated by a bright ridge + noise floor."""
+    rng = np.random.default_rng(seed)
+    zz, yy, xx = np.mgrid[:n, :n, :n].astype(np.float32)
+    ridge = np.exp(-((xx - n / 2) ** 2) / 8.0) * 900
+    bowl = ((zz - n / 2) ** 2 + (yy - n / 2) ** 2) / n
+    vol = (ridge + bowl + rng.integers(0, 5, (n, n, n))).astype(np.int16)
+    markers = np.zeros((n, n, n), np.int16)
+    markers[n // 2, n // 2, n // 6] = 1
+    markers[n // 2, n // 2, 5 * n // 6] = 2
+    return vol, markers
+
+
+@pytest.mark.parametrize("algorithm", ["Watershed", "Watershed (IFT)"])
+def test_sharded_watershed_matches_single_device(zmesh, algorithm):
+    from scipy.ndimage import binary_dilation
+
+    from invesalius3_tpu.ops import watershed as ws
+
+    vol, markers = _ws_volume(64)
+    want = np.asarray(ws.watershed(jnp.asarray(vol), jnp.asarray(markers),
+                                   algorithm=algorithm))
+    run = sharded_ops.sharded_watershed(zmesh, levels=2)
+    got = np.asarray(run(vol, markers, algorithm=algorithm))
+    assert got.shape == want.shape and got.dtype == want.dtype
+    # identical basins: every voxel NOT on the divide line must agree.
+    # Divide-line voxels have equal minimax cost from both markers (any
+    # watershed-line voxel is reachable at its own f from both sides);
+    # their ownership is a schedule-dependent tiebreak in the single-
+    # device solver too (documented in ops/watershed.py).
+    mism = got != want
+    divide = binary_dilation(want == 1) & binary_dilation(want == 2)
+    assert (mism & ~divide).sum() == 0, "basin (non-tie) voxels differ"
+    assert mism.mean() < 0.01, f"tie-line churn too large: {mism.mean():.2%}"
+
+
+def test_sharded_watershed_empty_shards_and_barriers(zmesh):
+    """Markers confined to one shard; negative barrier labels honored."""
+    from invesalius3_tpu.ops import watershed as ws
+
+    vol, markers = _ws_volume(64, seed=9)
+    markers[:] = 0
+    markers[4, 32, 10] = 1   # both seeds inside shard 0
+    markers[5, 32, 54] = 2
+    markers[:, :, 31] = -1   # barrier wall (scipy negative-marker semantics)
+    want = np.asarray(ws.watershed(jnp.asarray(vol), jnp.asarray(markers),
+                                   algorithm="Watershed (IFT)"))
+    run = sharded_ops.sharded_watershed(zmesh, levels=0)
+    got = np.asarray(run(vol, markers, algorithm="Watershed (IFT)"))
+    assert (got != want).mean() == 0.0
+    assert set(np.unique(got)) == {-1, 1, 2}

@@ -218,6 +218,8 @@ class MeasurementManager:
 
     def add_density_ellipse(self, image2d, center_yx, ry, rx, **kw) -> Measurement:
         stats = density_ellipse(image2d, center_yx, ry, rx)
+        stats.update({"ry": float(ry), "rx": float(rx),
+                      "center_yx": [float(center_yx[0]), float(center_yx[1])]})
         m = Measurement(type=DENSITY_ELLIPSE, value=stats["mean"], unit="HU",
                         extra=stats, name=f"D {self._next + 1}", **kw)
         return self._add(m)

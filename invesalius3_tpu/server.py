@@ -126,6 +126,34 @@ def make_handler(state: AppState):
             self.end_headers()
             self.wfile.write(payload)
 
+        def _static(self, path):
+            """Serve the web client (invesalius3_tpu/viewer/) — the
+            behavioral replacement for the reference's wx GUI shell
+            (reference gui/frame.py:88, viewer_slice.py:194,
+            viewer_volume.py:129)."""
+            from pathlib import Path
+
+            root = Path(__file__).parent / "viewer"
+            name = "index.html" if path in ("/", "/index.html") else \
+                path[len("/viewer/"):]
+            if "/" in name or name.startswith("."):
+                self._json({"error": "not found"}, 404)
+                return
+            f = root / name
+            if not f.is_file():
+                self._json({"error": "not found"}, 404)
+                return
+            ctype = {"html": "text/html; charset=utf-8",
+                     "js": "text/javascript; charset=utf-8",
+                     "css": "text/css; charset=utf-8",
+                     }.get(f.suffix[1:], "application/octet-stream")
+            payload = f.read_bytes()
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
         def _body(self):
             n = int(self.headers.get("Content-Length", 0) or 0)
             return json.loads(self.rfile.read(n) or b"{}")
@@ -188,13 +216,9 @@ def make_handler(state: AppState):
                         "versions": [lbl for lbl, _ in slc.image_versions],
                         "current": slc.current_image_label,
                     })
-                elif url.path == "/" or url.path == "/index.html":
-                    payload = _CLIENT_HTML.encode()
-                    self.send_response(200)
-                    self.send_header("Content-Type", "text/html; charset=utf-8")
-                    self.send_header("Content-Length", str(len(payload)))
-                    self.end_headers()
-                    self.wfile.write(payload)
+                elif url.path in ("/", "/index.html") or \
+                        url.path.startswith("/viewer/"):
+                    self._static(url.path)
                 elif url.path == "/api/render":
                     from invesalius3_tpu.ops import raycast
 
@@ -303,13 +327,37 @@ def make_handler(state: AppState):
                                         int(body.get("slice_number", 0)), axis=ax)
                         m = state.measures.add_density_ellipse(
                             img2d, body["center"], float(body["ry"]),
-                            float(body["rx"]))
+                            float(body["rx"]),
+                            location=body.get("location", "AXIAL"),
+                            slice_number=int(body.get("slice_number", 0)),
+                            points=body.get("points", []))
                     else:
                         raise ValueError(f"unknown measure kind {kind!r}")
                     self._json(m.to_dict())
                 elif self.path == "/api/measures/remove":
                     state.measures.remove(int(body["index"]))
                     self._json({"ok": True})
+                elif self.path == "/api/brush":
+                    import jax.numpy as jnp
+
+                    from invesalius3_tpu.ops import morphology as morph
+
+                    strokes = np.asarray(body["strokes"], np.int32)  # (N, 3) z,y,x
+                    radius = float(body.get("radius_mm", 2.0))
+                    shape = body.get("shape", "circle")
+                    erase = bool(body.get("erase", False))
+                    sx, sy, sz = slc.spacing
+                    brush = morph.brush_element(radius, (sx, sy, sz), shape)
+                    mask = slc.current_mask or slc.create_new_mask(
+                        apply_threshold=False)
+                    value = 1 if erase else 254  # editor codes (mask.py)
+                    new = morph.paint_brush_trajectory(
+                        mask.data, jnp.asarray(brush), jnp.asarray(strokes),
+                        value, tuple(brush.shape))
+                    mask.apply(new)
+                    self._json({"stamps": int(len(strokes)),
+                                "voxels": int(np.asarray(
+                                    mask.visible_array()).sum())})
                 elif self.path == "/api/threshold":
                     m = slc.create_new_mask(
                         threshold_range=(body["tmin"], body["tmax"]))
@@ -372,61 +420,6 @@ def make_handler(state: AppState):
                     self._json({"error": "not found"}, 404)
 
     return Handler
-
-
-# Minimal built-in web client: slice browser with WW/WL + projection
-# controls and threshold/undo actions — the 2D viewer's behavioral core.
-_CLIENT_HTML = """<!doctype html>
-<html><head><meta charset="utf-8"><title>invesalius3_tpu viewer</title>
-<style>
- body{font-family:system-ui;margin:1rem;background:#111;color:#ddd}
- img{image-rendering:pixelated;border:1px solid #444;max-width:512px}
- .row{display:flex;gap:1rem;align-items:center;flex-wrap:wrap;margin:.4rem 0}
- input[type=range]{width:160px} button{background:#333;color:#ddd;border:1px solid #555;padding:.3rem .6rem}
-</style></head><body>
-<h3>invesalius3_tpu</h3>
-<div class="row">
- <label>orientation <select id="ori"><option>AXIAL</option><option>CORONAL</option><option>SAGITTAL</option></select></label>
- <label>slice <input id="idx" type="range" min="0" max="0" value="0"></label>
- <label>WW <input id="ww" type="range" min="1" max="4000" value="2000"></label>
- <label>WL <input id="wl" type="range" min="-1000" max="2000" value="300"></label>
- <label>projection <select id="proj"></select></label>
-</div>
-<div class="row">
- <button onclick="act('/api/threshold',{tmin:226,tmax:3071})">threshold bone</button>
- <button onclick="act('/api/mask/undo',{})">undo</button>
- <button onclick="act('/api/mask/redo',{})">redo</button>
- <span id="msg"></span>
-</div>
-<img id="view" width="512">
-<script>
-const $=id=>document.getElementById(id);
-let shape=[1,1,1];
-async function init(){
-  const s=await (await fetch('/api/status')).json();
-  shape=s.volume_shape||[1,1,1];
-  const p=await (await fetch('/api/presets')).json();
-  for(const [k,v] of Object.entries(p.projections)){
-    const o=document.createElement('option');o.value=k;o.text=v;$('proj').add(o);}
-  setAxis();refresh();
-}
-function setAxis(){
-  const ax={AXIAL:0,CORONAL:1,SAGITTAL:2}[$('ori').value];
-  $('idx').max=shape[ax]-1;$('idx').value=Math.floor(shape[ax]/2);
-}
-function refresh(){
-  $('view').src=`/api/slice/${$('ori').value}/${$('idx').value}`+
-    `?ww=${$('ww').value}&wl=${$('wl').value}&projection=${$('proj').value||0}&slabs=8&_=${Date.now()}`;
-}
-async function act(url,body){
-  const r=await (await fetch(url,{method:'POST',body:JSON.stringify(body)})).json();
-  $('msg').textContent=JSON.stringify(r);refresh();
-}
-$('ori').onchange=()=>{setAxis();refresh()};
-for(const id of ['idx','ww','wl','proj']) $(id).oninput=refresh;
-init();
-</script></body></html>
-"""
 
 
 class ViewerServer:

@@ -1,0 +1,420 @@
+/* invesalius3_tpu web viewer — dependency-free client for server.py.
+ *
+ * The behavioral equivalent of the reference's wx/VTK viewer stack:
+ * 3-plane slice browser with scroll + WW/WL drag + crosshair
+ * (viewer_slice.py), mask-edit tools calling the segmentation endpoints
+ * (styles.py brush/floodfill/watershed), measure placement rendered by
+ * the server's canvas layer (measures.py + canvas_renderer.py), surface
+ * list with STL download (task_surface.py + exporter), and a 3D pane
+ * driven by the server-side shear-warp raycaster (viewer_volume.py).
+ */
+"use strict";
+
+const $ = (sel) => document.querySelector(sel);
+const $$ = (sel) => [...document.querySelectorAll(sel)];
+
+const state = {
+  shape: [1, 1, 1],          // [Z, Y, X]
+  spacing: [1, 1, 1],        // [sx, sy, sz]
+  ww: 2000, wl: 300,
+  projection: 0, slabs: 1,
+  tool: "cursor",
+  idx: { AXIAL: 0, CORONAL: 0, SAGITAL: 0 },
+  cross: null,               // [z, y, x] voxel
+  wsMarkers: [],
+  pending: [],               // clicks collected for multi-point measures
+  azimuth: 30, elevation: 20,
+  raycastPreset: "",
+  bump: 0,
+};
+
+function api(path, body) {
+  const opts = body === undefined ? {} :
+    { method: "POST", body: JSON.stringify(body),
+      headers: { "Content-Type": "application/json" } };
+  return fetch(path, opts).then(async (r) => {
+    const j = await r.json().catch(() => ({}));
+    if (!r.ok) { setStatus(j.error || r.statusText); throw new Error(j.error); }
+    return j;
+  });
+}
+
+function setStatus(msg) { $("#status").textContent = msg || ""; }
+
+// --- geometry ---------------------------------------------------------------
+
+function sliceCount(orient) {
+  const [Z, Y, X] = state.shape;
+  return orient === "AXIAL" ? Z : orient === "CORONAL" ? Y : X;
+}
+
+// (col,row) pixel + slice index -> voxel [z,y,x]
+function toVoxel(orient, col, row) {
+  const i = state.idx[orient];
+  if (orient === "AXIAL") return [i, row, col];
+  if (orient === "CORONAL") return [row, i, col];
+  return [row, col, i]; // SAGITAL: cols are y
+}
+
+function voxelToWorld([z, y, x]) {
+  const [sx, sy, sz] = state.spacing;
+  return [x * sx, y * sy, z * sz];
+}
+
+// voxel -> (col,row) in a pane
+function toPixel(orient, [z, y, x]) {
+  if (orient === "AXIAL") return [x, y];
+  if (orient === "CORONAL") return [x, z];
+  return [y, z];
+}
+
+function paneIndexOf(orient, [z, y, x]) {
+  return orient === "AXIAL" ? z : orient === "CORONAL" ? y : x;
+}
+
+// --- rendering --------------------------------------------------------------
+
+function sliceURL(orient) {
+  const i = state.idx[orient];
+  let u = `/api/slice/${orient.toLowerCase()}/${i}?ww=${state.ww}&wl=${state.wl}` +
+          `&projection=${state.projection}&slabs=${state.slabs}&t=${state.bump}`;
+  if (state.cross && paneIndexOf(orient, state.cross) === i) {
+    const [c, r] = toPixel(orient, state.cross);
+    u += `&cx=${c}&cy=${r}`;
+  }
+  return u;
+}
+
+function refreshSlices(orients) {
+  state.bump++;
+  (orients || ["AXIAL", "CORONAL", "SAGITAL"]).forEach((o) => {
+    const pane = document.querySelector(`.pane[data-orient="${o}"]`);
+    pane.querySelector("img").src = sliceURL(o);
+    pane.querySelector(".slice-no").textContent =
+      `${state.idx[o]} / ${sliceCount(o) - 1}`;
+    pane.querySelector(".slider").value = state.idx[o];
+  });
+}
+
+function refresh3D() {
+  $("#img3d").src = `/api/render?azimuth=${state.azimuth}` +
+    `&elevation=${state.elevation}&size=256&preset=${encodeURIComponent(state.raycastPreset)}` +
+    `&t=${state.bump++}`;
+  $("#angles").textContent =
+    `az ${state.azimuth.toFixed(0)}° el ${state.elevation.toFixed(0)}°`;
+}
+
+async function refreshLists() {
+  const masks = await api("/api/masks");
+  const ml = $("#mask-list");
+  ml.innerHTML = "";
+  masks.forEach((m) => {
+    const li = document.createElement("li");
+    li.innerHTML = `<span class="grow">#${m.index} ${m.name}</span>` +
+      `<span>[${m.threshold_range}]</span>`;
+    li.onclick = () => api("/api/mask/select", { index: m.index })
+      .then(() => { refreshSlices(); refreshLists(); });
+    ml.appendChild(li);
+  });
+
+  const meas = await api("/api/measures");
+  const el = $("#measure-list");
+  el.innerHTML = "";
+  meas.forEach((m) => {
+    const li = document.createElement("li");
+    const val = typeof m.value === "number" ? m.value.toFixed(2) : m.value;
+    li.innerHTML = `<span class="grow">${m.name} (${m.type})</span>` +
+      `<span>${val}${m.unit || ""}</span>`;
+    const del = document.createElement("button");
+    del.textContent = "x";
+    del.onclick = () => api("/api/measures/remove", { index: m.index })
+      .then(() => { refreshLists(); refreshSlices(); });
+    li.appendChild(del);
+    el.appendChild(li);
+  });
+}
+
+function addSurfaceRow(s) {
+  const li = document.createElement("li");
+  li.innerHTML = `<span class="grow">#${s.index} ` +
+    `${(s.triangles || 0).toLocaleString()} tris ` +
+    `${s.volume_mm3 ? s.volume_mm3.toFixed(0) + " mm³" : ""}</span>` +
+    `<a href="/api/surface/${s.index}.stl" download="surface_${s.index}.stl">STL</a>`;
+  $("#surface-list").appendChild(li);
+}
+
+// --- tool interactions ------------------------------------------------------
+
+function setTool(name) {
+  state.tool = name;
+  state.pending = [];
+  $$("#tools button").forEach((b) =>
+    b.classList.toggle("active", b.dataset.tool === name));
+}
+
+async function handleClick(orient, col, row) {
+  const vox = toVoxel(orient, col, row);
+  const world = voxelToWorld(vox);
+  const slice_number = state.idx[orient];
+  const t = state.tool;
+  if (t === "cursor") {
+    state.cross = vox;
+    state.idx.AXIAL = vox[0];
+    state.idx.CORONAL = vox[1];
+    state.idx.SAGITAL = vox[2];
+    refreshSlices();
+  } else if (t === "floodfill") {
+    const lo = +$("#ffill-lo").value, hi = +$("#ffill-hi").value;
+    const r = await api("/api/floodfill", { seed: vox, tmin: lo, tmax: hi });
+    setStatus(`floodfill: ${r.voxels.toLocaleString()} voxels`);
+    refreshSlices(); refreshLists();
+  } else if (t === "watershed") {
+    state.wsMarkers.push({ position: vox, label: +$("#ws-label").value });
+    $("#ws-count").textContent = `${state.wsMarkers.length} markers`;
+  } else if (t === "linear" || t === "angular") {
+    state.pending.push(world);
+    const need = t === "linear" ? 2 : 3;
+    setStatus(`${t}: point ${state.pending.length}/${need}`);
+    if (state.pending.length === need) {
+      const body = t === "linear"
+        ? { kind: "linear", p1: state.pending[0], p2: state.pending[1],
+            location: orient, slice_number }
+        : { kind: "angular", p0: state.pending[0], p1: state.pending[1],
+            p2: state.pending[2], location: orient, slice_number };
+      const m = await api("/api/measures", body);
+      setStatus(`${m.name}: ${(+m.value).toFixed(2)} ${m.unit}`);
+      state.pending = [];
+      refreshLists(); refreshSlices([orient]);
+    }
+  } else if (t === "annotation") {
+    const text = prompt("annotation text:");
+    if (text) {
+      await api("/api/measures", {
+        kind: "annotation", point: world,
+        lead_point: [world[0] + 8, world[1] - 8, world[2]],
+        text, location: orient, slice_number });
+      refreshLists(); refreshSlices([orient]);
+    }
+  } else if (t === "density") {
+    const rx = +(prompt("radius x (px):", "10") || 0);
+    const ry = +(prompt("radius y (px):", "10") || 0);
+    if (rx > 0 && ry > 0) {
+      const m = await api("/api/measures", {
+        kind: "density_ellipse", center: [row, col], rx, ry,
+        location: orient, slice_number, points: [world] });
+      setStatus(`density mean ${(+m.value).toFixed(1)} HU`);
+      refreshLists(); refreshSlices([orient]);
+    }
+  }
+}
+
+function attachPane(pane) {
+  const orient = pane.dataset.orient;
+  const img = pane.querySelector("img");
+  const wrap = pane.querySelector(".imgwrap");
+  const slider = pane.querySelector(".slider");
+
+  const imgPos = (ev) => {
+    const r = img.getBoundingClientRect();
+    const col = Math.round((ev.clientX - r.left) / r.width * img.naturalWidth);
+    const row = Math.round((ev.clientY - r.top) / r.height * img.naturalHeight);
+    return [col, row];
+  };
+
+  wrap.addEventListener("wheel", (ev) => {
+    ev.preventDefault();
+    const n = sliceCount(orient);
+    state.idx[orient] = Math.min(n - 1,
+      Math.max(0, state.idx[orient] + Math.sign(ev.deltaY)));
+    refreshSlices([orient]);
+  }, { passive: false });
+
+  slider.addEventListener("input", () => {
+    state.idx[orient] = +slider.value;
+    refreshSlices([orient]);
+  });
+
+  let stroke = null;     // brush stroke voxels
+  let wwwl = null;       // right-drag start
+
+  wrap.addEventListener("mousedown", (ev) => {
+    if (ev.button === 2) {
+      wwwl = { x: ev.clientX, y: ev.clientY, ww: state.ww, wl: state.wl };
+      return;
+    }
+    if (ev.button !== 0) return;
+    if (state.tool === "paint" || state.tool === "erase") {
+      const [c, r] = imgPos(ev);
+      stroke = [toVoxel(orient, c, r)];
+    }
+  });
+  wrap.addEventListener("mousemove", (ev) => {
+    if (wwwl) {
+      state.ww = Math.max(1, wwwl.ww + (ev.clientX - wwwl.x) * 4);
+      state.wl = wwwl.wl + (ev.clientY - wwwl.y) * 2;
+      $("#ww").value = Math.round(state.ww);
+      $("#wl").value = Math.round(state.wl);
+      refreshSlices();
+      return;
+    }
+    if (stroke) {
+      const [c, r] = imgPos(ev);
+      const v = toVoxel(orient, c, r);
+      const last = stroke[stroke.length - 1];
+      if (v.some((x, i) => x !== last[i])) stroke.push(v);
+    }
+  });
+  const finish = async (ev) => {
+    if (wwwl) {
+      wwwl = null;
+      api("/api/window", { ww: state.ww, wl: state.wl });
+      return;
+    }
+    if (stroke) {
+      const s = stroke; stroke = null;
+      const r = await api("/api/brush", {
+        strokes: s, radius_mm: +$("#brush-radius").value,
+        erase: state.tool === "erase" });
+      setStatus(`brush: ${s.length} stamps, mask ${r.voxels.toLocaleString()} voxels`);
+      refreshSlices();
+      return;
+    }
+    if (ev.button === 0) {
+      const [c, r] = imgPos(ev);
+      handleClick(orient, c, r);
+    }
+  };
+  wrap.addEventListener("mouseup", finish);
+  wrap.addEventListener("contextmenu", (ev) => ev.preventDefault());
+}
+
+// --- 3D pane orbit ----------------------------------------------------------
+
+function attach3D() {
+  const wrap = $("#pane3d .imgwrap");
+  let drag = null;
+  let timer = null;
+  wrap.addEventListener("mousedown", (ev) => {
+    drag = { x: ev.clientX, y: ev.clientY,
+             az: state.azimuth, el: state.elevation };
+  });
+  wrap.addEventListener("mousemove", (ev) => {
+    if (!drag) return;
+    state.azimuth = drag.az + (ev.clientX - drag.x) * 0.7;
+    state.elevation = Math.max(-89, Math.min(89,
+      drag.el + (ev.clientY - drag.y) * 0.7));
+    $("#angles").textContent =
+      `az ${state.azimuth.toFixed(0)}° el ${state.elevation.toFixed(0)}°`;
+    clearTimeout(timer);
+    timer = setTimeout(refresh3D, 120);  // render on pause, not per-event
+  });
+  window.addEventListener("mouseup", () => { drag = null; });
+}
+
+// --- wiring -----------------------------------------------------------------
+
+async function init() {
+  const st = await api("/api/status");
+  state.shape = st.volume_shape || [1, 1, 1];
+  state.spacing = st.spacing || [1, 1, 1];
+  [state.ww, state.wl] = st.window;
+  $("#ww").value = state.ww; $("#wl").value = state.wl;
+  $("#volinfo").textContent =
+    `${state.shape.join("×")} @ ${state.spacing.map((s) => s.toFixed(2))}mm`;
+  ["AXIAL", "CORONAL", "SAGITAL"].forEach((o) => {
+    state.idx[o] = Math.floor(sliceCount(o) / 2);
+    const pane = document.querySelector(`.pane[data-orient="${o}"]`);
+    pane.querySelector(".slider").max = sliceCount(o) - 1;
+  });
+
+  const presets = await api("/api/presets");
+  const tp = $("#thresh-preset");
+  Object.entries(presets.threshold_ct).forEach(([name, range]) => {
+    const o = document.createElement("option");
+    o.value = JSON.stringify(range);
+    o.textContent = `${name} [${range}]`;
+    tp.appendChild(o);
+  });
+  tp.onchange = () => {
+    const [lo, hi] = JSON.parse(tp.value);
+    $("#tmin").value = lo; $("#tmax").value = hi;
+  };
+  const pj = $("#projection");
+  presets.projections.forEach((name, i) => {
+    const o = document.createElement("option");
+    o.value = i; o.textContent = name;
+    pj.appendChild(o);
+  });
+  pj.onchange = () => { state.projection = +pj.value; refreshSlices(); };
+  $("#slabs").onchange = () => { state.slabs = +$("#slabs").value; refreshSlices(); };
+  const rp = $("#raycast-preset");
+  presets.raycast.forEach((name) => {
+    const o = document.createElement("option");
+    o.textContent = name;
+    rp.appendChild(o);
+  });
+  state.raycastPreset = presets.raycast[0] || "";
+  rp.onchange = () => { state.raycastPreset = rp.value; refresh3D(); };
+
+  const iv = await api("/api/image_versions");
+  const ivs = $("#imgversion");
+  (iv.versions.length ? iv.versions : ["original"]).forEach((label) => {
+    const o = document.createElement("option");
+    o.textContent = label;
+    if (label === iv.current) o.selected = true;
+    ivs.appendChild(o);
+  });
+  ivs.onchange = () => api("/api/image_versions/select", { label: ivs.value })
+    .then(() => refreshSlices());
+
+  $("#ww").onchange = () => { state.ww = +$("#ww").value; api("/api/window", { ww: state.ww, wl: state.wl }); refreshSlices(); };
+  $("#wl").onchange = () => { state.wl = +$("#wl").value; api("/api/window", { ww: state.ww, wl: state.wl }); refreshSlices(); };
+
+  $$("#tools button").forEach((b) =>
+    b.addEventListener("click", () => setTool(b.dataset.tool)));
+
+  $("#do-threshold").onclick = async () => {
+    const r = await api("/api/threshold",
+      { tmin: +$("#tmin").value, tmax: +$("#tmax").value });
+    setStatus(`mask #${r.index}: ${r.voxels.toLocaleString()} voxels`);
+    refreshSlices(); refreshLists();
+  };
+  $("#undo").onclick = () => api("/api/mask/undo").then(() => refreshSlices());
+  $("#redo").onclick = () => api("/api/mask/redo").then(() => refreshSlices());
+  $("#do-bool").onclick = async () => {
+    const r = await api("/api/boolean", { op: +$("#bool-op").value,
+      index1: +$("#bool-a").value, index2: +$("#bool-b").value });
+    setStatus(`boolean -> mask #${r.index} (${r.voxels.toLocaleString()} voxels)`);
+    refreshSlices(); refreshLists();
+  };
+  $("#ws-run").onclick = async () => {
+    if (!state.wsMarkers.length) { setStatus("place watershed markers first"); return; }
+    setStatus("watershed running…");
+    const r = await api("/api/watershed", { markers: state.wsMarkers });
+    setStatus(`watershed: ${r.voxels.toLocaleString()} voxels kept`);
+    refreshSlices(); refreshLists();
+  };
+  $("#ws-clear").onclick = () => {
+    state.wsMarkers = []; $("#ws-count").textContent = "";
+  };
+  $("#do-surface").onclick = async () => {
+    setStatus("creating surface…");
+    const r = await api("/api/surface", { algorithm: $("#surf-algo").value });
+    setStatus(`surface #${r.index}: ${r.triangles.toLocaleString()} triangles`);
+    addSurfaceRow(r);
+  };
+  $("#do-surf-import").onclick = async () => {
+    const r = await api("/api/surface/import",
+      { path: $("#surf-import-path").value });
+    setStatus(`imported #${r.index} (${r.filled_holes} holes filled)`);
+    addSurfaceRow(r);
+  };
+
+  $$(".pane[data-orient]").forEach(attachPane);
+  attach3D();
+  refreshSlices();
+  refresh3D();
+  refreshLists();
+}
+
+init().catch((e) => setStatus("init failed: " + e));

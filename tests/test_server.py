@@ -106,7 +106,12 @@ def test_events_endpoint_records(server):
 def test_client_page_and_presets(server):
     code, ctype, body = _get(server, "/")
     assert code == 200 and "text/html" in ctype
-    assert b"invesalius3_tpu" in body and b"/api/slice/" in body
+    assert b"invesalius3_tpu" in body and b"/viewer/app.js" in body
+    code, ctype, body = _get(server, "/viewer/app.js")
+    assert code == 200 and "javascript" in ctype
+    assert b"/api/slice/" in body and b"/api/brush" in body
+    with pytest.raises(urllib.error.HTTPError):  # no traversal
+        _get(server, "/viewer/%2e%2e/server.py")
     code, _, body = _get(server, "/api/presets")
     p = json.loads(body)
     assert "Bone" in p["threshold_ct"] and "Bone" in p["raycast"]
@@ -162,3 +167,92 @@ def test_image_version_endpoints(server):
     assert v["current"] == r["label"] and "original" in v["versions"]
     code, r2 = _post(server, "/api/image_versions/select", {"label": "original"})
     assert code == 200 and r2["current"] == "original"
+
+
+# ---------------------------------------------------------------------------
+# Web-client walkthrough: replay the exact HTTP sequence viewer/app.js
+# performs for "load CT -> paint mask -> create surface -> download STL"
+# (no browser in this environment; the client's call contract is pinned
+# here instead, plus a selector-consistency check of the static files).
+# ---------------------------------------------------------------------------
+
+
+def test_client_walkthrough_sequence(server):
+    # init(): status + presets + image_versions + slices + render + lists
+    _, _, body = _get(server, "/api/status")
+    st = json.loads(body)
+    Z, Y, X = st["volume_shape"]
+    _, _, body = _get(server, "/api/presets")
+    presets = json.loads(body)
+    assert "Bone" in presets["threshold_ct"]
+    _get(server, "/api/image_versions")
+    code, ctype, _ = _get(server, f"/api/slice/axial/{Z // 2}?ww=2000&wl=300"
+                                  f"&projection=0&slabs=1&t=1")
+    assert code == 200 and "png" in ctype
+    code, _, _ = _get(server, "/api/render?azimuth=30&elevation=20&size=64&t=2")
+    assert code == 200
+    _get(server, "/api/masks")
+    _get(server, "/api/measures")
+
+    # threshold preset -> new mask (do-threshold button)
+    lo, hi = presets["threshold_ct"]["Bone"]
+    _, mask_info = _post(server, "/api/threshold", {"tmin": lo, "tmax": hi})
+    assert mask_info["voxels"] > 0
+
+    # paint brush stroke (paint tool drag)
+    stroke = [[Z // 2, Y // 2, x] for x in range(4, 12)]
+    _, r = _post(server, "/api/brush",
+                 {"strokes": stroke, "radius_mm": 3.0, "erase": False})
+    assert r["stamps"] == len(stroke) and r["voxels"] > mask_info["voxels"]
+
+    # erase part of it
+    _, r2 = _post(server, "/api/brush",
+                  {"strokes": stroke[:2], "radius_mm": 3.0, "erase": True})
+    assert r2["voxels"] < r["voxels"]
+
+    # measure placement (linear tool, 2 clicks) + annotation
+    _, m = _post(server, "/api/measures",
+                 {"kind": "linear", "p1": [10.0, 20.0, float(Z // 2)],
+                  "p2": [40.0, 20.0, float(Z // 2)],
+                  "location": "AXIAL", "slice_number": Z // 2})
+    assert m["value"] == 30.0
+    _post(server, "/api/measures",
+          {"kind": "annotation", "point": [20.0, 30.0, float(Z // 2)],
+           "text": "LESION", "location": "AXIAL", "slice_number": Z // 2})
+    # overlays appear on the slice (PNG differs from overlay-free render)
+    _, _, with_ovl = _get(server, f"/api/slice/axial/{Z // 2}?t=3")
+    _, _, without = _get(server, f"/api/slice/axial/{Z // 2}?overlays=0&t=4")
+    assert with_ovl != without
+
+    # surface create + STL download (do-surface button + list link)
+    _, surf = _post(server, "/api/surface", {"algorithm": "Default"})
+    assert surf["triangles"] > 0
+    code, ctype, stl = _get(server, f"/api/surface/{surf['index']}.stl")
+    assert code == 200 and len(stl) > 84
+    import struct
+
+    n_tris = struct.unpack("<I", stl[80:84])[0]
+    assert n_tris == surf["triangles"]
+
+
+def test_client_static_files_consistent():
+    """Every DOM id app.js queries must exist in index.html, and the JS
+    braces/parens must balance (no JS runtime in this env)."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).parent.parent / "invesalius3_tpu" / "viewer"
+    html = (root / "index.html").read_text()
+    js = (root / "app.js").read_text()
+    ids_used = set(re.findall(r'\$\("#([\w-]+)"\)', js))
+    ids_defined = set(re.findall(r'id="([\w-]+)"', html))
+    missing = ids_used - ids_defined
+    assert not missing, f"app.js references missing ids: {missing}"
+    stripped = re.sub(r'"(?:[^"\\]|\\.)*"|\'(?:[^\'\\]|\\.)*\'|`(?:[^`\\]|\\.)*`|//[^\n]*', "", js)
+    for o, c in ("{}", "()", "[]"):
+        assert stripped.count(o) == stripped.count(c), f"unbalanced {o}{c}"
+    # endpoints referenced by the client all exist in the server routing
+    srv = (pathlib.Path(__file__).parent.parent / "invesalius3_tpu" /
+           "server.py").read_text()
+    for ep in set(re.findall(r'"(/api/[\w/]+)"', js)):
+        assert ep in srv, f"client calls unrouted endpoint {ep}"

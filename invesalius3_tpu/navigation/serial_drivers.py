@@ -1,0 +1,211 @@
+"""Protocol-level serial tracker drivers with a recorded-bytes replay
+transport.
+
+The reference talks to Polhemus ISOTRAK/FASTRAK over pyserial (reference
+invesalius/data/tracker_connection.py:264 ``PolhemusSerialConnection`` —
+init command bytes per model, 0.03 s timeout; invesalius/data/
+coordinates.py:467 ``PolhemusSerialCoord`` — poll with ``P``, read lines,
+split fields that abut through their minus signs, cm -> mm scale, optional
+dynamic-reference correction :622).  No tracker hardware exists in this
+environment, so the protocol logic runs against a byte-transcript replay
+transport — the same seam the DIMSE stack uses for its loopback tests —
+and plugs into navigation/tracker.py unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from invesalius3_tpu.navigation import vendor_coords
+from invesalius3_tpu.navigation.tracker import TrackerConnection
+
+
+class SerialTransport:
+    """Byte-level transport boundary (what pyserial provides)."""
+
+    def write(self, data: bytes) -> None:
+        raise NotImplementedError
+
+    def readlines(self) -> List[bytes]:
+        raise NotImplementedError
+
+    def close(self) -> None:
+        pass
+
+
+class PySerialTransport(SerialTransport):
+    """Real COM-port transport (reference tracker_connection.py:276:
+    ``serial.Serial(com_port, baudrate=baud_rate, timeout=0.03)``).
+    Import is deferred — pyserial and hardware are absent in CI."""
+
+    def __init__(self, com_port: str, baud_rate: int = 115200,
+                 timeout: float = 0.03):
+        import serial  # hardware-gated
+
+        self._ser = serial.Serial(com_port, baudrate=baud_rate,
+                                  timeout=timeout)
+
+    def write(self, data: bytes) -> None:
+        self._ser.write(data)
+
+    def readlines(self) -> List[bytes]:
+        return self._ser.readlines()
+
+    def close(self) -> None:
+        self._ser.close()
+
+
+class ReplayTransport(SerialTransport):
+    """Replays a recorded transcript: a list of ``{"write": hex,
+    "lines": [hex, ...]}`` entries.  Each ``write`` must match the bytes
+    the driver sends (protocol conformance is part of the assertion);
+    ``readlines`` returns that entry's recorded response.  Poll entries
+    cycle once the transcript is exhausted when ``loop=True`` (a tracker
+    streaming the last pose forever)."""
+
+    def __init__(self, transcript: Sequence[dict], loop: bool = True):
+        self.transcript = list(transcript)
+        self.loop = loop
+        self.pos = 0
+        self.writes: List[bytes] = []
+        self._lock = threading.Lock()
+
+    @classmethod
+    def from_file(cls, path, **kw) -> "ReplayTransport":
+        return cls(json.loads(Path(path).read_text()), **kw)
+
+    def _entry(self) -> dict:
+        if self.pos >= len(self.transcript):
+            if not self.loop:
+                raise EOFError("replay transcript exhausted")
+            # loop over the trailing poll section (entries whose write is
+            # the poll command) so long-running navigation keeps a pose
+            polls = [e for e in self.transcript
+                     if bytes.fromhex(e["write"]) == b"P"] or self.transcript
+            return polls[(self.pos - len(self.transcript)) % len(polls)]
+        return self.transcript[self.pos]
+
+    def write(self, data: bytes) -> None:
+        with self._lock:
+            e = self._entry()
+            want = bytes.fromhex(e["write"])
+            if data != want:
+                raise AssertionError(
+                    f"protocol mismatch at entry {self.pos}: driver wrote "
+                    f"{data!r}, transcript expects {want!r}")
+            self.writes.append(data)
+
+    def readlines(self) -> List[bytes]:
+        with self._lock:
+            e = self._entry()
+            self.pos += 1
+            return [bytes.fromhex(h) for h in e.get("lines", [])]
+
+
+class TranscriptRecorder(SerialTransport):
+    """Wrap a real transport and capture the byte exchange into the
+    replay format (run once against hardware, then test forever)."""
+
+    def __init__(self, inner: SerialTransport):
+        self.inner = inner
+        self.entries: List[dict] = []
+
+    def write(self, data: bytes) -> None:
+        self.inner.write(data)
+        self.entries.append({"write": data.hex(), "lines": []})
+
+    def readlines(self) -> List[bytes]:
+        lines = self.inner.readlines()
+        if self.entries:
+            self.entries[-1]["lines"] = [ln.hex() for ln in lines]
+        return lines
+
+    def save(self, path) -> None:
+        Path(path).write_text(json.dumps(self.entries, indent=1))
+
+    def close(self) -> None:
+        self.inner.close()
+
+
+class PolhemusSerialConnection(TrackerConnection):
+    """ISOTRAK/FASTRAK serial driver (reference coordinates.py:467
+    ``PolhemusSerialCoord`` + tracker_connection.py:264 init sequence).
+
+    Sensor rows: 0 = probe (dynamic-referenced when ``ref_mode``),
+    1 = reference sensor raw pose, 2 = coil (not provided on this link).
+    """
+
+    POLL = b"P"
+    # "u": English units (cm), "F": ASCII output format, "Y": tip offset
+    INIT = {"isotrak": [b"u", b"F", b"Y"], "fastrak": [b"u", b"F"]}
+
+    def __init__(self, transport: SerialTransport, model: str = "isotrak",
+                 ref_mode: bool = True):
+        if model not in self.INIT:
+            raise ValueError(f"unknown Polhemus model {model!r}")
+        self.transport = transport
+        self.model = model
+        self.ref_mode = ref_mode
+        self.stylus_button = False
+
+    def connect(self) -> bool:
+        for cmd in self.INIT[self.model]:
+            self.transport.write(cmd)
+            self.transport.readlines()  # drain any echo/ack
+        return True
+
+    def disconnect(self) -> None:
+        self.transport.close()
+
+    def get_coordinates(self) -> Tuple[np.ndarray, np.ndarray]:
+        self.transport.write(self.POLL)
+        lines = self.transport.readlines()
+        coords = np.zeros((self.n_sensors, 6))
+        flags = np.array([False, False, False])
+        if not lines:
+            return coords, flags
+        probe = vendor_coords.parse_polhemus_serial(lines[0])
+        if self.ref_mode and len(lines) > 1:
+            reference = vendor_coords.parse_polhemus_serial(lines[1])
+            coords[0] = vendor_coords.polhemus_dynamic_pose(probe, reference)
+            coords[1] = reference
+            flags[:2] = True
+        else:
+            coords[0] = probe
+            flags[0] = True
+        return coords, flags
+
+
+def make_isotrak_transcript(poses: Sequence[Tuple[Sequence[float],
+                                                  Sequence[float]]],
+                            model: str = "isotrak") -> List[dict]:
+    """Synthesize a byte transcript an ISOTRAK would produce for the given
+    (probe_cm_deg, reference_cm_deg) pose pairs — used by tests and the
+    demo replay tracker.  Field layout per reference coordinates.py:467:
+    station id then six fixed-width floats, negatives abutting the
+    previous field."""
+    entries = [{"write": c.hex(), "lines": []}
+               for c in PolhemusSerialConnection.INIT[model]]
+
+    def fmt(station: int, pose) -> bytes:
+        txt = f"{station}"
+        for v in pose:
+            # negative values consume the separating space (full-width
+            # columns on the real device) — the parser quirk the driver
+            # must handle via the " -" re-split
+            sep = "" if v < 0 else " "
+            txt += f"{sep}{v:.2f}"
+        return txt.encode() + b"\r\n"
+
+    for probe, ref in poses:
+        entries.append({
+            "write": PolhemusSerialConnection.POLL.hex(),
+            "lines": [fmt(1, probe).hex(), fmt(2, ref).hex()],
+        })
+    return entries

@@ -24,7 +24,9 @@ import numpy as np
 
 TRACKER_DEBUG_RANDOM = "debug_random"
 TRACKER_DEBUG_APPROACH = "debug_approach"
-TRACKERS = [TRACKER_DEBUG_RANDOM, TRACKER_DEBUG_APPROACH]
+TRACKER_POLHEMUS_SERIAL = "polhemus_serial"
+TRACKERS = [TRACKER_DEBUG_RANDOM, TRACKER_DEBUG_APPROACH,
+            TRACKER_POLHEMUS_SERIAL]
 
 
 class TrackerConnection:
@@ -78,6 +80,17 @@ def create_tracker_connection(tracker_id: str, **kw) -> TrackerConnection:
         return DebugRandomConnection(**kw)
     if tracker_id == TRACKER_DEBUG_APPROACH:
         return DebugApproachConnection(**kw)
+    if tracker_id == TRACKER_POLHEMUS_SERIAL:
+        from invesalius3_tpu.navigation.serial_drivers import (
+            PolhemusSerialConnection, PySerialTransport, ReplayTransport)
+
+        transport = kw.pop("transport", None)
+        if transport is None and "transcript" in kw:
+            transport = ReplayTransport(kw.pop("transcript"))
+        if transport is None:
+            transport = PySerialTransport(kw.pop("com_port"),
+                                          kw.pop("baud_rate", 115200))
+        return PolhemusSerialConnection(transport, **kw)
     raise ValueError(
         f"tracker {tracker_id!r} not available in this build (vendor SDKs "
         f"are hardware-gated); available: {TRACKERS}"

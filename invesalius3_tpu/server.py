@@ -57,6 +57,7 @@ import numpy as np
 
 from invesalius3_tpu import constants as const, events
 from invesalius3_tpu.core.slice import Slice
+from invesalius3_tpu.utils.i18n import current_catalog, tr
 
 
 class AppState:
@@ -137,11 +138,11 @@ def make_handler(state: AppState):
             name = "index.html" if path in ("/", "/index.html") else \
                 path[len("/viewer/"):]
             if "/" in name or name.startswith("."):
-                self._json({"error": "not found"}, 404)
+                self._json({"error": tr("not found")}, 404)
                 return
             f = root / name
             if not f.is_file():
-                self._json({"error": "not found"}, 404)
+                self._json({"error": tr("not found")}, 404)
                 return
             ctype = {"html": "text/html; charset=utf-8",
                      "js": "text/javascript; charset=utf-8",
@@ -216,6 +217,14 @@ def make_handler(state: AppState):
                         "versions": [lbl for lbl, _ in slc.image_versions],
                         "current": slc.current_image_label,
                     })
+                elif url.path == "/api/i18n":
+                    from invesalius3_tpu.utils import i18n as i18n_mod
+
+                    self._json({
+                        "locales": i18n_mod.get_locales(),
+                        "current": i18n_mod.current_language(),
+                        "catalog": current_catalog(),
+                    })
                 elif url.path in ("/", "/index.html") or \
                         url.path.startswith("/viewer/"):
                     self._static(url.path)
@@ -250,7 +259,7 @@ def make_handler(state: AppState):
                 elif url.path == "/api/events":
                     self._json(state.recent_events)
                 else:
-                    self._json({"error": "not found"}, 404)
+                    self._json({"error": tr("not found")}, 404)
             except Exception as e:  # surface errors as JSON
                 self._json({"error": repr(e)}, 500)
 
@@ -417,7 +426,7 @@ def make_handler(state: AppState):
                         "volume_mm3": surf.volume, "area_mm2": surf.area,
                     })
                 else:
-                    self._json({"error": "not found"}, 404)
+                    self._json({"error": tr("not found")}, 404)
 
     return Handler
 

@@ -120,7 +120,7 @@ def install_language(language: str = "") -> Callable[[str], str]:
     sources and compile to .mo on first use."""
     global _translator
     if not language:
-        language = (locale_mod.getdefaultlocale()[0] or "en").split("_")[0]
+        language = current_language()
     for root in locale_dirs():
         for lang in (language, language.split("_")[0]):
             _ensure_compiled(root, lang)
@@ -140,3 +140,27 @@ def tr(message: str) -> str:
     if _translator is None:
         install_language()
     return _translator(message)
+
+
+def current_language() -> str:
+    lang = os.environ.get("INV3_LANGUAGE", "")
+    if lang:
+        return lang
+    try:
+        return (locale_mod.getlocale()[0] or "en").split("_")[0]
+    except ValueError:
+        return "en"
+
+
+def current_catalog(language: str = "") -> dict:
+    """msgid -> msgstr map for ``language`` (the web client fetches this
+    via GET /api/i18n and localizes its UI strings)."""
+    language = language or current_language()
+    for root in locale_dirs():
+        for lang in (language, language.split("_")[0]):
+            po = root / lang / "LC_MESSAGES" / "invesalius3_tpu.po"
+            if po.is_file():
+                cat = parse_po(po.read_text(encoding="utf-8"))
+                cat.pop("", None)
+                return cat
+    return {}

@@ -422,6 +422,60 @@ class DicomGroup:
         f = files[0]
         return float(f.get("SpacingBetweenSlices") or f.get("SliceThickness") or 1.0)
 
+    def preview_info(self) -> dict:
+        """Series metadata for an import UI row (reference
+        dicom_preview_panel.py consumes the Parser fields collected at
+        dicom_reader.py:86-140)."""
+        f = self.sorted_files()[len(self.files) // 2]
+        return {
+            "patient_name": str(f.get("PatientName", "") or ""),
+            "patient_id": str(f.get("PatientID", "") or ""),
+            "study_description": str(f.get("StudyDescription", "") or ""),
+            "series_description": str(f.get("SeriesDescription", "") or ""),
+            "series_uid": str(f.get("SeriesInstanceUID", "") or ""),
+            "modality": str(f.get("Modality", "") or ""),
+            "n_slices": len(self.files),
+            "rows": int(f.get("Rows") or 0),
+            "columns": int(f.get("Columns") or 0),
+            "z_spacing": self.z_spacing(),
+            "acquisition_date": str(f.get("AcquisitionDate", "") or ""),
+        }
+
+    def thumbnail(self, index: Optional[int] = None, size: int = 64,
+                  window: Optional[Tuple[float, float]] = None) -> np.ndarray:
+        """Windowed, downscaled (size, size) uint8 preview of one slice
+        (reference dicom_reader.py:86 builds a wx bitmap per file via
+        imagedata_utils.py:260; here it's a plain array for any UI).
+
+        ``window`` = (ww, wl); defaults to the file's stored WW/WL, else
+        the slice min/max.
+        """
+        files = self.sorted_files()
+        f = files[len(files) // 2 if index is None else index]
+        img = f.pixel_array().astype(np.float32)
+        if img.ndim == 3:  # multiframe: middle frame
+            img = img[img.shape[0] // 2]
+        slope = float(f.get("RescaleSlope") or 1.0)
+        inter = float(f.get("RescaleIntercept") or 0.0)
+        img = img * slope + inter
+        if window is None:
+            ww, wl = f.get("WindowWidth"), f.get("WindowCenter")
+            if isinstance(ww, (list, tuple)):
+                ww = ww[0]
+            if isinstance(wl, (list, tuple)):
+                wl = wl[0]
+            if not ww:
+                lo, hi = float(img.min()), float(img.max())
+                ww, wl = max(hi - lo, 1.0), (hi + lo) / 2.0
+        else:
+            ww, wl = window
+        lo = float(wl) - float(ww) / 2.0
+        u8 = np.clip((img - lo) / max(float(ww), 1.0) * 255.0, 0, 255)
+        # strided decimation (nearest) to <= size in each dim
+        sy = max(1, u8.shape[0] // size)
+        sx = max(1, u8.shape[1] // size)
+        return u8[::sy, ::sx].astype(np.uint8)
+
 
 def group_dicom_files(files: List[DicomFile]) -> List[DicomGroup]:
     """Group by patient / series / orientation / shape (reference

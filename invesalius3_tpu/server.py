@@ -84,6 +84,15 @@ class AppState:
         self.recent_events.append({"topic": topic, "data": data})
         self.recent_events = self.recent_events[-200:]
 
+    def dicom_groups(self, directory):
+        """Scan + cache DICOM series for the import endpoints."""
+        cache = getattr(self, "_dicom_cache", None)
+        if cache is None or cache[0] != directory:
+            from invesalius3_tpu.io import dicom as dcm
+
+            self._dicom_cache = (directory, dcm.load_dicom_dir(directory))
+        return self._dicom_cache[1]
+
 
 def _jsonable_shallow(kw: dict) -> dict:
     out = {}
@@ -217,6 +226,23 @@ def make_handler(state: AppState):
                         "versions": [lbl for lbl, _ in slc.image_versions],
                         "current": slc.current_image_label,
                     })
+                elif url.path == "/api/dicom/scan":
+                    # import-UI support (reference import_panel.py +
+                    # dicom_preview_panel.py): series tree w/ metadata
+                    from invesalius3_tpu.io import dicom as dcm
+
+                    groups = state.dicom_groups(q["dir"])
+                    self._json([g.preview_info() for g in groups])
+                elif url.path == "/api/dicom/thumb":
+                    groups = state.dicom_groups(q["dir"])
+                    uid = q.get("series")
+                    sel = [g for g in groups
+                           if g.preview_info()["series_uid"] == uid]
+                    g = sel[0] if sel else groups[int(q.get("index", 0))]
+                    u8 = g.thumbnail(
+                        index=int(q["slice"]) if "slice" in q else None,
+                        size=int(q.get("size", 64)))
+                    self._png(np.stack([u8] * 3, axis=-1))
                 elif url.path == "/api/i18n":
                     from invesalius3_tpu.utils import i18n as i18n_mod
 

@@ -573,3 +573,25 @@ def test_repo_inv3_fixture_matches_reference_layout():
     for key in ("index", "name", "colour", "polydata", "transparency",
                 "visible", "volume", "area"):
         assert key in surf_info, key
+
+
+def test_dicom_series_preview_and_thumbnail(tmp_path):
+    """Import-UI support: series metadata + windowed thumbnails (reference
+    dicom_reader.py:86 thumbnail creation, dicom_preview_panel.py)."""
+    _make_series(tmp_path, n=5)
+    g = dicom.load_dicom_dir(tmp_path)[0]
+    info = g.preview_info()
+    assert info["n_slices"] == 5
+    assert info["rows"] == 16 and info["columns"] == 16
+    assert info["z_spacing"] == 2.0
+    assert info["series_uid"]
+
+    th = g.thumbnail(size=8)
+    assert th.dtype == np.uint8 and th.shape == (8, 8)
+    th_full = g.thumbnail(size=64)  # smaller than 64 -> native res kept
+    assert th_full.shape == (16, 16)
+    # explicit window changes the mapping
+    a = g.thumbnail(size=16, window=(1, -2000))
+    b = g.thumbnail(size=16, window=(4000, 0))
+    assert not np.array_equal(a, b)
+    assert a.max() == 255  # everything above the tiny window saturates

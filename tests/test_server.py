@@ -256,3 +256,19 @@ def test_client_static_files_consistent():
            "server.py").read_text()
     for ep in set(re.findall(r'"(/api/[\w/]+)"', js)):
         assert ep in srv, f"client calls unrouted endpoint {ep}"
+
+
+def test_dicom_import_endpoints(server, tmp_path):
+    from tests.test_io import _make_series
+
+    _make_series(tmp_path, n=4)
+    import urllib.parse
+
+    d = urllib.parse.quote(str(tmp_path))
+    _, _, body = _get(server, f"/api/dicom/scan?dir={d}")
+    series = json.loads(body)
+    assert len(series) == 1 and series[0]["n_slices"] == 4
+    code, ctype, png = _get(server,
+                            f"/api/dicom/thumb?dir={d}&size=16"
+                            f"&series={series[0]['series_uid']}")
+    assert code == 200 and png[:4] == b"\x89PNG"

@@ -95,13 +95,13 @@ def main() -> None:
 
         out = os.path.join(tempfile.gettempdir(), "bench_out.stl")
         if sharded:
-            # 3s. Z-sharded extraction + on-device stitch over the mesh
+            # 3s. Z-sharded extraction + fused sharded ca-smoothing
             from invesalius3_tpu.parallel import sharded_ops
 
             verts, faces = sharded_ops.sharded_mask_to_surface(
-                zmesh, mask, spacing=(0.5, 0.5, 0.5))
-            smoothed = mesh_ops.ca_smoothing(verts, faces, 0.7, 3.0, 0.5, 10)
-            mesh_io.write_stl(out, smoothed, faces)
+                zmesh, mask, spacing=(0.5, 0.5, 0.5),
+                smooth={"t": 0.7, "tmax": 3.0, "bmin": 0.5, "n_iters": 10})
+            mesh_io.write_stl(out, verts, faces)
             return verts, faces, out
         # 3. fused device pipeline: marching -> ca smoothing -> streamed
         # STL (no host mesh at all; transfer/pack/write overlap)

@@ -364,6 +364,36 @@ def _staircase_core_3t(normals3f, faces3t, n_vertices_pad, t, stack_orientation)
     return has_face & flag
 
 
+@partial(jax.jit, static_argnames=("V",))
+def _staircase_minmax_3t(normals3f, faces3t, V: int, stack_orientation=None):
+    """Per-vertex (vmax (3 axes, V), vmin (3, V)) of the staircase
+    off-axis measure — the raw accumulators behind _staircase_core_3t's
+    range test.  The sharded pipeline needs them separately: the flag is
+    ``max - min >= t`` over ALL incident faces, so shard-boundary vertices
+    must combine accumulators across shards before thresholding (a
+    boolean OR of per-side flags misses split ranges)."""
+    if stack_orientation is None:
+        stack_orientation = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+    axes = jnp.stack([
+        stack_orientation,
+        jnp.asarray([0.0, 1.0, 0.0], jnp.float32),
+        jnp.asarray([1.0, 0.0, 0.0], jnp.float32),
+    ])
+    of = 1.0 - jnp.abs(axes @ normals3f)  # (3 axes, F)
+    vmaxs = []
+    vmins = []
+    for a in range(3):
+        vmax = jnp.full((V,), -jnp.inf)
+        vmin = jnp.full((V,), jnp.inf)
+        for c in range(3):
+            idx = faces3t[c]
+            vmax = vmax.at[idx].max(of[a])
+            vmin = vmin.at[idx].min(of[a])
+        vmaxs.append(vmax)
+        vmins.append(vmin)
+    return jnp.stack(vmaxs), jnp.stack(vmins)
+
+
 # ---------------------------------------------------------------------------
 # Adjacency from the marching dedup-sort byproducts (no extra lexsort)
 # ---------------------------------------------------------------------------
@@ -381,10 +411,12 @@ def _max_group_size(group_of_sorted: jax.Array, sorted_valid: jax.Array):
     return jnp.max(deg)
 
 
-@partial(jax.jit, static_argnames=("T", "n_verts_pad", "max_deg", "out_deg"))
+@partial(jax.jit, static_argnames=("T", "n_verts_pad", "max_deg", "out_deg",
+                                   "return_raw"))
 def _adjacency_from_sorted_corners(inverse, order, group_of_sorted,
                                    sorted_valid, T: int, n_verts_pad: int,
-                                   max_deg: int, out_deg: int = None):
+                                   max_deg: int, out_deg: int = None,
+                                   return_raw: bool = False):
     """Deduplicated (max_deg, V) neighbor table + degrees, built from the
     vertex-dedup sort the marching stage already paid for.
 
@@ -430,6 +462,13 @@ def _adjacency_from_sorted_corners(inverse, order, group_of_sorted,
     if out_deg is not None:  # trim pow2 padding rows: smoothing gathers
         dedup = dedup[:out_deg]  # scale with the REAL max degree
     deg = jnp.zeros((V + 1,), jnp.int32).at[g].max(pos + 1)[:V]
+    if return_raw:
+        # undeduped entries (2 per incident corner): what shard-boundary
+        # ring vertices need — their local fans are OPEN, so the
+        # pair-dedup assumption breaks there; summing raw entries from
+        # both shards counts every true neighbor exactly twice
+        # (parallel/sharded_ops.py fused smoothing).
+        return dedup, deg, table
     return dedup, deg
 
 

@@ -302,7 +302,7 @@ def sharded_watershed(mesh: Mesh, connectivity: int = 6,
 
 def sharded_mask_to_surface(mesh: Mesh, mask: jax.Array,
                             spacing: Tuple[float, float, float] = (1.0, 1.0, 1.0),
-                            axis_name: str = "z"):
+                            axis_name: str = "z", smooth: dict | None = None):
     """Full surface extraction over a Z-sharded mask: each shard runs the
     marching-tet stages on its slab (+1-slice halo) with *global* lattice
     keys, dedups locally, and the shards stitch on device by the
@@ -420,6 +420,7 @@ def sharded_mask_to_surface(mesh: Mesh, mask: jax.Array,
         # classify each vertex (group): orphan (key -1), lower-boundary
         # duplicate (an in-plane edge in my first plane), or own
         ks = keys_m[order]
+        sorted_valid_l = ks >= 0
         new_group = jnp.concatenate([
             jnp.ones((1,), jnp.bool_), gos[1:] != gos[:-1]])
         M = gos.shape[0]
@@ -474,20 +475,216 @@ def sharded_mask_to_surface(mesh: Mesh, mask: jax.Array,
 
         faces_global = final_id[inverse_d]  # (M,) corner-major
 
-        # own vertices compacted into a max_out bucket, key-ordered
-        verts_own = jnp.zeros((3, M), jnp.float32).at[
-            :, jnp.where(g_own, own_rank, M - 1)].set(
-            jnp.where(g_own, verts_d, 0.0), mode="drop")
+        if smooth is None:
+            # own vertices compacted into a max_out bucket, key-ordered
+            verts_own = jnp.zeros((3, M), jnp.float32).at[
+                :, jnp.where(g_own, own_rank, M - 1)].set(
+                jnp.where(g_own, verts_d, 0.0), mode="drop")
+            checks = jnp.stack([n_own, n_tris_l, n_up,
+                                jnp.sum(g_dup.astype(jnp.int32)), n_groups])
+            return (verts_own[None], faces_global[None], checks[None])
+
+        # -- fused Z-sharded ca-smoothing (reference surface_process.py:
+        # 270-319 ca_smoothing; single-device twin ops/mesh.py
+        # ca_smoothing_device).  All mesh state stays per-shard; boundary
+        # vertices are synchronized through the same key-ordered BOUND
+        # buckets the id stitch uses.
+        from invesalius3_tpu.ops import mesh as mo
+
+        t_ = jnp.float32(smooth.get("t", 0.7))
+        tmax_ = float(smooth.get("tmax", 3.0))
+        bmin_ = float(smooth.get("bmin", 0.5))
+        n_iters = int(smooth.get("n_iters", 10))
+        sx, sy, sz = spacing
+        V = max_tris  # static vertex bucket (closed mesh: n_verts < n_tris)
+        MAXD = 16     # marching-tet vertex degree bound; checked on host
+
+        def pfwd(x):  # shard s -> s+1 (dup side -> owner side)
+            return jax.lax.ppermute(
+                x, axis_name, [(i, (i + 1) % n_shards) for i in range(n_shards)])
+
+        def pbwd(x):  # owner side -> dup side
+            return jax.lax.ppermute(
+                x, axis_name, [(i, (i - 1) % n_shards) for i in range(n_shards)])
+
+        # world frame + winding identical to marching._finalize_device
+        # (padded-frame voxel -> world mm, minus the one-voxel pad shift)
+        verts3v = jnp.stack([(verts_d[2] - 1.0) * sx, (verts_d[1] - 1.0) * sy,
+                             (verts_d[0] - 1.0) * sz])[:, :V]
+        faces3t = inverse_d.reshape(3, max_tris)[::-1]
+
+        # 1. staircase flags.  The flag is a RANGE test (max - min of the
+        #    off-axis measure over ALL incident faces >= t), so shard-
+        #    boundary vertices exchange their (vmax, vmin) accumulators
+        #    and re-threshold on the combined range — a boolean OR of
+        #    per-side flags would miss ranges split across the boundary.
+        normals3f = mo._face_normals_3t(verts3v, faces3t)
+        vmax3, vmin3 = mo._staircase_minmax_3t(normals3f, faces3t, V)
+        dup_v = g_dup[:V]
+        lower_v = g_lower[:V]
+        dup_rank_v = jnp.clip(dup_rank[:V], 0, BOUND - 1)
+        lo_rank_v = jnp.clip(lo_rank[:V], 0, BOUND - 1)
+        mm_bucket = jnp.zeros((6, BOUND), jnp.float32).at[
+            :, jnp.where(dup_v, dup_rank_v, BOUND - 1)].set(
+            jnp.where(dup_v,
+                      jnp.concatenate([vmax3, -vmin3], axis=0),
+                      -jnp.inf), mode="drop")
+        recv_mm = pfwd(mm_bucket)
+        take = (lower_v & (idx > 0))[None]
+        vmax3 = jnp.maximum(vmax3, jnp.where(take, recv_mm[:3, lo_rank_v],
+                                             -jnp.inf))
+        vmin3 = jnp.minimum(vmin3, jnp.where(take, -recv_mm[3:, lo_rank_v],
+                                             jnp.inf))
+        flagged = (jnp.isfinite(vmax3[0])
+                   & jnp.any(vmax3 - vmin3 >= t_, axis=0)).astype(jnp.uint8)
+
+        # 2. weights: rasterize flagged verts into the local Z slab
+        #    (+overflow ghost row folded into the next shard), chamfer with
+        #    per-pass ghost-plane refresh — exactly the global operator —
+        #    then sample.
+        zi = jnp.clip(jnp.round(verts_d[0, :V]).astype(jnp.int32) - z0 + 1,
+                      0, Zs + 1)
+        yi = jnp.clip(jnp.round(verts_d[1, :V]).astype(jnp.int32), 0, Yp - 1)
+        xi = jnp.clip(jnp.round(verts_d[2, :V]).astype(jnp.int32), 0, Xp - 1)
+        seed_ok = (flagged > 0) & is_vert[:V]
+        lin = jnp.where(seed_ok, (zi * Yp + yi) * Xp + xi, 0)
+        val = jnp.where(seed_ok, 0.0, jnp.inf)
+        grid = jnp.full(((Zs + 2) * Yp * Xp,), jnp.inf, jnp.float32).at[
+            lin].min(val).reshape(Zs + 2, Yp, Xp)
+        inf_row = jnp.full((1, Yp, Xp), jnp.inf, jnp.float32)
+        fold = pfwd(grid[Zs + 1:Zs + 2])
+        grid = grid.at[1:2].min(jnp.where(idx == 0, inf_row, fold))
+
+        offs26 = [(dz, dy, dx) for dz in (-1, 0, 1) for dy in (-1, 0, 1)
+                  for dx in (-1, 0, 1) if (dz, dy, dx) != (0, 0, 0)]
+        costs26 = [float(np.sqrt((dz * sz) ** 2 + (dy * sy) ** 2
+                                 + (dx * sx) ** 2)) for dz, dy, dx in offs26]
+        steps = min(16, int(np.ceil(tmax_ / min(spacing))))
+
+        def refresh_ghosts(g):
+            prev_g = pfwd(g[Zs:Zs + 1])       # prev shard's last real row
+            next_g = pbwd(g[1:2])             # next shard's first real row
+            g = g.at[0:1].set(jnp.where(idx == 0, inf_row, prev_g))
+            return g.at[Zs + 1:Zs + 2].set(
+                jnp.where(idx == n_shards - 1, g[Zs + 1:Zs + 2], next_g))
+
+        def shifted(g, dz, dy, dx):
+            pad = [(max(dz, 0), max(-dz, 0)), (max(dy, 0), max(-dy, 0)),
+                   (max(dx, 0), max(-dx, 0))]
+            p = jnp.pad(g, pad, constant_values=jnp.inf)
+            Zl, Yl, Xl = g.shape
+            return p[max(-dz, 0):max(-dz, 0) + Zl,
+                     max(-dy, 0):max(-dy, 0) + Yl,
+                     max(-dx, 0):max(-dx, 0) + Xl]
+
+        for _ in range(steps):
+            grid = refresh_ghosts(grid)
+            out = grid
+            for (dz, dy, dx), cst in zip(offs26, costs26):
+                out = jnp.minimum(out, shifted(grid, dz, dy, dx) + cst)
+            grid = out
+        grid = refresh_ghosts(grid)
+        dist = grid.reshape(-1)[(zi * Yp + yi) * Xp + xi]
+        w = (1.0 - dist / tmax_) * (1.0 - bmin_) + bmin_
+        weights = jnp.where(dist <= tmax_, w, bmin_).astype(jnp.float32)
+
+        # 3. local adjacency from the dedup-sort byproducts.  Interior
+        #    vertices have closed local fans (all their triangles are in
+        #    this shard) so the pair-dedup table is exact for them; the
+        #    raw (undeduped) table feeds the boundary ring, where local
+        #    fans are open and pair-dedup would drop rim neighbors.
+        neigh_dv, deg, raw_table = mo._adjacency_from_sorted_corners(
+            inverse_d, order, gos, sorted_valid_l,
+            max_tris, V, MAXD, out_deg=MAXD, return_raw=True)
+        mg = mo._max_group_size(gos, sorted_valid_l)
+        D2 = raw_table.shape[0]
+
+        # 4. weighted Taubin with cross-boundary ring exchange.  Summing
+        #    RAW incidence entries from BOTH shards counts every true
+        #    neighbor of a ring vertex exactly twice (each mesh edge lies
+        #    in two triangles; for in-plane edges one triangle per side,
+        #    for others both on one side) — so ring mean = (raw_own +
+        #    raw_recv) / (2 deg), no in-plane bookkeeping needed.
+        rows_valid = jnp.arange(MAXD)[:, None] < deg[None, :]
+
+        def ring_ids_of(mask_v, rank_v):
+            return jnp.full((BOUND,), V, jnp.int32).at[
+                jnp.where(mask_v, rank_v, BOUND - 1)].set(
+                jnp.where(mask_v, jnp.arange(V, dtype=jnp.int32), V),
+                mode="drop")
+
+        lower_ids = ring_ids_of(lower_v, lo_rank_v)  # (BOUND,) vert id | V
+        dup_ids = ring_ids_of(dup_v, dup_rank_v)
+        raw_lower = raw_table[:, jnp.minimum(lower_ids, V - 1)]  # (D2, B)
+        raw_dup = raw_table[:, jnp.minimum(dup_ids, V - 1)]
+        inc_lower = jnp.where(lower_ids < V, deg[jnp.minimum(lower_ids, V - 1)], 0)
+        inc_dup = jnp.where(dup_ids < V, deg[jnp.minimum(dup_ids, V - 1)], 0)
+        rows2 = jnp.arange(D2)[:, None]
+        raw_lower_ok = rows2 < 2 * inc_lower[None, :]
+        raw_dup_ok = rows2 < 2 * inc_dup[None, :]
+        w_lower = jnp.where(lower_ids < V,
+                            weights[jnp.minimum(lower_ids, V - 1)], 0.0)
+
+        def raw_sum(v, tbl, ok):
+            nb = v[:, jnp.minimum(tbl, V - 1)]  # (3, D2, B)
+            s = jnp.sum(nb * ok[None], axis=1)
+            return jnp.concatenate(
+                [s, jnp.sum(ok, axis=0)[None].astype(jnp.float32)], axis=0)
+
+        def pass_(v, factor):
+            # interior update from the dedup'd table
+            nb = v[:, jnp.minimum(neigh_dv, V - 1)]          # (3, D, V)
+            local_sum = jnp.sum(nb * rows_valid[None], axis=1)
+            cnt = jnp.maximum(deg.astype(jnp.float32), 1.0)
+            d = v - local_sum / cnt[None]
+            v_new = v + weights[None] * factor * d
+            # ring update: raw halves from both sides
+            own_half = raw_sum(v, raw_lower, raw_lower_ok)   # (4, B)
+            dup_half = raw_sum(v, raw_dup, raw_dup_ok)
+            recv = pfwd(dup_half)
+            recv = jnp.where(idx == 0, jnp.zeros_like(recv), recv)
+            tot = own_half + recv
+            ring_cnt = jnp.maximum(tot[3], 1.0)
+            ring_mean = tot[:3] / ring_cnt[None]
+            ring_pos = v[:, jnp.minimum(lower_ids, V - 1)]
+            ring_new = ring_pos + w_lower[None] * factor * (ring_pos - ring_mean)
+            ring_ok = lower_ids < V
+            v_new = v_new.at[:, jnp.minimum(lower_ids, V - 1)].set(
+                jnp.where(ring_ok[None], ring_new,
+                          v_new[:, jnp.minimum(lower_ids, V - 1)]))
+            # owner's updated ring positions -> dup copies
+            rp = pbwd(ring_new)
+            return jnp.where(dup_v[None] & (idx < n_shards - 1),
+                             rp[:, dup_rank_v], v_new)
+
+        lam, mu = jnp.float32(0.5), jnp.float32(-0.53)
+
+        def one_iter(v, _):
+            v = pass_(v, lam)
+            v = pass_(v, mu)
+            return v, None
+
+        verts_sm, _ = jax.lax.scan(one_iter, verts3v, None, length=n_iters)
+
+        own_v = g_own[:V]
+        own_rank_v = own_rank[:V]
+        verts_own = jnp.zeros((3, V), jnp.float32).at[
+            :, jnp.where(own_v, own_rank_v, V - 1)].set(
+            jnp.where(own_v, verts_sm, 0.0), mode="drop")
         checks = jnp.stack([n_own, n_tris_l, n_up,
-                            jnp.sum(g_dup.astype(jnp.int32))])
+                            jnp.sum(g_dup.astype(jnp.int32)),
+                            n_groups, mg])
         return (verts_own[None], faces_global[None], checks[None])
 
     f = jax.jit(shard_map(
         extract_local, mesh=mesh, in_specs=(spec,),
         out_specs=(P(axis_name), P(axis_name), P(axis_name))))
     verts_sh, faces_sh, checks = f(maskp)
-    checks = np.asarray(checks)  # (S, 4): n_own, n_tris, n_up, n_dup
+    checks = np.asarray(checks)  # (S, k): n_own, n_tris, n_up, n_dup, ...
     assert checks[:, 2].max() < BOUND, "boundary bucket overflow"
+    if smooth is not None:
+        assert checks[:, 4].max() <= max_tris, "vertex bucket overflow"
+        assert checks[:, 5].max() <= 16, "vertex degree exceeds MAXD=16"
 
     # host assembly in shard order = global key order
     T = max_tris
@@ -496,15 +693,17 @@ def sharded_mask_to_surface(mesh: Mesh, mask: jax.Array,
     for s in range(n_shards):
         vo = np.asarray(verts_sh[s])[:, :checks[s, 0]]
         verts_parts.append(vo)
-    verts_zyx = np.concatenate(verts_parts, axis=1).T  # (V, 3) zyx, padded frame
+    verts_cat = np.concatenate(verts_parts, axis=1).T  # (V, 3)
     faces_parts = []
     for s in range(n_shards):
         inv = np.asarray(faces_sh[s]).reshape(3, T)[:, :checks[s, 1]]
         faces_parts.append(inv.T)
     faces = np.concatenate(faces_parts, axis=0).astype(np.int32)
 
-    world = np.stack([verts_zyx[:, 2] * sx, verts_zyx[:, 1] * sy,
-                      verts_zyx[:, 0] * sz], axis=1).astype(np.float32)
+    if smooth is not None:  # already world-frame (x, y, z) smoothed
+        return np.ascontiguousarray(verts_cat.astype(np.float32)), faces[:, ::-1]
+    world = np.stack([verts_cat[:, 2] * sx, verts_cat[:, 1] * sy,
+                      verts_cat[:, 0] * sz], axis=1).astype(np.float32)
     # remove the one-voxel pad offset (Y/X pad + the conceptual leading
     # empty Z plane that the halo of shard 0 provides)
     world -= np.array([sx, sy, sz], np.float32)

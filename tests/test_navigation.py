@@ -530,3 +530,79 @@ def test_navigation_pipeline_on_replayed_capture():
     assert coords[0, 0] in [p[0][0] * 10.0 for p in poses]
     assert coords[0, 2] < 0
     t.disconnect()
+
+
+# ---------------------------------------------------------------------------
+# mTMS offset -> stimulation-parameter mapping (reference mtms.py:11-127)
+# ---------------------------------------------------------------------------
+
+
+def _write_pp_file(path, offsets):
+    lines = [f"# header {i}" for i in range(18)]
+    for off in offsets:
+        key = "_".join(str(int(x)) for x in off)
+        lines.append(f"{key}\tcap1\tcap2")
+    path.write_text("\n".join(lines) + "\n")
+
+
+def test_mtms_offset_quantization():
+    from invesalius3_tpu.navigation.mtms import offset_from_distance
+
+    # GetOffset: [-round(dy), round(dx), round(rz/15)*15]
+    assert offset_from_distance([2.4, -1.6, 0, 0, 0, 22.4]) == (2, 2, 15)
+    assert offset_from_distance([0.0, 0.0, 0, 0, 0, -8.0]) == (0, 0, -15)
+    assert offset_from_distance([-3.0, 1.2, 0, 0, 0, 0.0]) == (-1, -3, 0)
+
+
+def test_mtms_parameter_lookup_and_pulse(tmp_path):
+    from invesalius3_tpu.navigation.mtms import MTMS
+
+    pp = tmp_path / "pp_grid.txt"
+    grid = [(x, y, r) for x in (-2, -1, 0, 1, 2)
+            for y in (-2, -1, 0, 1, 2) for r in (-15, 0, 15)]
+    _write_pp_file(pp, grid)
+
+    fired = []
+    m = MTMS(bus=events.Publisher(), parameter_file=pp,
+             device=lambda row, inten: fired.append((row, inten)))
+    assert m.available
+    assert len(m.keys) == len(grid)
+
+    coil = [10.0, 20.0, 30.0, 0.0, 0.0, 0.0]
+    target = [11.0, 22.0, 30.0, 0.0, 0.0, 0.0]  # dx=1 dy=2 (pre-flip)
+    off = m.get_offset(coil, target)
+    key, row = m.find_parameters(off)
+    assert row is not None and m.keys[row] == key
+
+    assert m.update_target(coil, target)
+    assert fired and fired[0][0] == row + 1  # 1-based device row
+    assert m.sequence_log[0]["mTMS_target"] == key
+
+    # off-grid target refused
+    far = [60.0, 20.0, 30.0, 0.0, 0.0, 0.0]
+    assert not m.update_target(coil, far)
+    assert not m.check_targets(coil, [target, far])
+    assert m.check_targets(coil, [target])
+
+
+def test_mtms_sequence_and_log(tmp_path):
+    import random
+
+    from invesalius3_tpu.navigation.mtms import MTMS
+
+    pp = tmp_path / "pp.txt"
+    _write_pp_file(pp, [(x, y, 0) for x in range(-3, 4) for y in range(-3, 4)])
+    fired = []
+    m = MTMS(bus=events.Publisher(), parameter_file=pp,
+             device=lambda row, inten: fired.append(row))
+    coil = [0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    targets = [[1.0, 0.0, 0.0, 0, 0, 0], [0.0, 2.0, 0.0, 0, 0, 0]]
+    sleeps = []
+    ok = m.update_target_sequence(coil, targets, number_of_stim=3,
+                                  rng=random.Random(0),
+                                  sleep=sleeps.append)
+    assert ok and len(fired) == 6 and len(sleeps) == 6
+    assert all(3.0 <= s < 5.0 for s in sleeps)  # jittered IPI
+    out = m.save_sequence(tmp_path)
+    rows = out.read_text().strip().split("\n")
+    assert len(rows) == 7 and rows[0].startswith("mTMS_target")

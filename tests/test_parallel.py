@@ -248,3 +248,39 @@ def test_sharded_watershed_empty_shards_and_barriers(zmesh):
     got = np.asarray(run(vol, markers, algorithm="Watershed (IFT)"))
     assert (got != want).mean() == 0.0
     assert set(np.unique(got)) == {-1, 1, 2}
+
+
+def test_sharded_smoothed_pipeline_matches_single_device(zmesh):
+    """Full fused pipeline (extraction + ca-smoothing) sharded vs the
+    single-device device pipeline, at a multi-bucket shape with empty
+    shards (VERDICT r2 items 1+3): same face set, verts equal to float
+    noise."""
+    import dataclasses
+
+    from invesalius3_tpu.ops import marching, mesh as mesh_ops
+
+    n = 64
+    zz, yy, xx = np.mgrid[:n, :n, :n]
+    r = np.sqrt((zz - 32) ** 2 + (yy - 32) ** 2 + (xx - 32) ** 2)
+    mask = ((r < 22) & (r > 14)).astype(np.uint8) * 255
+    mask[40:, :, :] = 0  # shards 5..7 empty
+
+    dm = marching.mask_to_surface_device(jnp.asarray(mask),
+                                         spacing=(0.5, 0.5, 0.5))
+    out3v = mesh_ops.ca_smoothing_device(dm, 0.7, 3.0, 0.5, 10)
+    vs, fs = marching.mesh_to_host(
+        dataclasses.replace(dm, verts3v=out3v), fp16=False)
+
+    v2, f2 = sharded_ops.sharded_mask_to_surface(
+        zmesh, mask, spacing=(0.5, 0.5, 0.5),
+        smooth={"t": 0.7, "tmax": 3.0, "bmin": 0.5, "n_iters": 10})
+
+    assert v2.shape == vs.shape and f2.shape == fs.shape
+    used = np.zeros(len(vs), bool)
+    used[np.asarray(fs).ravel()] = True
+    err = np.abs(vs - v2).max(axis=1)
+    assert err[used].max() < 1e-4, f"smoothed verts diverge: {err[used].max()}"
+    # same triangle set (slab-major vs tet-major emission order differs)
+    A = {tuple(sorted(f)) for f in fs.tolist()}
+    B = {tuple(sorted(f)) for f in f2.tolist()}
+    assert A == B

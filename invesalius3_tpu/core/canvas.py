@@ -225,6 +225,54 @@ def draw_cross(img, center, colour=(0, 255, 0), size: int = 6,
         draw_line(img, (cx, cy + d * gap), (cx, cy + d * (gap + size)), colour)
 
 
+def draw_ruler(img, px_per_mm: float, colour=(255, 255, 255)) -> None:
+    """On-screen mm scale bar (reference data/ruler.py: left-edge ruler
+    sized to a round number of mm for the current zoom).
+
+    Picks the largest of 10/20/50/100 mm that fits a third of the image
+    height, draws it with end ticks and a label along the left edge.
+    """
+    h = img.shape[0]
+    for mm in (100, 50, 20, 10, 5, 2, 1):
+        bar = mm * px_per_mm
+        if bar <= h / 3 and bar >= 8:
+            break
+    else:
+        return
+    x = 10
+    y0 = (h - bar) / 2
+    y1 = y0 + bar
+    draw_line(img, (x, y0), (x, y1), colour)
+    draw_line(img, (x - 3, y0), (x + 3, y0), colour)
+    draw_line(img, (x - 3, y1), (x + 3, y1), colour)
+    draw_text(img, (x + 5, (y0 + y1) / 2 - 4), f"{mm} MM", colour,
+              background=None)
+
+
+# per-orientation edge letters: (top, bottom, left, right) as seen in the
+# rendered array (reference data/orientation.py + viewer_slice directional
+# annotations; radiological convention: patient left on screen right)
+_ORIENT_LABELS = {
+    "AXIAL": ("A", "P", "R", "L"),
+    "CORONAL": ("S", "I", "R", "L"),
+    "SAGITAL": ("S", "I", "A", "P"),
+}
+
+
+def draw_orientation_labels(img, orientation: str,
+                            colour=(255, 220, 90)) -> None:
+    """Anatomical direction letters on the four slice edges."""
+    labels = _ORIENT_LABELS.get(orientation)
+    if labels is None:
+        return
+    h, w = img.shape[:2]
+    top, bottom, left, right = labels
+    draw_text(img, (w / 2 - 2, 2), top, colour, background=None)
+    draw_text(img, (w / 2 - 2, h - 10), bottom, colour, background=None)
+    draw_text(img, (2, h / 2 - 4), left, colour, background=None)
+    draw_text(img, (w - 8, h / 2 - 4), right, colour, background=None)
+
+
 # ---------------------------------------------------------------------------
 # measure compositing
 # ---------------------------------------------------------------------------

@@ -115,7 +115,9 @@ class Slice:
                            slabs: Optional[int] = None,
                            measures=None,
                            crop_box=None,
-                           cross=None, **kw) -> np.ndarray:
+                           cross=None,
+                           ruler: bool = False,
+                           orientation_labels: bool = False, **kw) -> np.ndarray:
         """WW/WL-mapped RGB of a slice + mask overlay — the 2D viewer's
         per-frame path (reference do_ww_wl + do_blend).  The optional
         overrides are request-local: they never mutate the shared state.
@@ -138,7 +140,8 @@ class Slice:
             rgb = rgb.astype(np.float32)
             rgb[vis] = rgb[vis] * (1 - op) + colour * op
             rgb = rgb.astype(np.uint8)
-        if measures is not None or crop_box is not None or cross is not None:
+        if (measures is not None or crop_box is not None or cross is not None
+                or ruler or orientation_labels):
             from invesalius3_tpu.core import canvas
 
             if not rgb.flags.writeable:  # np view of a jax buffer
@@ -151,6 +154,14 @@ class Slice:
                 for m in items:
                     canvas.draw_measure(rgb, m, orientation, slice_number,
                                         self.spacing)
+            if ruler:
+                sx, sy, sz = self.spacing
+                # pixel pitch of the rendered row axis for this orientation
+                px_per_mm = 1.0 / {"AXIAL": sy, "CORONAL": sz,
+                                   "SAGITAL": sz}.get(orientation, sy)
+                canvas.draw_ruler(rgb, px_per_mm)
+            if orientation_labels:
+                canvas.draw_orientation_labels(rgb, orientation)
             if cross is not None:
                 canvas.draw_cross(rgb, cross)
         return rgb

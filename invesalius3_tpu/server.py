@@ -208,6 +208,8 @@ def make_handler(state: AppState):
                         crop_box=(state.crop_box
                                   if q.get("overlays") != "0" else None),
                         cross=cross,
+                        ruler=q.get("ruler") == "1",
+                        orientation_labels=q.get("labels") == "1",
                     )
                     self._png(rgb)
                 elif url.path == "/api/measures":

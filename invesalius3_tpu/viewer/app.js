@@ -77,7 +77,8 @@ function paneIndexOf(orient, [z, y, x]) {
 function sliceURL(orient) {
   const i = state.idx[orient];
   let u = `/api/slice/${orient.toLowerCase()}/${i}?ww=${state.ww}&wl=${state.wl}` +
-          `&projection=${state.projection}&slabs=${state.slabs}&t=${state.bump}`;
+          `&projection=${state.projection}&slabs=${state.slabs}` +
+          `&ruler=1&labels=1&t=${state.bump}`;
   if (state.cross && paneIndexOf(orient, state.cross) === i) {
     const [c, r] = toPixel(orient, state.cross);
     u += `&cx=${c}&cy=${r}`;

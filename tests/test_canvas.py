@@ -136,3 +136,29 @@ def test_rendered_slice_with_overlays():
     assert not np.array_equal(base, with_crop)
     with_cross = slc.get_rendered_slice("AXIAL", 3, cross=(32, 32))
     assert not np.array_equal(base, with_cross)
+
+
+def test_ruler_and_orientation_labels():
+    img = blank(128, 128)
+    canvas.draw_ruler(img, px_per_mm=2.0)  # 20mm bar = 40px fits h/3
+    col = img[:, 10]
+    assert col.any()  # vertical bar drawn at x=10
+    assert (img[:, 15:40] == 255).any()  # "20 MM" label text
+
+    img2 = blank(64, 64)
+    canvas.draw_orientation_labels(img2, "AXIAL")
+    assert img2[:10].any() and img2[-10:].any()   # A / P
+    assert img2[:, :10].any() and img2[:, -10:].any()  # R / L
+
+
+def test_rendered_slice_ruler_labels_flags():
+    from invesalius3_tpu.core.slice import Slice
+    from invesalius3_tpu.core.volume import Volume
+
+    ct = np.zeros((4, 64, 64), np.int16)
+    slc = Slice(Volume.from_numpy(ct, spacing=(0.5, 0.5, 1.0)))
+    base = slc.get_rendered_slice("AXIAL", 2)
+    with_r = slc.get_rendered_slice("AXIAL", 2, ruler=True)
+    with_l = slc.get_rendered_slice("AXIAL", 2, orientation_labels=True)
+    assert not np.array_equal(base, with_r)
+    assert not np.array_equal(base, with_l)

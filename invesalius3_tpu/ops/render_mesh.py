@@ -1,0 +1,252 @@
+"""Surface rendering: an orthographic z-buffered triangle renderer for
+the 3D scene pane.
+
+The reference shows extracted surfaces as VTK actors in the 3D viewer
+(reference invesalius/data/viewer_volume.py:129 surface/marker/coil
+actors; actor_factory.py builds glyph meshes).  Without a GPU raster
+pipeline in this environment, the TPU-friendly formulation is
+splat-rasterization: every triangle is sampled on a barycentric lattice
+(enough samples to cover its pixel footprint) and the samples are
+z-tested with one packed scatter-min — depth in the high bits, shaded
+color in the low bits, so the winning sample per pixel carries its color
+with it.  All 1-D scatters (rule: 2-D scatters with two index vectors
+lower to serial loops on TPU).
+
+Good for interactive previews of decimated surfaces (~32 samples/tri;
+decimate above ~200k triangles first) and for navigation-scene glyphs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# barycentric sample lattice: 25 interior samples (rows of a triangular
+# grid) — covers ~5x5-pixel triangles without holes; larger triangles
+# should be decimated anyway for preview use
+_BARY = np.array([
+    (a / 5.0 + 1 / 15.0, b / 5.0 + 1 / 15.0)
+    for a in range(5) for b in range(5 - a)
+] + [(1 / 3.0, 1 / 3.0), (0.8, 0.1), (0.1, 0.8), (0.1, 0.1),
+     (0.45, 0.45), (0.45, 0.1), (0.1, 0.45), (0.6, 0.2), (0.2, 0.6),
+     (0.2, 0.2)], np.float32)
+
+
+def view_matrix(azimuth: float, elevation: float) -> np.ndarray:
+    """Camera basis (3, 3): rows = (right, up, forward) in world space."""
+    az = np.radians(azimuth)
+    el = np.radians(elevation)
+    f = np.array([np.cos(el) * np.sin(az), -np.cos(el) * np.cos(az),
+                  -np.sin(el)])  # forward (into the screen)
+    r = np.array([np.cos(az), np.sin(az), 0.0])
+    u = np.cross(r, f) * -1.0
+    return np.stack([r, u, f]).astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=("size",))
+def _splat(p0, p1, p2, shade, colour_rgb, size: int):
+    """Rasterize triangles given screen-space corners (3, T) each + per-
+    triangle shade (T,) and colour (3, T) in [0,1].  Returns (H, W, 3)
+    uint8 over black."""
+    bary = _BARY  # static numpy (S, 2): unrolled sample loop
+    S = bary.shape[0]
+    # packed int32 z-buffer: 12-bit depth above 18-bit rgb666 (jax default
+    # is 32-bit ints; 64 levels/channel is plenty for a shaded preview)
+    SENTINEL = jnp.int32(0x7FFFFFFF)
+    out = jnp.full((size * size,), SENTINEL)
+    r6 = jnp.clip(colour_rgb[0] * shade * 63.0, 0, 63).astype(jnp.int32)
+    g6 = jnp.clip(colour_rgb[1] * shade * 63.0, 0, 63).astype(jnp.int32)
+    b6 = jnp.clip(colour_rgb[2] * shade * 63.0, 0, 63).astype(jnp.int32)
+    rgb = (r6 << 12) | (g6 << 6) | b6  # (T,)
+    zmax = jnp.maximum(jnp.max(jnp.stack([p0[2], p1[2], p2[2]])), 1.0)
+    for s in range(S):
+        a, b = float(bary[s, 0]), float(bary[s, 1])
+        c = 1.0 - a - b
+        x = a * p0[0] + b * p1[0] + c * p2[0]
+        y = a * p0[1] + b * p1[1] + c * p2[1]
+        z = a * p0[2] + b * p1[2] + c * p2[2]
+        xi = jnp.round(x).astype(jnp.int32)
+        yi = jnp.round(y).astype(jnp.int32)
+        ok = (xi >= 0) & (xi < size) & (yi >= 0) & (yi < size)
+        zq = jnp.clip(z / zmax * 4095.0, 0, 4095).astype(jnp.int32)
+        packed = (zq << 18) | rgb
+        lin = jnp.where(ok, yi * size + xi, 0)
+        packed = jnp.where(ok, packed, SENTINEL)
+        out = out.at[lin].min(packed)
+    hit = out < SENTINEL
+    rgbw = jnp.where(hit, out & 0x3FFFF, 0)
+    img = jnp.stack([(rgbw >> 12) & 0x3F, (rgbw >> 6) & 0x3F, rgbw & 0x3F],
+                    axis=-1).astype(jnp.uint8) * 4
+    return img.reshape(size, size, 3)
+
+
+def render_surfaces(meshes: Sequence[Tuple[np.ndarray, np.ndarray,
+                                           Tuple[float, float, float]]],
+                    azimuth: float = 30.0, elevation: float = 20.0,
+                    size: int = 256,
+                    max_triangles: int = 200_000,
+                    light=(0.4, -0.6, -0.7),
+                    background: Tuple[int, int, int] = (17, 19, 24)
+                    ) -> np.ndarray:
+    """Render a list of (verts (V, 3) world mm, faces (F, 3), colour rgb
+    0..1) orthographically from (azimuth, elevation).  Surfaces above
+    ``max_triangles`` are decimated for the preview (the reference viewer
+    similarly relies on VTK LOD actors for interactivity)."""
+    from invesalius3_tpu.core.surface import decimate
+
+    if not meshes:
+        return np.full((size, size, 3), background, np.uint8)
+    all_v = []
+    all_f = []
+    cols = []
+    base = 0
+    for verts, faces, colour in meshes:
+        verts = np.asarray(verts, np.float32)
+        faces = np.asarray(faces, np.int64)
+        if len(faces) > max_triangles:
+            verts, faces = decimate(verts, faces,
+                                    1.0 - max_triangles / len(faces))
+            faces = np.asarray(faces, np.int64)
+        all_v.append(verts)
+        all_f.append(faces + base)
+        cols.append(np.tile(np.asarray(colour, np.float32)[:, None],
+                            (1, len(faces))))
+        base += len(verts)
+    verts = np.concatenate(all_v)
+    faces = np.concatenate(all_f)
+    colour_rgb = jnp.asarray(np.concatenate(cols, axis=1))
+
+    vm = view_matrix(azimuth, elevation)
+    center = (verts.min(0) + verts.max(0)) / 2.0
+    proj = (verts - center) @ vm.T  # (V, 3): x right, y up, z depth
+    extent = float(np.abs(proj[:, :2]).max()) * 2.1 + 1e-3
+    scale = size / extent
+    xs = proj[:, 0] * scale + size / 2.0
+    ys = size / 2.0 - proj[:, 1] * scale
+    zs = (proj[:, 2] - proj[:, 2].min()) * scale + 1.0
+
+    # adaptive screen-space subdivision: the ~35-sample lattice covers
+    # <=6 px triangles without holes; split bigger ones (glyphs and
+    # low-poly meshes project to large triangles)
+    screen = np.stack([xs, ys, zs], axis=1).astype(np.float32)  # (V, 3)
+    world = verts.astype(np.float32)
+    fc = faces
+    for _ in range(6):
+        e = np.stack([
+            np.linalg.norm(screen[fc[:, 0], :2] - screen[fc[:, 1], :2], axis=1),
+            np.linalg.norm(screen[fc[:, 1], :2] - screen[fc[:, 2], :2], axis=1),
+            np.linalg.norm(screen[fc[:, 2], :2] - screen[fc[:, 0], :2], axis=1),
+        ]).max(axis=0)
+        big = e > 6.0
+        if not big.any() or len(fc) > 2_000_000:
+            break
+        keep = fc[~big]
+        sub = fc[big]
+        nb = len(sub)
+        m01 = len(screen) + np.arange(nb)
+        m12 = m01 + nb
+        m20 = m12 + nb
+        screen = np.concatenate([
+            screen,
+            (screen[sub[:, 0]] + screen[sub[:, 1]]) / 2,
+            (screen[sub[:, 1]] + screen[sub[:, 2]]) / 2,
+            (screen[sub[:, 2]] + screen[sub[:, 0]]) / 2])
+        world = np.concatenate([
+            world,
+            (world[sub[:, 0]] + world[sub[:, 1]]) / 2,
+            (world[sub[:, 1]] + world[sub[:, 2]]) / 2,
+            (world[sub[:, 2]] + world[sub[:, 0]]) / 2])
+        quads = np.concatenate([
+            np.stack([sub[:, 0], m01, m20], 1),
+            np.stack([m01, sub[:, 1], m12], 1),
+            np.stack([m20, m12, sub[:, 2]], 1),
+            np.stack([m01, m12, m20], 1)])
+        col_keep = colour_rgb[:, ~big]
+        col_sub = colour_rgb[:, big]
+        colour_rgb = jnp.concatenate(
+            [col_keep] + [col_sub] * 4, axis=1)
+        fc = np.concatenate([keep, quads])
+
+    v3 = jnp.asarray(screen.T)  # (3, V)
+    f3 = jnp.asarray(fc.T)  # (3, T)
+    p0 = v3[:, f3[0]]
+    p1 = v3[:, f3[1]]
+    p2 = v3[:, f3[2]]
+    # lambert shade from world-space face normals
+    vw = jnp.asarray(world.T)
+    q0, q1, q2 = vw[:, f3[0]], vw[:, f3[1]], vw[:, f3[2]]
+    e1 = q1 - q0
+    e2 = q2 - q0
+    n = jnp.stack([e1[1] * e2[2] - e1[2] * e2[1],
+                   e1[2] * e2[0] - e1[0] * e2[2],
+                   e1[0] * e2[1] - e1[1] * e2[0]])
+    n = n / jnp.maximum(jnp.sqrt(jnp.sum(n * n, axis=0)), 1e-9)
+    lv = np.asarray(light, np.float32)
+    lv = lv / np.linalg.norm(lv)
+    shade = 0.25 + 0.75 * jnp.abs(jnp.sum(n * jnp.asarray(lv)[:, None], axis=0))
+
+    img = np.asarray(_splat(p0, p1, p2, shade, colour_rgb, size))
+    bg = np.all(img == 0, axis=-1)
+    img = img.copy()
+    img[bg] = background
+    return img
+
+
+def render_scene(surfaces, markers=None, probe_pose=None, **kw) -> np.ndarray:
+    """Navigation-scene composition: surfaces + marker glyph spheres +
+    a probe arrow (reference viewer_volume.py navigation scene; the
+    actor_factory sphere/arrow builders become generated glyph meshes)."""
+    meshes = [(s.vertices, s.faces, s.colour) for s in surfaces
+              if getattr(s, "is_shown", True)]
+    if markers:
+        for m in markers:
+            pos = np.asarray(getattr(m, "position", m)[:3], float)
+            colour = tuple(getattr(m, "colour", (1.0, 0.2, 0.2)))[:3]
+            v, f = _icosphere(pos, radius=2.0)
+            meshes.append((v, f, colour))
+    if probe_pose is not None:
+        v, f = _arrow(np.asarray(probe_pose[:3], float),
+                      np.asarray(probe_pose[3:6], float))
+        meshes.append((v, f, (0.2, 0.9, 0.4)))
+    return render_surfaces(meshes, **kw)
+
+
+def _icosphere(center, radius: float = 2.0):
+    """Small sphere glyph (icosahedron, good enough at marker scale)."""
+    t = (1.0 + np.sqrt(5.0)) / 2.0
+    v = np.array([
+        (-1, t, 0), (1, t, 0), (-1, -t, 0), (1, -t, 0),
+        (0, -1, t), (0, 1, t), (0, -1, -t), (0, 1, -t),
+        (t, 0, -1), (t, 0, 1), (-t, 0, -1), (-t, 0, 1)], np.float32)
+    v = v / np.linalg.norm(v[0]) * radius + np.asarray(center, np.float32)
+    f = np.array([
+        (0, 11, 5), (0, 5, 1), (0, 1, 7), (0, 7, 10), (0, 10, 11),
+        (1, 5, 9), (5, 11, 4), (11, 10, 2), (10, 7, 6), (7, 1, 8),
+        (3, 9, 4), (3, 4, 2), (3, 2, 6), (3, 6, 8), (3, 8, 9),
+        (4, 9, 5), (2, 4, 11), (6, 2, 10), (8, 6, 7), (9, 8, 1)], np.int32)
+    return v, f
+
+
+def _arrow(tip, angles_deg, length: float = 20.0, width: float = 2.0):
+    """Probe arrow glyph along the pose's z axis (actor_factory arrows)."""
+    from invesalius3_tpu.ops import transforms as tr
+
+    m = tr.euler_matrix(*np.radians(np.asarray(angles_deg, float)),
+                        axes="sxyz")[:3, :3]
+    axis = m @ np.array([0.0, 0.0, 1.0])
+    side = np.cross(axis, [0.0, 0.0, 1.0])
+    if np.linalg.norm(side) < 1e-6:
+        side = np.array([1.0, 0.0, 0.0])
+    side = side / np.linalg.norm(side) * width
+    up = np.cross(axis, side)
+    up = up / max(np.linalg.norm(up), 1e-9) * width
+    tail = np.asarray(tip, float) - axis * length
+    v = np.stack([tip, tail + side, tail - side, tail + up, tail - up]
+                 ).astype(np.float32)
+    f = np.array([(0, 1, 3), (0, 3, 2), (0, 2, 4), (0, 4, 1),
+                  (1, 4, 2), (2, 4, 3), (1, 2, 3), (1, 3, 4)], np.int32)
+    return v, f

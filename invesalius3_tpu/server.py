@@ -228,6 +228,18 @@ def make_handler(state: AppState):
                         "versions": [lbl for lbl, _ in slc.image_versions],
                         "current": slc.current_image_label,
                     })
+                elif url.path == "/api/render_scene":
+                    # surface-actor 3D scene (reference viewer_volume.py
+                    # surface actors; server-side z-buffer splat renderer)
+                    from invesalius3_tpu.ops import render_mesh
+
+                    img = render_mesh.render_scene(
+                        list(state.surfaces.values()),
+                        azimuth=float(q.get("azimuth", 30)),
+                        elevation=float(q.get("elevation", 20)),
+                        size=int(q.get("size", 256)),
+                    )
+                    self._png(img)
                 elif url.path == "/api/dicom/scan":
                     # import-UI support (reference import_panel.py +
                     # dicom_preview_panel.py): series tree w/ metadata

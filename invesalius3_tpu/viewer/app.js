@@ -98,9 +98,11 @@ function refreshSlices(orients) {
 }
 
 function refresh3D() {
-  $("#img3d").src = `/api/render?azimuth=${state.azimuth}` +
-    `&elevation=${state.elevation}&size=256&preset=${encodeURIComponent(state.raycastPreset)}` +
-    `&t=${state.bump++}`;
+  const mode = $("#mode3d").value;
+  const base = mode === "surfaces" ? "/api/render_scene?" :
+    `/api/render?preset=${encodeURIComponent(state.raycastPreset)}&`;
+  $("#img3d").src = `${base}azimuth=${state.azimuth}` +
+    `&elevation=${state.elevation}&size=256&t=${state.bump++}`;
   $("#angles").textContent =
     `az ${state.azimuth.toFixed(0)}° el ${state.elevation.toFixed(0)}°`;
 }
@@ -356,6 +358,7 @@ async function init() {
   });
   state.raycastPreset = presets.raycast[0] || "";
   rp.onchange = () => { state.raycastPreset = rp.value; refresh3D(); };
+  $("#mode3d").onchange = refresh3D;
 
   const iv = await api("/api/image_versions");
   const ivs = $("#imgversion");

@@ -162,3 +162,52 @@ def test_rendered_slice_ruler_labels_flags():
     with_l = slc.get_rendered_slice("AXIAL", 2, orientation_labels=True)
     assert not np.array_equal(base, with_r)
     assert not np.array_equal(base, with_l)
+
+
+def test_render_surfaces_zbuffer():
+    """Surface splat renderer: nearer mesh wins the z-test, background
+    stays background (ops/render_mesh.py; reference viewer_volume
+    surface actors)."""
+    from invesalius3_tpu.ops import render_mesh
+
+    v1, f1 = render_mesh._icosphere((0.0, 0.0, 0.0), radius=10.0)
+    v2, f2 = render_mesh._icosphere((30.0, 0.0, 0.0), radius=5.0)  # right
+    v3, f3 = render_mesh._icosphere((0.0, -30.0, 0.0), radius=5.0)  # behind
+    img = render_mesh.render_surfaces(
+        [(v1, f1, (1.0, 0.0, 0.0)), (v2, f2, (0.0, 0.0, 1.0)),
+         (v3, f3, (0.0, 1.0, 0.0))],
+        azimuth=0.0, elevation=0.0, size=96)
+    assert img.shape == (96, 96, 3)
+    assert (img[2, 2] == np.array([17, 19, 24])).all()  # background
+    red = (img[:, :, 0].astype(int) - img[:, :, 2]) > 30
+    blue = (img[:, :, 2].astype(int) - img[:, :, 0]) > 30
+    green = (img[:, :, 1].astype(int) - img[:, :, 0]) > 30
+    assert red.sum() > blue.sum() > 0  # both visible, red sphere larger
+    # red (r=10) projects left of blue (at x=+30)
+    assert np.nonzero(red)[1].mean() < np.nonzero(blue)[1].mean()
+    # the z-test fully hides the sphere directly behind the big one
+    assert not green.any()
+
+    empty = render_mesh.render_surfaces([], size=32)
+    assert (empty == np.array([17, 19, 24])).all()
+
+
+def test_render_scene_glyphs():
+    from invesalius3_tpu.ops import render_mesh
+
+    class S:
+        pass
+
+    s = S()
+    s.vertices, s.faces = render_mesh._icosphere((0, 0, 0), 8.0)
+    s.colour = (0.9, 0.8, 0.7)
+    s.is_shown = True
+
+    class M:
+        position = (20.0, 0.0, 0.0)
+        colour = (1.0, 0.0, 0.0)
+
+    img = render_mesh.render_scene(
+        [s], markers=[M()], probe_pose=(0, 0, 30, 0, 0, 0), size=96)
+    assert img.shape == (96, 96, 3)
+    assert (img != np.array([17, 19, 24])).any(axis=-1).sum() > 200

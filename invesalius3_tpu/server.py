@@ -84,6 +84,18 @@ class AppState:
         self.recent_events.append({"topic": topic, "data": data})
         self.recent_events = self.recent_events[-200:]
 
+    @property
+    def nav(self):
+        """Lazy NavigationHub (reference task_navigator.py workflow exposed
+        over HTTP: tracker connect, fiducials, registration, start/stop,
+        markers)."""
+        hub = getattr(self, "_nav", None)
+        if hub is None:
+            from invesalius3_tpu.navigation.navigation import NavigationHub
+
+            hub = self._nav = NavigationHub(bus=self.slice.bus)
+        return hub
+
     def dicom_groups(self, directory):
         """Scan + cache DICOM series for the import endpoints."""
         cache = getattr(self, "_dicom_cache", None)
@@ -228,6 +240,30 @@ def make_handler(state: AppState):
                         "versions": [lbl for lbl, _ in slc.image_versions],
                         "current": slc.current_image_label,
                     })
+                elif url.path == "/api/nav/status":
+                    nav = state.nav
+                    coords, flags = (nav.tracker.get_coordinates()
+                                     if nav.tracker.connected
+                                     else (np.zeros((3, 6)), [False] * 3))
+                    self._json({
+                        "tracker_connected": nav.tracker.connected,
+                        "trackers": __import__(
+                            "invesalius3_tpu.navigation.tracker",
+                            fromlist=["TRACKERS"]).TRACKERS,
+                        "probe": list(np.asarray(coords[0], float)),
+                        "sensor_flags": [bool(f) for f in np.asarray(flags)],
+                        "tracker_fiducials_set": nav.tracker.are_fiducials_set(),
+                        "image_fiducials_set": nav.image.are_set(),
+                        "fre": nav.navigation.fre,
+                        "navigating": nav.navigation.is_navigating,
+                        "n_markers": len(nav.markers.markers),
+                    })
+                elif url.path == "/api/nav/markers":
+                    self._json([{
+                        "id": m.marker_id, "type": str(m.marker_type),
+                        "position": list(np.asarray(m.position, float)),
+                        "label": m.label,
+                    } for m in state.nav.markers.markers])
                 elif url.path == "/api/render_scene":
                     # surface-actor 3D scene (reference viewer_volume.py
                     # surface actors; server-side z-buffer splat renderer)
@@ -441,6 +477,43 @@ def make_handler(state: AppState):
                     mask = slc.current_mask or slc.create_new_mask(apply_threshold=False)
                     mask.apply(jnp.where(labels == keep, jnp.uint8(253), jnp.uint8(0)))
                     self._json({"voxels": int(np.asarray(labels == keep).sum())})
+                elif self.path == "/api/nav/connect":
+                    nav = state.nav
+                    ok = nav.tracker.connect(
+                        body.get("tracker_id", "debug_random"),
+                        poll_hz=float(body.get("poll_hz", 120.0)))
+                    self._json({"connected": bool(ok)})
+                elif self.path == "/api/nav/disconnect":
+                    state.nav.tracker.disconnect()
+                    self._json({"connected": False})
+                elif self.path == "/api/nav/fiducial/tracker":
+                    state.nav.tracker.set_tracker_fiducial(int(body["index"]))
+                    self._json({"set": state.nav.tracker.are_fiducials_set()})
+                elif self.path == "/api/nav/fiducial/image":
+                    state.nav.image.set(int(body["index"]), body["position"])
+                    self._json({"set": state.nav.image.are_set()})
+                elif self.path == "/api/nav/register":
+                    fre = state.nav.navigation.estimate_tracker_to_image_transform()
+                    self._json({"fre": float(fre)})
+                elif self.path == "/api/nav/start":
+                    state.nav.navigation.start_navigation(
+                        poll_hz=float(body.get("poll_hz", 30.0)))
+                    self._json({"navigating": True})
+                elif self.path == "/api/nav/stop":
+                    state.nav.navigation.stop_navigation()
+                    self._json({"navigating": False})
+                elif self.path == "/api/nav/markers":
+                    from invesalius3_tpu.navigation.markers import (
+                        Marker, MarkerType)
+
+                    m = state.nav.markers.add(Marker(
+                        marker_type=MarkerType(int(body.get("type", 1))),
+                        position=tuple(body["position"]),
+                        label=body.get("label", "")))
+                    self._json({"id": m.marker_id})
+                elif self.path == "/api/nav/markers/remove":
+                    state.nav.markers.delete(int(body["id"]))
+                    self._json({"ok": True})
                 elif self.path == "/api/surface/import":
                     from invesalius3_tpu.core.surface import import_surface_file
 

@@ -272,3 +272,39 @@ def test_dicom_import_endpoints(server, tmp_path):
                             f"/api/dicom/thumb?dir={d}&size=16"
                             f"&series={series[0]['series_uid']}")
     assert code == 200 and png[:4] == b"\x89PNG"
+
+
+def test_navigation_endpoints(server):
+    """Headless navigator-task workflow over HTTP (reference
+    task_navigator.py): connect debug tracker -> capture fiducials ->
+    register -> navigate -> markers."""
+    import time as _t
+
+    code, r = _post(server, "/api/nav/connect", {"tracker_id": "debug_random",
+                                                 "poll_hz": 500})
+    assert code == 200 and r["connected"]
+    _t.sleep(0.05)
+    _, _, body = _get(server, "/api/nav/status")
+    st = json.loads(body)
+    assert st["tracker_connected"] and "debug_random" in st["trackers"]
+    for i in range(3):
+        _post(server, "/api/nav/fiducial/tracker", {"index": i})
+        _t.sleep(0.02)
+        _post(server, "/api/nav/fiducial/image",
+              {"index": i, "position": [float(i * 10), 0.0, 5.0]})
+    code, r = _post(server, "/api/nav/register", {})
+    assert code == 200 and r["fre"] >= 0.0
+    code, r = _post(server, "/api/nav/start", {"poll_hz": 100})
+    assert r["navigating"]
+    _t.sleep(0.1)
+    code, r = _post(server, "/api/nav/stop", {})
+    assert not r["navigating"]
+    code, r = _post(server, "/api/nav/markers",
+                    {"position": [1.0, 2.0, 3.0], "label": "M1"})
+    mid = r["id"]
+    lst = json.loads(_get(server, "/api/nav/markers")[2])
+    assert any(m["id"] == mid for m in lst)
+    _post(server, "/api/nav/markers/remove", {"id": mid})
+    lst2 = json.loads(_get(server, "/api/nav/markers")[2])
+    assert not any(m["id"] == mid for m in lst2)
+    _post(server, "/api/nav/disconnect", {})

@@ -251,9 +251,16 @@ def _materialize(
     Callers assert 8 * Z * Y * X < 2^31.
     """
     Z, Y, X = vol_shape
-    tets = jnp.asarray(TETS)  # (6, 4) small table
-    tet_edges = jnp.asarray(TET_EDGES)  # (6, 2)
-    tet_tris = jnp.asarray(TET_TRIS.astype(np.int32))  # (16, 2, 3)
+    # all lookup tables flattened: a gather with TWO index vectors lowers
+    # to a serial loop on TPU (CLAUDE.md rule 8) — the (8, A)/(6, A)
+    # two-vector gathers here were 40%+ of the marching stage
+    tets_f = jnp.asarray(TETS.reshape(-1))          # (24,)
+    tet_edges_f = jnp.asarray(TET_EDGES.reshape(-1))  # (12,)
+    tet_tris_f = jnp.asarray(TET_TRIS.astype(np.int32).reshape(-1))  # (96,)
+    case_f = case.reshape(-1)
+    corner_lin_f = corner_lin.reshape(-1)
+    vals_f = vals.reshape(-1)
+    ins_f = ins.reshape(-1)
 
     slot_ok = tri_slots >= 0
     slots = jnp.maximum(tri_slots, 0)
@@ -263,7 +270,7 @@ def _materialize(
     k_idx = (slots // A) % 2
     a_idx = slots % A
 
-    tri_case = case[t_idx, a_idx].astype(jnp.int32)  # (T,)
+    tri_case = case_f[t_idx * A + a_idx].astype(jnp.int32)  # (T,)
 
     def lat_z(lin):
         return (lin // (Y * X)).astype(jnp.float32)
@@ -278,15 +285,15 @@ def _materialize(
     pcs = []  # corner -> (z, y, x) float coords, each (T,)
     lakeys = []  # corner -> (lo, hi) lattice-id pair
     for c in range(3):
-        e = tet_tris[tri_case, k_idx, c]  # (T,) local tet edge id
-        ea = tet_edges[e, 0]  # (T,) local tet corner
-        eb = tet_edges[e, 1]
-        ca = tets[t_idx, ea]  # (T,) cube corner id
-        cb = tets[t_idx, eb]
-        la = corner_lin[ca, a_idx]  # (T,) lattice id
-        lb = corner_lin[cb, a_idx]
-        fa = vals[ca, a_idx]
-        fb = vals[cb, a_idx]
+        e = tet_tris_f[(tri_case * 2 + k_idx) * 3 + c]  # (T,) local tet edge
+        ea = tet_edges_f[e * 2]  # (T,) local tet corner
+        eb = tet_edges_f[e * 2 + 1]
+        ca = tets_f[t_idx * 4 + ea]  # (T,) cube corner id
+        cb = tets_f[t_idx * 4 + eb]
+        la = corner_lin_f[ca * A + a_idx]  # (T,) lattice id
+        lb = corner_lin_f[cb * A + a_idx]
+        fa = vals_f[ca * A + a_idx]
+        fb = vals_f[cb * A + a_idx]
         denom = fb - fa
         t = jnp.where(denom == 0, 0.5,
                       (jnp.float32(iso) - fa) / jnp.where(denom == 0, 1.0, denom))
@@ -306,9 +313,9 @@ def _materialize(
     # inside-corner centroid of the tet (unrolled over the 4 tet corners)
     czs = cys = cxs = wsum = None
     for j in range(4):
-        cj = tets[t_idx, j]  # (T,) cube corner id
-        lj = corner_lin[cj, a_idx]
-        wj = ins[cj, a_idx].astype(jnp.float32)
+        cj = tets_f[t_idx * 4 + j]  # (T,) cube corner id
+        lj = corner_lin_f[cj * A + a_idx]
+        wj = ins_f[cj * A + a_idx].astype(jnp.float32)
         z_, y_, x_ = lat_z(lj) * wj, lat_y(lj) * wj, lat_x(lj) * wj
         if czs is None:
             czs, cys, cxs, wsum = z_, y_, x_, wj
@@ -365,7 +372,14 @@ def _dedup_vertices(pts: jax.Array, keys: jax.Array):
     ])
     group_of_sorted = jnp.cumsum(new_group) - 1  # (M,)
     inverse = jnp.zeros((M,), jnp.int32).at[order].set(group_of_sorted)
-    verts = jnp.zeros((3, M), jnp.float32).at[:, group_of_sorted].set(pts[:, order])
+    # vertex coordinates: gather one representative corner per group via a
+    # scatter-min of start positions (an int32 scatter is 1/3 the traffic
+    # of scattering the (3, M) float coordinates; the probe measured the
+    # coordinate scatter as the bulk of dedup's 2.3 s at 512^3)
+    arange = jnp.arange(M, dtype=jnp.int32)
+    start_of = jnp.full((M,), M - 1, jnp.int32).at[group_of_sorted].min(arange)
+    rep = order[start_of]  # (M,) original corner id per group (pad = junk)
+    verts = pts[:, rep]
     n_groups = group_of_sorted[-1] + 1
     return verts, inverse, n_groups, order, group_of_sorted
 

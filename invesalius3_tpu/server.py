@@ -310,11 +310,18 @@ def make_handler(state: AppState):
                     preset = raycast.builtin_preset(q.get("preset", "Bone"))
                     # shear-warp: streaming slice compositing (the gather
                     # raycaster is seconds/frame on TPU at full volumes)
+                    size = int(q.get("size", 256))
+                    # interactive requests orbit at half resolution (the
+                    # pooled+permuted volume is cached per camera octant)
+                    ds = int(q.get("downsample",
+                                   2 if size <= 256
+                                   and min(slc.matrix.shape) >= 128 else 1))
                     img = raycast.shear_warp_render(
                         slc.matrix, slc.spacing, preset,
                         azimuth=float(q.get("azimuth", 0)),
                         elevation=float(q.get("elevation", 0)),
-                        image_size=int(q.get("size", 256)),
+                        image_size=size,
+                        downsample=ds,
                     )
                     self._png(img)
                 elif len(parts) == 3 and parts[:2] == ["api", "surface"]:

@@ -145,6 +145,69 @@ def _taubin_core(verts3v, neigh_dv, deg, weights, lam, mu, steps: int):
     return out
 
 
+@partial(jax.jit, static_argnames=("steps", "split", "d_lo"))
+def _taubin_core_bucketed(verts3v, neigh_p, deg_p, weights_p, lam, mu,
+                          steps: int, split: int, d_lo: int):
+    """_taubin_core over DEGREE-SORTED vertices: columns [0, split) have
+    degree <= d_lo and gather only d_lo neighbor rows; the rest use the
+    full table.  Marching-tet meshes are ~85% degree <= 6 with max ~12,
+    so the neighbor gather (the taubin bottleneck — 4.8 s warm at 512^3)
+    shrinks ~40%.  Bit-identical to the unbucketed core on the permuted
+    arrays (the extra rows it skips are masked out anyway)."""
+    lo_n = neigh_p[:d_lo, :split]
+    lo_deg = deg_p[:split]
+    lo_w = weights_p[:split]
+    hi_n = neigh_p[:, split:]
+    hi_deg = deg_p[split:]
+    hi_w = weights_p[split:]
+
+    def d_bucket(v, center, nb_tbl, deg_b):
+        nb = v[:, nb_tbl]  # (3, D_b, n_b) gather of GLOBAL columns
+        valid = (jnp.arange(nb_tbl.shape[0])[:, None]
+                 < deg_b[None, :]).astype(v.dtype)
+        diff = (center[:, None, :] - nb) * valid[None]
+        return jnp.sum(diff, axis=1) / jnp.maximum(
+            deg_b.astype(v.dtype), 1.0)[None, :]
+
+    def one_pass(v, factor):
+        d_l = d_bucket(v, v[:, :split], lo_n, lo_deg)
+        d_h = d_bucket(v, v[:, split:], hi_n, hi_deg)
+        dw = jnp.concatenate([lo_w[None] * d_l, hi_w[None] * d_h], axis=1)
+        return v + factor * dw
+
+    def one_step(v, _):
+        v = one_pass(v, lam)
+        v = one_pass(v, mu)
+        return v, None
+
+    out, _ = jax.lax.scan(one_step, verts3v, None, length=steps)
+    return out
+
+
+def taubin_smooth_bucketed(verts3v, neigh_dv, deg, weights, lam, mu,
+                           steps: int, d_lo: int = 6):
+    """Degree-bucketed Taubin: sort vertices by degree (device), run the
+    two-bucket core, unsort.  Returns (3, V) like _taubin_core."""
+    V = verts3v.shape[1]
+    deg_sorted, perm = jax.lax.sort_key_val(
+        deg, jnp.arange(V, dtype=jnp.int32))
+    n_lo = int(jnp.sum(deg <= d_lo))
+    # round the split DOWN to a 4k boundary (bounded jit cache; the verts
+    # between the boundary and n_lo just use the full-width bucket)
+    split = (n_lo // 4096) * 4096
+    if split < 4096 or split >= V or neigh_dv.shape[0] <= d_lo:
+        return _taubin_core(verts3v, neigh_dv, deg, weights, lam, mu, steps)
+    inv_perm = jnp.zeros((V,), jnp.int32).at[perm].set(
+        jnp.arange(V, dtype=jnp.int32))
+    # the adjacency table pads with sentinel id V -> keep it V after remap
+    remap = jnp.concatenate([inv_perm, jnp.asarray([V], jnp.int32)])
+    neigh_p = remap[jnp.minimum(neigh_dv[:, perm], V)]
+    out_p = _taubin_core_bucketed(
+        verts3v[:, perm], neigh_p, deg_sorted, weights[perm],
+        lam, mu, steps, split, int(d_lo))
+    return out_p[:, inv_perm]
+
+
 def taubin_smooth(
     verts: jax.Array,
     neigh: jax.Array,
@@ -600,8 +663,9 @@ def ca_smoothing_device(dm, t: float = 0.7, tmax: float = 3.0,
         weights = _propagate_core_t(
             verts3v, neigh_dv, deg_j, flagged,
             jnp.float32(tmax), jnp.float32(bmin), propagate_iters)
-    return _taubin_core(verts3v, neigh_dv, deg_j, weights,
-                        jnp.float32(0.5), jnp.float32(-0.53), n_iters)
+    return taubin_smooth_bucketed(verts3v, neigh_dv, deg_j, weights,
+                                  jnp.float32(0.5), jnp.float32(-0.53),
+                                  n_iters)
 
 
 def ca_smoothing(

@@ -387,3 +387,23 @@ def test_cli_standalone_surface_import(tmp_path, capsys):
     assert rc == 0 and out.exists()
     v2, f2 = mesh_io.read_ply(out)
     assert len(f2) == len(np.asarray(faces))
+
+
+def test_taubin_bucketed_matches_unbucketed():
+    from invesalius3_tpu.ops import marching, mesh as mesh_ops
+
+    dm = marching.mask_to_surface_device(_sphere_mask(64, 26.0))
+    neigh, deg = mesh_ops.adjacency_from_device_mesh(dm)
+    # big enough that the bucketed path actually splits
+    n_lo = int(jnp.sum(deg <= 6))
+    assert (n_lo // 4096) * 4096 >= 4096
+    w = jnp.linspace(0.5, 1.0, dm.verts3v.shape[1])
+    a = mesh_ops._taubin_core(dm.verts3v, neigh, deg, w,
+                              jnp.float32(0.5), jnp.float32(-0.53), 5)
+    b = mesh_ops.taubin_smooth_bucketed(dm.verts3v, neigh, deg, w,
+                                        jnp.float32(0.5), jnp.float32(-0.53),
+                                        5)
+    used = np.zeros(dm.verts3v.shape[1], bool)
+    used[np.asarray(dm.faces3t).ravel()] = True
+    np.testing.assert_allclose(np.asarray(a)[:, used], np.asarray(b)[:, used],
+                               atol=1e-5)

@@ -140,6 +140,7 @@ class Slice:
             rgb = rgb.astype(np.float32)
             rgb[vis] = rgb[vis] * (1 - op) + colour * op
             rgb = rgb.astype(np.uint8)
+        rgb = self._composite_color_overlay(rgb, orientation, slice_number)
         if (measures is not None or crop_box is not None or cross is not None
                 or ruler or orientation_labels):
             from invesalius3_tpu.core import canvas
@@ -169,6 +170,57 @@ class Slice:
     def get_mask_slice(self, orientation: str, slice_number: int) -> np.ndarray:
         ax = const.ORIENTATION_AXIS[orientation]
         return np.asarray(jnp.take(self.current_mask.data, slice_number, axis=ax))
+
+    # -- color overlays (fMRI activation etc.) -----------------------------------
+    def set_color_overlay(self, data, colormap: str = "autumn",
+                          alpha: float = 0.6) -> None:
+        """Colormapped auxiliary volume composited onto every slice — the
+        fMRI-support flow (reference gui/task_fmrisupport.py:177-230:
+        normalize to uint8, matplotlib colormap, the original volume's
+        zero mapped transparent, stored as Slice.aux_matrices
+        ['color_overlay'])."""
+        arr = np.asarray(data, np.float32)
+        if arr.shape != tuple(self.matrix.shape):
+            raise ValueError(
+                f"overlay shape {arr.shape} does not match the structural "
+                f"volume {tuple(self.matrix.shape)}")
+        lo, hi = float(arr.min()), float(arr.max())
+        scale = (hi - lo) or 1.0
+        u8 = ((arr - lo) / scale * 255.0).astype(np.uint8)
+        zero_value = int((0.0 - lo) / scale * 255.0) if lo <= 0.0 <= hi else None
+        try:
+            import matplotlib
+
+            cmap = matplotlib.colormaps[colormap]
+            lut = (cmap(np.arange(256) / 255.0) * 255.0).astype(np.float32)
+        except Exception:  # headless fallback: black->red->yellow ramp
+            t = np.arange(256, dtype=np.float32) / 255.0
+            lut = np.stack([np.clip(2 * t, 0, 1) * 255.0,
+                            np.clip(2 * t - 1, 0, 1) * 255.0,
+                            np.zeros(256, np.float32),
+                            np.full(256, 255.0)], axis=1)
+        lut[:, 3] = alpha * 255.0
+        if zero_value is not None:
+            lut[zero_value, 3] = 0.0  # background transparent
+        self._overlay_u8 = u8
+        self._overlay_lut = lut
+        self.bus.send_message("slice.overlay_set", colormap=colormap)
+
+    def clear_color_overlay(self) -> None:
+        self._overlay_u8 = None
+        self._overlay_lut = None
+        self.bus.send_message("slice.overlay_cleared")
+
+    def _composite_color_overlay(self, rgb, orientation, slice_number):
+        ov = getattr(self, "_overlay_u8", None)
+        if ov is None:
+            return rgb
+        ax = const.ORIENTATION_AXIS[orientation]
+        sl = np.take(ov, slice_number, axis=ax)
+        rgba = self._overlay_lut[sl]  # (H, W, 4)
+        a = rgba[..., 3:4] / 255.0
+        out = rgb.astype(np.float32) * (1 - a) + rgba[..., :3] * a
+        return out.astype(np.uint8)
 
     # -- masks ------------------------------------------------------------------
     def create_new_mask(

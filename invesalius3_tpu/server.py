@@ -484,6 +484,19 @@ def make_handler(state: AppState):
                     mask = slc.current_mask or slc.create_new_mask(apply_threshold=False)
                     mask.apply(jnp.where(labels == keep, jnp.uint8(253), jnp.uint8(0)))
                     self._json({"voxels": int(np.asarray(labels == keep).sum())})
+                elif self.path == "/api/overlay":
+                    # fMRI-style colormapped overlay from a NIfTI file
+                    # (reference task_fmrisupport.py OnLoadFmri)
+                    from invesalius3_tpu.io import nifti
+
+                    img = nifti.read_nifti(body["path"])
+                    slc.set_color_overlay(
+                        img.data, colormap=body.get("colormap", "autumn"),
+                        alpha=float(body.get("alpha", 0.6)))
+                    self._json({"ok": True})
+                elif self.path == "/api/overlay/clear":
+                    slc.clear_color_overlay()
+                    self._json({"ok": True})
                 elif self.path == "/api/nav/connect":
                     nav = state.nav
                     ok = nav.tracker.connect(

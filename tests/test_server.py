@@ -308,3 +308,23 @@ def test_navigation_endpoints(server):
     lst2 = json.loads(_get(server, "/api/nav/markers")[2])
     assert not any(m["id"] == mid for m in lst2)
     _post(server, "/api/nav/disconnect", {})
+
+
+def test_overlay_endpoint(server, tmp_path):
+    from invesalius3_tpu.io import nifti
+
+    Z, Y, X = server.state.slice.matrix.shape
+    act = np.zeros((Z, Y, X), np.float32)
+    act[Z // 2, 4:10, 4:10] = 3.0
+    act[0, 0, 0] = -1.0
+    p = tmp_path / "act.nii"
+    nifti.write_nifti(p, act, spacing=(1.0, 1.0, 1.0))
+    _, _, before = _get(server, f"/api/slice/axial/{Z // 2}?overlays=0&t=91")
+    code, r = _post(server, "/api/overlay",
+                    {"path": str(p), "colormap": "hot"})
+    assert code == 200
+    _, _, after = _get(server, f"/api/slice/axial/{Z // 2}?overlays=0&t=92")
+    assert before != after
+    _post(server, "/api/overlay/clear", {})
+    _, _, cleared = _get(server, f"/api/slice/axial/{Z // 2}?overlays=0&t=93")
+    assert cleared == before

@@ -321,3 +321,32 @@ def test_apply_reorientation_carries_edited_mask():
     slc.apply_reorientation(angles=(0.0, 0.0, np.pi / 2))
     out = np.asarray(m.data)
     assert (out == 254).sum() >= 4  # center blob survives the rotation
+
+
+def test_color_overlay_composites_fmri_style():
+    """fMRI color overlay (reference task_fmrisupport.py:177-230): zero of
+    the ORIGINAL volume transparent, nonzero activation colormapped over
+    the slice."""
+    from invesalius3_tpu.core.slice import Slice
+    from invesalius3_tpu.core.volume import Volume
+
+    ct = np.zeros((8, 32, 32), np.int16)
+    slc = Slice(Volume.from_numpy(ct, spacing=(1, 1, 1)))
+    act = np.zeros((8, 32, 32), np.float32)
+    act[4, 10:20, 10:20] = 5.0   # activation blob
+    act[4, 2, 2] = -1.0          # so zero is interior to the range
+    base = slc.get_rendered_slice("AXIAL", 4)
+    slc.set_color_overlay(act, colormap="autumn")
+    over = slc.get_rendered_slice("AXIAL", 4)
+    assert not np.array_equal(base, over)
+    # activation pixels colored, zero-activation pixels untouched
+    assert not np.array_equal(base[15, 15], over[15, 15])
+    np.testing.assert_array_equal(base[25, 25], over[25, 25])
+    # other slices untouched
+    np.testing.assert_array_equal(slc.get_rendered_slice("AXIAL", 2), 
+                                  slc.get_rendered_slice("AXIAL", 2))
+    slc.clear_color_overlay()
+    np.testing.assert_array_equal(base, slc.get_rendered_slice("AXIAL", 4))
+
+    with pytest.raises(ValueError):
+        slc.set_color_overlay(np.zeros((4, 4, 4)))

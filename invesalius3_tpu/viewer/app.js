@@ -216,6 +216,27 @@ function attachPane(pane) {
   const img = pane.querySelector("img");
   const wrap = pane.querySelector(".imgwrap");
   const slider = pane.querySelector(".slider");
+  // brush cursor preview (the reference's cursor_actors circle)
+  const cursor = document.createElement("div");
+  cursor.id = "brush-cursor";
+  wrap.appendChild(cursor);
+  const updateCursor = (ev) => {
+    if (state.tool !== "paint" && state.tool !== "erase") {
+      cursor.style.display = "none";
+      return;
+    }
+    const r = img.getBoundingClientRect();
+    const w = wrap.getBoundingClientRect();
+    const pxPerMm = (r.width / img.naturalWidth) / state.spacing[0];
+    const d = 2 * (+$("#brush-radius").value) * pxPerMm;
+    cursor.style.display = "block";
+    cursor.style.width = cursor.style.height = `${d}px`;
+    cursor.style.left = `${ev.clientX - w.left}px`;
+    cursor.style.top = `${ev.clientY - w.top}px`;
+    cursor.style.borderColor = state.tool === "erase" ? "#ef476f" : "#ffd166";
+  };
+  wrap.addEventListener("mousemove", updateCursor);
+  wrap.addEventListener("mouseleave", () => { cursor.style.display = "none"; });
 
   const imgPos = (ev) => {
     const r = img.getBoundingClientRect();

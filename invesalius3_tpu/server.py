@@ -240,6 +240,15 @@ def make_handler(state: AppState):
                         "versions": [lbl for lbl, _ in slc.image_versions],
                         "current": slc.current_image_label,
                     })
+                elif url.path == "/api/config":
+                    # preferences surface (reference gui/preferences.py
+                    # persists through Session config.json)
+                    from invesalius3_tpu.core.session import Session
+
+                    sess = getattr(state, "_session", None) or Session()
+                    state._session = sess
+                    self._json({"config": dict(sess.config),
+                                "recent_projects": sess.recent_projects})
                 elif url.path == "/api/nav/status":
                     nav = state.nav
                     coords, flags = (nav.tracker.get_coordinates()
@@ -484,6 +493,14 @@ def make_handler(state: AppState):
                     mask = slc.current_mask or slc.create_new_mask(apply_threshold=False)
                     mask.apply(jnp.where(labels == keep, jnp.uint8(253), jnp.uint8(0)))
                     self._json({"voxels": int(np.asarray(labels == keep).sum())})
+                elif self.path == "/api/config":
+                    from invesalius3_tpu.core.session import Session
+
+                    sess = getattr(state, "_session", None) or Session()
+                    state._session = sess
+                    for k, v in body.items():
+                        sess.set_config(k, v)
+                    self._json({"config": dict(sess.config)})
                 elif self.path == "/api/overlay":
                     # fMRI-style colormapped overlay from a NIfTI file
                     # (reference task_fmrisupport.py OnLoadFmri)

@@ -328,3 +328,17 @@ def test_overlay_endpoint(server, tmp_path):
     _post(server, "/api/overlay/clear", {})
     _, _, cleared = _get(server, f"/api/slice/axial/{Z // 2}?overlays=0&t=93")
     assert cleared == before
+
+
+def test_config_endpoints(server, tmp_path, monkeypatch):
+    # isolate the session dir from the real user config
+    import invesalius3_tpu.core.session as sess_mod
+
+    server.state._session = sess_mod.Session(user_dir=tmp_path)
+    _, _, body = _get(server, "/api/config")
+    cfg = json.loads(body)["config"]
+    assert isinstance(cfg, dict)
+    code, r = _post(server, "/api/config", {"language": "fr", "slice_interp": 1})
+    assert r["config"]["language"] == "fr"
+    cfg2 = json.loads(_get(server, "/api/config")[2])["config"]
+    assert cfg2["slice_interp"] == 1

@@ -34,9 +34,18 @@ surface the viewers consumed:
   POST /api/image_versions/select {"label"}
   POST /api/measures {"kind",...}          add linear/angular measurement
   POST /api/measures/remove {"index"}
+  POST /api/brush {"strokes","radius_mm"}  paint/erase a brush stroke
   POST /api/surface {"algorithm",...}      create surface from the mask
   POST /api/surface/import {"path",...}    import a mesh file (+hole fill)
   GET  /api/surface/{index}.stl            download a surface
+  GET  /api/render_scene?azimuth=...       surface-actor 3D scene (PNG)
+  GET  /api/dicom/scan?dir= | /api/dicom/thumb  import-UI series preview
+  GET  /api/i18n                           locales + current catalog
+  GET/POST /api/config                     Session preferences
+  POST /api/overlay {"path","colormap"}    fMRI color overlay (+ /clear)
+  GET  /api/nav/status | /api/nav/markers  navigation state
+  POST /api/nav/{connect,disconnect,fiducial/tracker,fiducial/image,
+        register,start,stop,markers,markers/remove}
   GET  /api/events                         recent bus events (polling)
 
 State-changing requests are POSTs serialized by a lock (the reference GUI

@@ -48,6 +48,19 @@ class Slice:
         self.window_level = volume.window_level
         self.bus.send_message("slice.volume_set", shape=volume.shape)
 
+    def load_new_volume(self, volume: Volume) -> None:
+        """Replace the study: new volume, masks/versions/overlays dropped
+        (the reference closes the project before importing a new series —
+        control.py CloseProject + OpenDicomGroup)."""
+        self.set_volume(volume)
+        self.masks = {}
+        self.current_mask = None
+        self._image_versions = [("original", volume.data)]
+        self.current_image_label = "original"
+        self.clear_color_overlay()
+        self.projection_type = const.PROJECTION_NORMAL
+        self.bus.send_message("slice.study_replaced", shape=volume.shape)
+
     @property
     def matrix(self) -> jax.Array:
         return self.volume.data

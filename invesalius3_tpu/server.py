@@ -502,6 +502,45 @@ def make_handler(state: AppState):
                     mask = slc.current_mask or slc.create_new_mask(apply_threshold=False)
                     mask.apply(jnp.where(labels == keep, jnp.uint8(253), jnp.uint8(0)))
                     self._json({"voxels": int(np.asarray(labels == keep).sum())})
+                elif self.path == "/api/import":
+                    # load a new study into the running server (reference
+                    # import panel -> Controller.OpenDicomGroup /
+                    # OpenOtherFiles)
+                    from pathlib import Path as _P
+
+                    from invesalius3_tpu.core.volume import Volume
+
+                    path = _P(body["path"])
+                    if path.is_dir():
+                        from invesalius3_tpu.io import dicom as dcm
+
+                        groups = state.dicom_groups(str(path))
+                        uid = body.get("series")
+                        sel = [g for g in groups
+                               if g.preview_info()["series_uid"] == uid]
+                        g = sel[0] if sel else max(groups,
+                                                   key=lambda g: len(g.files))
+                        data, spacing, affine = dcm.group_to_volume(g)
+                        vol = Volume.from_numpy(
+                            data, spacing=spacing, affine=affine,
+                            modality=g.files[0].get("Modality", "CT"))
+                    elif path.suffix.lower() in (".par", ".rec"):
+                        from invesalius3_tpu.io import parrec
+
+                        data, spacing = parrec.read_par_rec(path)
+                        vol = Volume.from_numpy(data, spacing=spacing)
+                    else:
+                        from invesalius3_tpu.io import nifti
+
+                        img = nifti.read_nifti(path)
+                        vol = Volume.from_numpy(img.data,
+                                                spacing=img.spacing,
+                                                affine=img.affine)
+                    slc.load_new_volume(vol)
+                    state.surfaces = {}
+                    state.crop_box = None
+                    self._json({"shape": list(vol.shape),
+                                "spacing": list(vol.spacing)})
                 elif self.path == "/api/config":
                     from invesalius3_tpu.core.session import Session
 

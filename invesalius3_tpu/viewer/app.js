@@ -435,6 +435,46 @@ async function init() {
     addSurfaceRow(r);
   };
 
+  $("#do-scan").onclick = async () => {
+    const path = $("#import-path").value;
+    if (!path) return;
+    if (!path.match(/\.(nii|gz|par|rec|hdr|img)$/i)) {
+      try {
+        const series = await api(`/api/dicom/scan?dir=${encodeURIComponent(path)}`);
+        const ul = $("#series-list");
+        ul.innerHTML = "";
+        series.forEach((sr) => {
+          const li = document.createElement("li");
+          const th = document.createElement("img");
+          th.src = `/api/dicom/thumb?dir=${encodeURIComponent(path)}` +
+            `&series=${encodeURIComponent(sr.series_uid)}&size=32`;
+          th.style.width = "32px";
+          li.appendChild(th);
+          li.innerHTML += `<span class="grow">${sr.series_description ||
+            sr.series_uid} (${sr.n_slices})</span>`;
+          li.onclick = async () => {
+            setStatus("importing…");
+            await api("/api/import", { path, series: sr.series_uid });
+            location.reload();
+          };
+          ul.appendChild(li);
+        });
+        setStatus(`${series.length} series`);
+        return;
+      } catch (e) { /* fall through to file import */ }
+    }
+    setStatus("importing…");
+    await api("/api/import", { path });
+    location.reload();
+  };
+  $("#do-overlay").onclick = async () => {
+    await api("/api/overlay", { path: $("#overlay-path").value,
+                                colormap: $("#overlay-cmap").value });
+    refreshSlices();
+  };
+  $("#clear-overlay").onclick = () =>
+    api("/api/overlay/clear", {}).then(() => refreshSlices());
+
   $$(".pane[data-orient]").forEach(attachPane);
   attach3D();
   refreshSlices();

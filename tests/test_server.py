@@ -342,3 +342,18 @@ def test_config_endpoints(server, tmp_path, monkeypatch):
     assert r["config"]["language"] == "fr"
     cfg2 = json.loads(_get(server, "/api/config")[2])["config"]
     assert cfg2["slice_interp"] == 1
+
+
+def test_import_endpoint_replaces_study(server, tmp_path):
+    from tests.test_io import _make_series
+
+    _make_series(tmp_path, n=6)
+    # state from the old study
+    _post(server, "/api/threshold", {"tmin": 0, "tmax": 100})
+    code, r = _post(server, "/api/import", {"path": str(tmp_path)})
+    assert code == 200 and r["shape"] == [6, 16, 16]
+    st = json.loads(_get(server, "/api/status")[2])
+    assert st["volume_shape"] == [6, 16, 16]
+    assert st["n_masks"] == 0  # masks dropped with the old study
+    code, ctype, _ = _get(server, "/api/slice/axial/3?t=77")
+    assert code == 200 and "png" in ctype

@@ -12,8 +12,9 @@ volume.
 Scope: implicit/explicit VR little endian, single- and multi-frame,
 MONOCHROME1/2, rescale slope/intercept.  Compressed transfer syntaxes are
 decoded natively: RLE Lossless and JPEG Lossless (SV1) via
-``io/dicom_codecs.py``, 8-bit baseline JPEG via PIL; remaining encodings
-(J2K, lossy 12-bit) are rejected with a clear error.
+``io/dicom_codecs.py``, 8-bit baseline JPEG and JPEG 2000 (.4.90/.4.91)
+via PIL; remaining encodings (lossy 12-bit .4.51) are rejected with a
+clear error.
 """
 
 from __future__ import annotations
@@ -151,6 +152,8 @@ class DicomFile:
                 arr = codecs.rle_decode_frame(fb, rows, cols, bits, spp)
             elif self.transfer_syntax == codecs.JPEG_BASELINE:
                 arr = codecs.jpeg_baseline_decode(fb)
+            elif self.transfer_syntax in (codecs.J2K_LOSSLESS, codecs.J2K):
+                arr = codecs.j2k_decode(fb)
             else:  # JPEG lossless process 14
                 arr = codecs.jpegll_decode(fb)
             if arr.shape[:2] != (rows, cols):
@@ -643,6 +646,10 @@ def write_dicom(path, pixels: "np.ndarray", tags: dict,
             frag = codecs.rle_encode_frame(pixels)
         elif transfer_syntax == codecs.JPEG_BASELINE:
             frag = codecs.jpeg_baseline_encode(pixels)
+        elif transfer_syntax in (codecs.J2K_LOSSLESS, codecs.J2K):
+            u = pixels.view(np.uint16) if pixels.dtype == np.int16 else (
+                pixels.view(np.uint8) if pixels.dtype == np.int8 else pixels)
+            frag = codecs.j2k_encode(np.ascontiguousarray(u), lossless=True)
         else:
             # JPEG lossless encodes unsigned sample values; signed pixels
             # round-trip through their uint bit pattern

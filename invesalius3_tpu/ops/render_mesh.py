@@ -196,10 +196,12 @@ def render_surfaces(meshes: Sequence[Tuple[np.ndarray, np.ndarray,
     return img
 
 
-def render_scene(surfaces, markers=None, probe_pose=None, **kw) -> np.ndarray:
+def render_scene(surfaces, markers=None, probe_pose=None, streamlines=None,
+                 **kw) -> np.ndarray:
     """Navigation-scene composition: surfaces + marker glyph spheres +
-    a probe arrow (reference viewer_volume.py navigation scene; the
-    actor_factory sphere/arrow builders become generated glyph meshes)."""
+    a probe arrow + tract streamlines (reference viewer_volume.py
+    navigation scene; the actor_factory sphere/arrow builders become
+    generated glyph meshes, tractography tubes become thin ribbons)."""
     meshes = [(s.vertices, s.faces, s.colour) for s in surfaces
               if getattr(s, "is_shown", True)]
     if markers:
@@ -212,7 +214,36 @@ def render_scene(surfaces, markers=None, probe_pose=None, **kw) -> np.ndarray:
         v, f = _arrow(np.asarray(probe_pose[:3], float),
                       np.asarray(probe_pose[3:6], float))
         meshes.append((v, f, (0.2, 0.9, 0.4)))
+    if streamlines:
+        for item in streamlines:
+            pts, colour = (item if isinstance(item, tuple)
+                           else (item, (0.95, 0.8, 0.2)))
+            v, f = _ribbon(np.asarray(pts, np.float32))
+            if len(f):
+                meshes.append((v, f, tuple(colour)[:3]))
     return render_surfaces(meshes, **kw)
+
+
+def _ribbon(pts: np.ndarray, width: float = 0.6):
+    """Thin triangle ribbon along a polyline (the tractography tube
+    stand-in — reference tractography.py builds vtkTube multiblocks)."""
+    if len(pts) < 2:
+        return pts.reshape(0, 3), np.zeros((0, 3), np.int32)
+    d = np.diff(pts, axis=0)
+    d = np.concatenate([d, d[-1:]])
+    ref = np.array([0.0, 0.0, 1.0])
+    side = np.cross(d, ref)
+    bad = np.linalg.norm(side, axis=1) < 1e-6
+    side[bad] = [1.0, 0.0, 0.0]
+    side = side / np.linalg.norm(side, axis=1, keepdims=True) * (width / 2)
+    v = np.concatenate([pts + side, pts - side]).astype(np.float32)
+    n = len(pts)
+    i = np.arange(n - 1)
+    f = np.concatenate([
+        np.stack([i, i + 1, n + i], 1),
+        np.stack([i + 1, n + i + 1, n + i], 1),
+    ]).astype(np.int32)
+    return v, f
 
 
 def _icosphere(center, radius: float = 2.0):

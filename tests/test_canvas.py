@@ -212,3 +212,14 @@ def test_render_scene_glyphs():
         [s], markers=[M()], probe_pose=(0, 0, 30, 0, 0, 0), size=96)
     assert img.shape == (96, 96, 3)
     assert (img != np.array([17, 19, 24])).any(axis=-1).sum() > 200
+
+
+def test_render_scene_streamlines():
+    from invesalius3_tpu.ops import render_mesh
+
+    t = np.linspace(0, 4 * np.pi, 60)
+    tract = np.stack([10 * np.cos(t), 10 * np.sin(t), t * 2], axis=1)
+    img = render_mesh.render_scene([], streamlines=[(tract, (1.0, 0.9, 0.1))],
+                                   size=96)
+    lit = (img != np.array([17, 19, 24])).any(axis=-1)
+    assert lit.sum() > 100  # the helix ribbon is visible

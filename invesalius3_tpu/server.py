@@ -287,8 +287,19 @@ def make_handler(state: AppState):
                     # surface actors; server-side z-buffer splat renderer)
                     from invesalius3_tpu.ops import render_mesh
 
+
+                    markers = probe = None
+                    nav = getattr(state, "_nav", None)
+                    if nav is not None:  # live navigation scene
+                        markers = nav.markers.markers
+                        if nav.tracker.connected:
+                            coords, flags = nav.tracker.get_coordinates()
+                            if np.asarray(flags)[0]:
+                                probe = np.asarray(coords[0], float)
                     img = render_mesh.render_scene(
                         list(state.surfaces.values()),
+                        markers=markers,
+                        probe_pose=probe,
                         azimuth=float(q.get("azimuth", 30)),
                         elevation=float(q.get("elevation", 20)),
                         size=int(q.get("size", 256)),

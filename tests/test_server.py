@@ -357,3 +357,16 @@ def test_import_endpoint_replaces_study(server, tmp_path):
     assert st["n_masks"] == 0  # masks dropped with the old study
     code, ctype, _ = _get(server, "/api/slice/axial/3?t=77")
     assert code == 200 and "png" in ctype
+
+
+def test_render_scene_includes_navigation(server):
+    # connect tracker + add a marker; render_scene must still produce PNG
+    _post(server, "/api/nav/connect", {"tracker_id": "debug_random",
+                                       "poll_hz": 500})
+    import time as _t
+
+    _t.sleep(0.05)
+    _post(server, "/api/nav/markers", {"position": [10.0, 10.0, 10.0]})
+    code, ctype, png = _get(server, "/api/render_scene?size=64&t=55")
+    assert code == 200 and png[:4] == b"\x89PNG"
+    _post(server, "/api/nav/disconnect", {})

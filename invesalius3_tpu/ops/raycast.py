@@ -578,10 +578,9 @@ def _shear_composite(vol_p, shear, base, lut_rgba, lut_min, lut_max,
     return jnp.transpose(acc, (1, 2, 0))  # (AU, AV, 4)
 
 
-@jax.jit
-def _warp_to_screen(acc, coords_u, coords_v):
+def _warp_sample(acc, coords_u, coords_v):
     """Bilinear sample the (AU, AV, C) accumulator at screen-ray base
-    coordinates — one small 2-D resample."""
+    coordinates — one small 2-D resample (traceable helper)."""
     AU, AV = acc.shape[:2]
     u0 = jnp.floor(coords_u).astype(jnp.int32)
     v0 = jnp.floor(coords_v).astype(jnp.int32)
@@ -603,11 +602,54 @@ def _warp_to_screen(acc, coords_u, coords_v):
     return jnp.stack(out, axis=-1)
 
 
+_warp_to_screen = jax.jit(_warp_sample)
+
+
+@partial(jax.jit, static_argnames=("mode", "out_shape"))
+def _frame_epilogue(acc, affine, lut_t, lut_min, lut_max, bg,
+                    mode: str, out_shape):
+    """Fused warp -> colormap -> uint8 frame finish, ONE program.
+
+    The eager tail this replaces (warp jit + per-channel LUT gathers +
+    clip/scale/stack, each a separate dispatch) cost one relay round trip
+    PER OP on this backend (~26 ms each) plus a float32 readback — ~250 ms
+    of fixed per-frame overhead regardless of volume size.  `affine` holds
+    (cu00, dcu_i, dcu_j, cv00, dcv_i, dcv_j): the screen->base-plane
+    coordinates are exactly affine in pixel indices for an orthographic
+    camera, so they are regenerated on device from six scalars instead of
+    shipping two (H, W) arrays up per frame.
+    """
+    H, W = out_shape
+    ii = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    jj = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    cu = affine[0] + affine[1] * ii + affine[2] * jj
+    cv = affine[3] + affine[4] * ii + affine[5] * jj
+    img4 = _warp_sample(acc, cu, cv)
+    if mode == "mip":
+        n_lut = lut_t.shape[1]
+        idx = jnp.clip((img4[..., 0] - lut_min) / (lut_max - lut_min)
+                       * (n_lut - 1), 0, n_lut - 1).astype(jnp.int32)
+        rgb = jnp.stack([lut_t[c][idx] for c in range(3)], axis=-1)
+    else:
+        rem = 1.0 - img4[..., 3:4]
+        rgb = img4[..., :3] + rem * bg[None, None, :]
+    return (jnp.clip(rgb, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+
 # permuted/pooled volume cache: per camera octant the permute (and the
 # optional 2x pooling) of a 512^3 volume is the frame's biggest byte-mover;
 # orbiting a volume reuses the same few entries (reference keeps the VTK
 # mapper's resampled volume alive the same way)
 _VOLP_CACHE: dict = {}
+
+def _preset_lut_t(preset):
+    """Device-resident (3, N) transposed LUT, stashed on the preset so a
+    frame loop doesn't re-upload the colormap every call."""
+    hit = getattr(preset, "_lut_t_dev", None)
+    if hit is None:
+        hit = jnp.asarray(preset.rgba[:, :3].T)
+        preset._lut_t_dev = hit
+    return hit
 
 
 @partial(jax.jit, static_argnames=("mode",))
@@ -622,11 +664,14 @@ def _pool2(vol, mode: str):
 
 
 def _permuted_volume(volume, perm, flip, downsample, mode):
+    # keyed by the id of the CALLER's object, with a strong reference kept
+    # in the value: without it a freed array's id can be recycled by a new
+    # volume and the cache silently returns the wrong frame's data
     key = (id(volume), perm, bool(flip), int(downsample), mode)
     hit = _VOLP_CACHE.get(key)
     if hit is not None:
-        return hit
-    vol = volume
+        return hit[1]
+    vol = jnp.asarray(volume)
     if downsample > 1:
         vol = _pool2(vol, mode)
     vol_p = jnp.transpose(vol, perm)
@@ -635,7 +680,7 @@ def _permuted_volume(volume, perm, flip, downsample, mode):
     vol_p = jax.block_until_ready(vol_p)
     if len(_VOLP_CACHE) > 12:
         _VOLP_CACHE.pop(next(iter(_VOLP_CACHE)))
-    _VOLP_CACHE[key] = vol_p
+    _VOLP_CACHE[key] = (volume, vol_p)
     return vol_p
 
 
@@ -655,8 +700,7 @@ def shear_warp_render(
     composite, max for MIP) — 8x less slice work for interactive orbiting;
     the warp resamples to the requested image size either way."""
     preset = preset or builtin_preset("Bone")
-    volume = jnp.asarray(volume)
-    full_shape = volume.shape
+    full_shape = tuple(int(s) for s in volume.shape)
     origins, direction, diag, _ = camera_rays(
         full_shape, spacing, azimuth, elevation, image_size)
 
@@ -708,20 +752,21 @@ def shear_warp_render(
     t0 = (0.0 - o[0]) / d[0]
     cu = o[1] + t0 * d[1] + base[0] + 0.0
     cv = o[2] + t0 * d[2] + base[1] + 0.0
-    img4 = _warp_to_screen(acc, jnp.asarray(cu, jnp.float32),
-                           jnp.asarray(cv, jnp.float32))
-    if mode == "mip":
-        n_lut = preset.rgba.shape[0]
-        idx = jnp.clip((img4[..., 0] - preset.lut_min)
-                       / (preset.lut_max - preset.lut_min) * (n_lut - 1),
-                       0, n_lut - 1).astype(jnp.int32)
-        lut_t = jnp.asarray(preset.rgba).T
-        rgb = jnp.stack([lut_t[c][idx] for c in range(3)], axis=-1)
-    else:
-        bg = jnp.asarray(preset.background, jnp.float32)
-        rem = (1.0 - img4[..., 3:4])
-        rgb = img4[..., :3] + rem * bg[None, None, :]
-    return np.asarray(jnp.clip(rgb, 0.0, 1.0) * 255.0).astype(np.uint8)
+    # cu/cv are affine in pixel indices (orthographic camera): ship six
+    # float64-derived coefficients, regenerate on device (see _frame_epilogue)
+    H, W = cu.shape
+    affine = np.array([
+        cu[0, 0], (cu[-1, 0] - cu[0, 0]) / max(H - 1, 1),
+        (cu[0, -1] - cu[0, 0]) / max(W - 1, 1),
+        cv[0, 0], (cv[-1, 0] - cv[0, 0]) / max(H - 1, 1),
+        (cv[0, -1] - cv[0, 0]) / max(W - 1, 1),
+    ], np.float32)
+    lut_t = _preset_lut_t(preset)
+    img8 = _frame_epilogue(
+        acc, jnp.asarray(affine), lut_t,
+        jnp.float32(preset.lut_min), jnp.float32(preset.lut_max),
+        jnp.asarray(preset.background, jnp.float32), mode, (H, W))
+    return np.asarray(img8)
 
 
 # ---------------------------------------------------------------------------

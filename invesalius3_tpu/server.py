@@ -552,6 +552,55 @@ def make_handler(state: AppState):
                     state.crop_box = None
                     self._json({"shape": list(vol.shape),
                                 "spacing": list(vol.spacing)})
+                elif self.path == "/api/project/save":
+                    # assemble the live session into a .inv3 (reference
+                    # control.py SaveProject / project.py SavePlistProject)
+                    from invesalius3_tpu.core.project import Project
+                    from invesalius3_tpu.core.session import Session
+
+                    proj = Project()
+                    proj.name = body.get("name") or "web_project"
+                    proj.volume = slc.volume
+                    proj.modality = slc.volume.modality
+                    proj.window = slc.window_width
+                    proj.level = slc.window_level
+                    for m in slc.masks.values():
+                        proj.add_mask(m)
+                        if m.threshold_range:
+                            proj.threshold_range = tuple(m.threshold_range)
+                    for s in state.surfaces.values():
+                        proj.add_surface(s)
+                    proj.measurement_dict = state.measures.to_dict()
+                    if getattr(slc, "_image_versions", None):
+                        proj.image_versions = slc.image_versions
+                    path = body["path"]
+                    proj.save(path, compress=bool(body.get("compress", False)))
+                    sess = getattr(state, "_session", None) or Session()
+                    state._session = sess
+                    sess.add_recent_project(path, proj.name)
+                    self._json({"path": path, "masks": len(proj.mask_dict),
+                                "surfaces": len(proj.surface_dict),
+                                "measures": len(proj.measurement_dict)})
+                elif self.path == "/api/project/open":
+                    from invesalius3_tpu.core.project import Project
+                    from invesalius3_tpu.core.surface import Surface
+
+                    proj = Project.open(body["path"])
+                    slc.load_new_volume(proj.volume)
+                    slc.set_window(proj.window, proj.level)
+                    slc.masks = dict(proj.mask_dict)
+                    slc.current_mask = next(iter(slc.masks.values()), None)
+                    if proj.image_versions:
+                        slc._image_versions = list(proj.image_versions)
+                    state.surfaces = dict(proj.surface_dict)
+                    state.measures.measures.clear()
+                    state.measures.load_dict(proj.measurement_dict)
+                    state.crop_box = None
+                    self._json({"name": proj.name,
+                                "shape": list(proj.volume.shape),
+                                "masks": len(slc.masks),
+                                "surfaces": len(state.surfaces),
+                                "measures": len(state.measures.measures)})
                 elif self.path == "/api/config":
                     from invesalius3_tpu.core.session import Session
 

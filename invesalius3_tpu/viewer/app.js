@@ -467,6 +467,19 @@ async function init() {
     await api("/api/import", { path });
     location.reload();
   };
+  $("#project-save").onclick = async () => {
+    const path = $("#project-path").value;
+    if (!path) { setStatus("enter a .inv3 path"); return; }
+    const r = await api("/api/project/save", { path });
+    setStatus(`saved ${r.path} (${r.masks} masks, ${r.surfaces} surfaces, ` +
+      `${r.measures} measures)`);
+  };
+  $("#project-open").onclick = async () => {
+    const path = $("#project-path").value;
+    if (!path) { setStatus("enter a .inv3 path"); return; }
+    await api("/api/project/open", { path });
+    location.reload();
+  };
   $("#do-overlay").onclick = async () => {
     await api("/api/overlay", { path: $("#overlay-path").value,
                                 colormap: $("#overlay-cmap").value });

@@ -370,3 +370,46 @@ def test_render_scene_includes_navigation(server):
     code, ctype, png = _get(server, "/api/render_scene?size=64&t=55")
     assert code == 200 and png[:4] == b"\x89PNG"
     _post(server, "/api/nav/disconnect", {})
+
+
+def test_project_save_open_roundtrip(tmp_path):
+    # dedicated server: /api/project/open replaces the whole session
+    zz, yy, xx = np.mgrid[:12, :16, :16].astype(np.float32)
+    r = np.sqrt((zz - 6) ** 2 + (yy - 8) ** 2 + (xx - 8) ** 2)
+    ct = np.where(r < 5, 1200, -900).astype(np.int16)
+    slc = Slice(Volume.from_numpy(ct, spacing=(1.0, 1.0, 1.0)))
+    srv = ViewerServer(slc).start()
+    try:
+        _post(srv, "/api/threshold", {"tmin": 300, "tmax": 3071})
+        _post(srv, "/api/surface", {})
+        _post(srv, "/api/measures", {"kind": "linear",
+                                     "p1": [2, 2, 2], "p2": [2, 2, 10]})
+        path = str(tmp_path / "web.inv3")
+        code, out = _post(srv, "/api/project/save",
+                          {"path": path, "name": "roundtrip"})
+        assert code == 200 and out["masks"] == 1 and out["surfaces"] == 1
+        assert out["measures"] == 1
+
+        # wipe the session by loading a different study, then reopen
+        import invesalius3_tpu.io.nifti as nifti
+
+        other = np.zeros((4, 8, 8), np.int16)
+        nii = str(tmp_path / "other.nii")
+        nifti.write_nifti(nii, other, spacing=(1, 1, 1))
+        _post(srv, "/api/import", {"path": nii})
+        st = json.loads(_get(srv, "/api/status")[2])
+        assert st["n_masks"] == 0
+
+        code, out = _post(srv, "/api/project/open", {"path": path})
+        assert code == 200 and out["name"] == "roundtrip"
+        assert out["shape"] == [12, 16, 16]
+        assert out["masks"] == 1 and out["surfaces"] == 1 and out["measures"] == 1
+        st = json.loads(_get(srv, "/api/status")[2])
+        assert st["volume_shape"] == [12, 16, 16]
+        masks = json.loads(_get(srv, "/api/masks")[2])
+        assert masks[0]["threshold_range"] == [300, 3071]
+        # measures restored with values
+        meas = json.loads(_get(srv, "/api/measures")[2])
+        assert abs(meas[0]["value"] - 8.0) < 1e-3
+    finally:
+        srv.stop()

@@ -212,25 +212,65 @@ _PRESET_SPECS = {
 }
 
 
+def preset_from_nodes(name, lo, hi, alpha_nodes, color_nodes,
+                      shading=True, mode="composite", bg=(0.0, 0.0, 0.0),
+                      lut_size: int = 2048) -> RaycastPreset:
+    """Bake a preset from editable (value, alpha) and (value, rgb) node
+    lists — the CLUT-editor entry point (reference
+    gui/widgets/clut_raycasting.py curve model; same interpolation the
+    builtin catalog uses)."""
+    lo, hi = float(lo), float(hi)
+    values = np.linspace(lo, hi, lut_size)
+    a_pts = sorted((float(v), float(a)) for v, a in alpha_nodes)
+    a = np.interp(values, [p[0] for p in a_pts], [p[1] for p in a_pts])
+    rgba = np.empty((lut_size, 4), np.float32)
+    rgba[:, 3] = np.clip(a, 0.0, 1.0)
+    stops = sorted((float(v), tuple(rgb)) for v, rgb in color_nodes)
+    xs = [p[0] for p in stops]
+    for c in range(3):
+        rgba[:, c] = np.interp(values, xs, [p[1][c] for p in stops])
+    return RaycastPreset(name, lo, hi, rgba, use_shading=bool(shading),
+                         projection_mode=mode, background=tuple(bg))
+
+
 def builtin_preset(name: str = "Bone", lut_size: int = 2048) -> RaycastPreset:
     """Bake one of the authored presets (full reference catalog coverage:
     the 30 names under presets/raycasting/)."""
     spec = _PRESET_SPECS.get(name)
     if spec is None:
         raise KeyError(name)
-    lo, hi = float(spec["lo"]), float(spec["hi"])
-    values = np.linspace(lo, hi, lut_size)
-    a_pts = spec["alpha"]
-    a = np.interp(values, [p[0] for p in a_pts], [p[1] for p in a_pts])
-    rgba = np.empty((lut_size, 4), np.float32)
-    rgba[:, 3] = a
-    stops = spec["stops"]
-    xs = [p[0] for p in stops]
-    for c in range(3):
-        rgba[:, c] = np.interp(values, xs, [p[1][c] for p in stops])
-    return RaycastPreset(name, lo, hi, rgba, use_shading=spec["shading"],
-                         projection_mode=spec["mode"],
-                         background=tuple(spec["bg"]))
+    return preset_from_nodes(name, spec["lo"], spec["hi"], spec["alpha"],
+                             spec["stops"], shading=spec["shading"],
+                             mode=spec["mode"], bg=spec["bg"],
+                             lut_size=lut_size)
+
+
+def nodes_from_preset(p: "RaycastPreset", n_nodes: int = 16) -> dict:
+    """Downsample a baked preset LUT back to an editable node view."""
+    n = p.rgba.shape[0]
+    values = np.linspace(p.lut_min, p.lut_max, n_nodes)
+    idx = np.clip(((values - p.lut_min) / max(p.lut_max - p.lut_min, 1e-6)
+                   * (n - 1)).astype(int), 0, n - 1)
+    return {"name": p.name, "lo": float(p.lut_min), "hi": float(p.lut_max),
+            "alpha_nodes": [[float(v), float(p.rgba[i, 3])]
+                            for v, i in zip(values, idx)],
+            "color_nodes": [[float(v), [float(c) for c in p.rgba[i, :3]]]
+                            for v, i in zip(values, idx)],
+            "shading": bool(p.use_shading), "mode": p.projection_mode}
+
+
+def preset_nodes(name: str) -> dict:
+    """The editable node view of a preset: builtin specs verbatim, saved
+    user presets downsampled from their baked LUT (what the CLUT editor
+    loads)."""
+    spec = _PRESET_SPECS.get(name)
+    if spec is not None:
+        return {"name": name, "lo": float(spec["lo"]), "hi": float(spec["hi"]),
+                "alpha_nodes": [[float(v), float(a)] for v, a in spec["alpha"]],
+                "color_nodes": [[float(v), [float(c) for c in rgb]]
+                                for v, rgb in spec["stops"]],
+                "shading": bool(spec["shading"]), "mode": spec["mode"]}
+    return nodes_from_preset(load_preset(name))
 
 
 BUILTIN_PRESETS = tuple(_PRESET_SPECS)

@@ -20,6 +20,10 @@ surface the viewers consumed:
   GET  /api/masks                          mask list (index/name/colour)
   GET  /api/measures                       measurement list
   GET  /api/presets                        threshold + raycast preset names
+  GET  /api/raycast/nodes?name=            editable CLUT node view
+  POST /api/raycast/preset {"name","lo","hi","alpha_nodes","color_nodes",
+        "shading","mode","save"}           bake (optionally persist) an
+                                           edited raycast preset
   GET  /api/image_versions                 filtered image version labels
   POST /api/window {"ww","wl"}             set the shared display window
   POST /api/projection {"type","slabs"}    set the shared projection mode
@@ -78,6 +82,7 @@ class AppState:
         self.slice = slc
         self.surfaces = {}
         self.crop_box = None  # last /api/crop box, drawn as slice overlay
+        self.custom_presets = {}  # live (unsaved) CLUT-editor presets
         self.recent_events = []
         self.measures = MeasurementManager(bus=slc.bus)
         self.lock = threading.Lock()  # serializes state-changing POSTs
@@ -238,12 +243,24 @@ def make_handler(state: AppState):
                 elif url.path == "/api/presets":
                     from invesalius3_tpu.ops import raycast
 
+                    names = list(raycast.available_presets())
+                    names += [n for n in state.custom_presets
+                              if n not in names]
                     self._json({
                         "threshold_ct": {k: list(v) for k, v in
                                          const.THRESHOLD_PRESETS_CT.items()},
-                        "raycast": list(raycast.BUILTIN_PRESETS),
+                        "raycast": names,
                         "projections": const.PROJECTION_NAMES,
                     })
+                elif url.path == "/api/raycast/nodes":
+                    # editable node view for the CLUT editor (reference
+                    # gui/widgets/clut_raycasting.py curve model)
+                    from invesalius3_tpu.ops import raycast
+
+                    name = q.get("name", "Bone")
+                    p = state.custom_presets.get(name)
+                    self._json(raycast.nodes_from_preset(p) if p is not None
+                               else raycast.preset_nodes(name))
                 elif url.path == "/api/image_versions":
                     self._json({
                         "versions": [lbl for lbl, _ in slc.image_versions],
@@ -336,7 +353,9 @@ def make_handler(state: AppState):
                 elif url.path == "/api/render":
                     from invesalius3_tpu.ops import raycast
 
-                    preset = raycast.builtin_preset(q.get("preset", "Bone"))
+                    pname = q.get("preset", "Bone")
+                    preset = (state.custom_presets.get(pname)
+                              or raycast.load_preset(pname))
                     # shear-warp: streaming slice compositing (the gather
                     # raycaster is seconds/frame on TPU at full volumes)
                     size = int(q.get("size", 256))
@@ -458,6 +477,22 @@ def make_handler(state: AppState):
                 elif self.path == "/api/measures/remove":
                     state.measures.remove(int(body["index"]))
                     self._json({"ok": True})
+                elif self.path == "/api/raycast/preset":
+                    # bake an edited CLUT (reference clut_raycasting.py
+                    # OnChangeCurve -> control.py SaveRaycastingPreset)
+                    from invesalius3_tpu.ops import raycast
+
+                    p = raycast.preset_from_nodes(
+                        body.get("name", "Custom"), body["lo"], body["hi"],
+                        body["alpha_nodes"], body["color_nodes"],
+                        shading=body.get("shading", True),
+                        mode=body.get("mode", "composite"),
+                        bg=tuple(body.get("bg", (0.0, 0.0, 0.0))))
+                    state.custom_presets[p.name] = p
+                    saved = None
+                    if body.get("save"):
+                        saved = str(raycast.save_user_preset(p))
+                    self._json({"name": p.name, "saved": saved})
                 elif self.path == "/api/brush":
                     import jax.numpy as jnp
 

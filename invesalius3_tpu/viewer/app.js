@@ -107,6 +107,131 @@ function refresh3D() {
     `az ${state.azimuth.toFixed(0)}° el ${state.elevation.toFixed(0)}°`;
 }
 
+// --- CLUT editor (reference gui/widgets/clut_raycasting.py) -----------------
+
+const clut = { nodes: null, drag: -1 };
+
+async function loadClut(name) {
+  clut.nodes = await api(`/api/raycast/nodes?name=${encodeURIComponent(name)}`);
+  $("#clut-lo").value = clut.nodes.lo;
+  $("#clut-hi").value = clut.nodes.hi;
+  $("#clut-name").value = name;
+  drawClut();
+}
+
+function clutToPx(v, a, W, H) {
+  const { lo, hi } = clut.nodes;
+  return [(v - lo) / (hi - lo) * (W - 8) + 4, (H - 22) * (1 - a) + 4];
+}
+
+function clutFromPx(x, y, W, H) {
+  const { lo, hi } = clut.nodes;
+  return [
+    Math.min(hi, Math.max(lo, (x - 4) / (W - 8) * (hi - lo) + lo)),
+    Math.min(1, Math.max(0, 1 - (y - 4) / (H - 22))),
+  ];
+}
+
+function drawClut() {
+  const cv = $("#clut-canvas");
+  if (!clut.nodes || !cv) return;
+  const ctx = cv.getContext("2d");
+  const W = cv.width, H = cv.height;
+  const { lo, hi } = clut.nodes;
+  ctx.fillStyle = "#111";
+  ctx.fillRect(0, 0, W, H);
+  const grad = ctx.createLinearGradient(4, 0, W - 4, 0);
+  clut.nodes.color_nodes.forEach(([v, rgb]) => {
+    const t = Math.min(1, Math.max(0, (v - lo) / (hi - lo)));
+    grad.addColorStop(t, `rgb(${rgb.map((c) => Math.round(c * 255))})`);
+  });
+  ctx.fillStyle = grad;
+  ctx.fillRect(4, H - 14, W - 8, 10);
+  ctx.strokeStyle = "#ddd";
+  ctx.beginPath();
+  clut.nodes.alpha_nodes.forEach(([v, a], i) => {
+    const [x, y] = clutToPx(v, a, W, H);
+    i ? ctx.lineTo(x, y) : ctx.moveTo(x, y);
+  });
+  ctx.stroke();
+  clut.nodes.alpha_nodes.forEach(([v, a], i) => {
+    const [x, y] = clutToPx(v, a, W, H);
+    ctx.fillStyle = i === clut.drag ? "#ff5" : "#6cf";
+    ctx.beginPath();
+    ctx.arc(x, y, 3.5, 0, 7);
+    ctx.fill();
+  });
+}
+
+function clutNearestNode(e) {
+  const cv = $("#clut-canvas");
+  const r = cv.getBoundingClientRect();
+  const x = e.clientX - r.left, y = e.clientY - r.top;
+  let best = -1, bd = 10;
+  clut.nodes.alpha_nodes.forEach(([v, a], i) => {
+    const [nx, ny] = clutToPx(v, a, cv.width, cv.height);
+    const d = Math.hypot(nx - x, ny - y);
+    if (d < bd) { bd = d; best = i; }
+  });
+  return [best, x, y];
+}
+
+async function applyClut(save) {
+  const n = clut.nodes;
+  n.lo = +$("#clut-lo").value;
+  n.hi = +$("#clut-hi").value;
+  n.name = $("#clut-name").value || n.name;
+  const r = await api("/api/raycast/preset", { ...n, save });
+  const rp = $("#raycast-preset");
+  if (![...rp.options].some((o) => o.textContent === r.name)) {
+    const o = document.createElement("option");
+    o.textContent = r.name;
+    rp.appendChild(o);
+  }
+  rp.value = r.name;
+  state.raycastPreset = r.name;
+  setStatus(save ? `preset saved: ${r.saved}` : `preset applied: ${r.name}`);
+  refresh3D();
+}
+
+function initClut() {
+  const cv = $("#clut-canvas");
+  cv.addEventListener("mousedown", (e) => {
+    const [i] = clutNearestNode(e);
+    clut.drag = i;
+    drawClut();
+  });
+  cv.addEventListener("mousemove", (e) => {
+    if (clut.drag < 0) return;
+    const r = cv.getBoundingClientRect();
+    clut.nodes.alpha_nodes[clut.drag] =
+      clutFromPx(e.clientX - r.left, e.clientY - r.top, cv.width, cv.height);
+    clut.nodes.alpha_nodes.sort((a, b) => a[0] - b[0]);
+    drawClut();
+  });
+  window.addEventListener("mouseup", () => {
+    if (clut.drag >= 0) { clut.drag = -1; drawClut(); }
+  });
+  cv.addEventListener("dblclick", (e) => {
+    const r = cv.getBoundingClientRect();
+    const [v, a] =
+      clutFromPx(e.clientX - r.left, e.clientY - r.top, cv.width, cv.height);
+    clut.nodes.alpha_nodes.push([v, a]);
+    clut.nodes.alpha_nodes.sort((x, y) => x[0] - y[0]);
+    drawClut();
+  });
+  cv.addEventListener("contextmenu", (e) => {
+    e.preventDefault();
+    const [i] = clutNearestNode(e);
+    if (i >= 0 && clut.nodes.alpha_nodes.length > 2) {
+      clut.nodes.alpha_nodes.splice(i, 1);
+      drawClut();
+    }
+  });
+  $("#clut-apply").onclick = () => applyClut(false);
+  $("#clut-save").onclick = () => applyClut(true);
+}
+
 async function refreshLists() {
   const masks = await api("/api/masks");
   const ml = $("#mask-list");
@@ -378,8 +503,14 @@ async function init() {
     rp.appendChild(o);
   });
   state.raycastPreset = presets.raycast[0] || "";
-  rp.onchange = () => { state.raycastPreset = rp.value; refresh3D(); };
+  rp.onchange = () => {
+    state.raycastPreset = rp.value;
+    refresh3D();
+    loadClut(rp.value).catch(() => {});
+  };
   $("#mode3d").onchange = refresh3D;
+  initClut();
+  if (state.raycastPreset) loadClut(state.raycastPreset).catch(() => {});
 
   const iv = await api("/api/image_versions");
   const ivs = $("#imgversion");

@@ -276,6 +276,25 @@ def test_builtin_preset_catalog_covers_reference_names():
         assert np.isfinite(p.rgba).all() and p.rgba[:, 3].max() > 0
 
 
+def test_preset_nodes_roundtrip():
+    """CLUT-editor node view: builtin spec -> nodes -> preset_from_nodes
+    rebakes the identical LUT; nodes_from_preset inverts a baked preset
+    to within interpolation error."""
+    n = raycast.preset_nodes("Bone")
+    p = raycast.preset_from_nodes(
+        n["name"], n["lo"], n["hi"], n["alpha_nodes"], n["color_nodes"],
+        shading=n["shading"], mode=n["mode"])
+    ref = raycast.builtin_preset("Bone")
+    np.testing.assert_allclose(p.rgba, ref.rgba, atol=1e-6)
+    assert p.use_shading == ref.use_shading
+    assert p.projection_mode == ref.projection_mode
+    # inverse direction: downsampled nodes of a baked preset re-bake close
+    n2 = raycast.nodes_from_preset(ref, n_nodes=64)
+    p2 = raycast.preset_from_nodes(
+        "rt", n2["lo"], n2["hi"], n2["alpha_nodes"], n2["color_nodes"])
+    assert np.abs(p2.rgba - ref.rgba).mean() < 0.02
+
+
 # ---------------------------------------------------------------------------
 # shear-warp renderer (TPU-native volume rendering path)
 # ---------------------------------------------------------------------------

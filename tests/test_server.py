@@ -117,6 +117,38 @@ def test_client_page_and_presets(server):
     assert "Bone" in p["threshold_ct"] and "Bone" in p["raycast"]
 
 
+def test_clut_editor_endpoints(server, tmp_path, monkeypatch):
+    """CLUT editor flow: load editable nodes, edit, bake, render with the
+    custom preset, persist to the user preset dir (reference
+    clut_raycasting.py + control.py SaveRaycastingPreset)."""
+    monkeypatch.setenv("XDG_CONFIG_HOME", str(tmp_path))
+    code, _, body = _get(server, "/api/raycast/nodes?name=Bone")
+    assert code == 200
+    nodes = json.loads(body)
+    assert nodes["lo"] < nodes["hi"] and len(nodes["alpha_nodes"]) >= 2
+    # edit: crank alpha, rename, apply (unsaved)
+    nodes["alpha_nodes"] = [[nodes["lo"], 0.0], [nodes["hi"], 1.0]]
+    nodes["name"] = "My Edit"
+    code, r = _post(server, "/api/raycast/preset", nodes)
+    assert code == 200 and r["name"] == "My Edit" and r["saved"] is None
+    code, _, body = _get(server, "/api/presets")
+    assert "My Edit" in json.loads(body)["raycast"]
+    code, ctype, body = _get(server,
+                             "/api/render?size=48&preset=My%20Edit")
+    assert code == 200 and body[:4] == b"\x89PNG"
+    # node view of the live custom preset comes back from memory
+    code, _, body = _get(server, "/api/raycast/nodes?name=My%20Edit")
+    assert code == 200 and json.loads(body)["name"] == "My Edit"
+    # save: persists a plist loadable by load_preset
+    nodes["save"] = True
+    code, r = _post(server, "/api/raycast/preset", nodes)
+    assert code == 200 and r["saved"] and r["saved"].endswith(".plist")
+    from invesalius3_tpu.ops import raycast
+
+    p = raycast.load_preset("My Edit")
+    assert p.rgba.shape[1] == 4 and p.rgba[:, 3].max() > 0.9
+
+
 def test_get_slice_is_stateless(server):
     slc = server.state.slice
     ww0, wl0, proj0 = slc.window_width, slc.window_level, slc.projection_type

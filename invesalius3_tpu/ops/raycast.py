@@ -515,8 +515,25 @@ def _axis_permutation(direction):
     return perm, flip, dp
 
 
-@partial(jax.jit, static_argnames=("mode", "dims", "use_shading", "chunk"))
-def _shear_composite(vol_p, shear, base, lut_rgba, lut_min, lut_max,
+def _pwl_eval_multi(v, xs, y0, dm, lut_min, lut_max, channels):
+    """Evaluate piecewise-linear colormap channels elementwise in relu
+    form: y(v) = y0 + sum_k dm_k * relu(clip(v) - x_k).  A per-slice LUT
+    gather (134M lookups over a frame) measured 3.6 s of a 3.8 s frame;
+    this is pure VPU work over only the preset's REAL slope breaks
+    (~4-20 for the builtin catalog vs the 32 uniform segments it
+    replaces), with the relu terms shared across channels."""
+    vc = jnp.clip(v, lut_min, lut_max)
+    terms = [jnp.maximum(vc - xs[k], 0.0) for k in range(xs.shape[0])]
+    out = []
+    for ch in channels:
+        y = jnp.full_like(v, y0[ch])
+        for k in range(len(terms)):
+            y = y + dm[ch, k] * terms[k]
+        out.append(y)
+    return out
+
+
+def _shear_composite(vol_p, shear, base, xs, y0, dm, lut_min, lut_max,
                      alpha_q, mode: str, dims, use_shading: bool = False,
                      dn=None, chunk: int = 1):
     """Scan over permuted slices: shift-resample each slice by its shear
@@ -524,27 +541,13 @@ def _shear_composite(vol_p, shear, base, lut_rgba, lut_min, lut_max,
 
     vol_p: (P, U, V) permuted volume; shear: (2,) per-slice (du, dv);
     base: (2,) offset of slice 0 in the accumulator; alpha_q: opacity
-    correction exponent (path length through one slice / slice spacing).
+    correction exponent (path length through one slice / slice spacing);
+    (xs, y0, dm): relu-form CLUT knots from _preset_knots.
     Returns (AU, AV, 4) float32 accumulator (premultiplied rgb + alpha,
     or the running max for mode="mip").
     """
     P, U, V = vol_p.shape
     AU, AV = dims
-    # CLUT as a uniform piecewise-linear function evaluated ELEMENTWISE:
-    # y(t) = y_0 + sum_k dy_k * clip(t - k, 0, 1).  A per-slice LUT gather
-    # (134M lookups over the frame) measured 3.6 s of the 3.8 s frame; the
-    # clip-sum is pure VPU work.  lut_rgba here is the downsampled (K+1, 4)
-    # node table (see shear_warp_render).
-    K = lut_rgba.shape[0] - 1
-    node_y = lut_rgba.T  # (4, K+1)
-    node_dy = node_y[:, 1:] - node_y[:, :-1]  # (4, K)
-
-    def lut_eval(v, ch):
-        t = (v - lut_min) / (lut_max - lut_min) * K
-        y = jnp.full_like(v, node_y[ch, 0])
-        for k in range(K):
-            y = y + node_dy[ch, k] * jnp.clip(t - k, 0.0, 1.0)
-        return y
 
     def shifted_slice(sl, fu, fv):
         """Resample slice onto the integer accumulator grid: out[i, j] =
@@ -582,9 +585,9 @@ def _shear_composite(vol_p, shear, base, lut_rgba, lut_min, lut_max,
             win = jnp.maximum(win, ss)
             return jax.lax.dynamic_update_slice(acc, win, (iu, iv))
         acc = carry  # (4, AU, AV): r, g, b, alpha planes
-        a = lut_eval(ss, 3)
+        r, g, b, a = _pwl_eval_multi(ss, xs, y0, dm, lut_min, lut_max,
+                                     (0, 1, 2, 3))
         a = 1.0 - jnp.power(jnp.maximum(1.0 - a, 0.0), alpha_q)
-        r, g, b = lut_eval(ss, 0), lut_eval(ss, 1), lut_eval(ss, 2)
         if use_shading:
             # central-difference gradient, all streaming: along the slice
             # axis from the p+-1 slices, in-plane from padded shifts
@@ -642,13 +645,9 @@ def _warp_sample(acc, coords_u, coords_v):
     return jnp.stack(out, axis=-1)
 
 
-_warp_to_screen = jax.jit(_warp_sample)
-
-
-@partial(jax.jit, static_argnames=("mode", "out_shape"))
-def _frame_epilogue(acc, affine, lut_t, lut_min, lut_max, bg,
+def _frame_epilogue(acc, affine, xs, y0, dm, lut_min, lut_max, bg,
                     mode: str, out_shape):
-    """Fused warp -> colormap -> uint8 frame finish, ONE program.
+    """Warp -> colormap -> uint8 frame finish.
 
     The eager tail this replaces (warp jit + per-channel LUT gathers +
     clip/scale/stack, each a separate dispatch) cost one relay round trip
@@ -657,7 +656,8 @@ def _frame_epilogue(acc, affine, lut_t, lut_min, lut_max, bg,
     (cu00, dcu_i, dcu_j, cv00, dcv_i, dcv_j): the screen->base-plane
     coordinates are exactly affine in pixel indices for an orthographic
     camera, so they are regenerated on device from six scalars instead of
-    shipping two (H, W) arrays up per frame.
+    shipping two (H, W) arrays up per frame.  The MIP colormap is the same
+    relu-form piecewise evaluation as the compositor — no LUT gather.
     """
     H, W = out_shape
     ii = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
@@ -666,14 +666,28 @@ def _frame_epilogue(acc, affine, lut_t, lut_min, lut_max, bg,
     cv = affine[3] + affine[4] * ii + affine[5] * jj
     img4 = _warp_sample(acc, cu, cv)
     if mode == "mip":
-        n_lut = lut_t.shape[1]
-        idx = jnp.clip((img4[..., 0] - lut_min) / (lut_max - lut_min)
-                       * (n_lut - 1), 0, n_lut - 1).astype(jnp.int32)
-        rgb = jnp.stack([lut_t[c][idx] for c in range(3)], axis=-1)
+        rgb = jnp.stack(_pwl_eval_multi(img4[..., 0], xs, y0, dm,
+                                        lut_min, lut_max, (0, 1, 2)),
+                        axis=-1)
     else:
         rem = 1.0 - img4[..., 3:4]
         rgb = img4[..., :3] + rem * bg[None, None, :]
     return (jnp.clip(rgb, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("mode", "dims", "use_shading", "chunk",
+                                   "out_shape"))
+def _shear_frame(vol_p, shear, base, xs, y0, dm, lut_min, lut_max, alpha_q,
+                 affine, bg, dn, mode: str, dims, use_shading: bool,
+                 chunk: int, out_shape):
+    """Composite + warp + colormap + uint8, fused into ONE XLA program —
+    one dispatch (and one ~26 ms relay round trip) per frame instead of
+    two, and the (AU, AV, 4) accumulator never escapes the program."""
+    acc = _shear_composite(vol_p, shear, base, xs, y0, dm, lut_min, lut_max,
+                           alpha_q, mode, dims, use_shading=use_shading,
+                           dn=dn, chunk=chunk)
+    return _frame_epilogue(acc, affine, xs, y0, dm, lut_min, lut_max, bg,
+                           mode, out_shape)
 
 
 # permuted/pooled volume cache: per camera octant the permute (and the
@@ -682,13 +696,51 @@ def _frame_epilogue(acc, affine, lut_t, lut_min, lut_max, bg,
 # mapper's resampled volume alive the same way)
 _VOLP_CACHE: dict = {}
 
-def _preset_lut_t(preset):
-    """Device-resident (3, N) transposed LUT, stashed on the preset so a
-    frame loop doesn't re-upload the colormap every call."""
-    hit = getattr(preset, "_lut_t_dev", None)
-    if hit is None:
-        hit = jnp.asarray(preset.rgba[:, :3].T)
-        preset._lut_t_dev = hit
+def _preset_knots(preset, max_knots: int = 64):
+    """Relu-form knot decomposition of the preset's baked (N, 4) LUT,
+    cached on the preset object.
+
+    Builtin/user presets are baked with np.interp over a handful of spec
+    nodes, so the LUT is exactly piecewise linear — second differences of
+    the sampled values recover every slope break.  Returns device arrays
+    (xs (M,), y0 (4,), dm (4, M)) such that each channel is
+    y(v) = y0 + sum_k dm_k * relu(clip(v, lut_min, lut_max) - xs[k]).
+    M is padded to a multiple of 8 (dm=0, xs=lut_max) so jit variants
+    stay bounded.  Dense LUTs (> max_knots breaks) fall back to a uniform
+    max_knots-segment resample — still finer than the 32 uniform segments
+    this replaces."""
+    hit = getattr(preset, "_knots_dev", None)
+    if hit is not None:
+        return hit
+    rgba = np.asarray(preset.rgba, np.float32)
+    n = rgba.shape[0]
+    lo, hi = float(preset.lut_min), float(preset.lut_max)
+    dv = (hi - lo) / (n - 1)
+    slopes = np.diff(rgba, axis=0) / dv  # (n-1, 4) per-value-unit slopes
+    d2 = np.abs(np.diff(slopes, axis=0)).max(axis=1)  # (n-2,)
+    tol = max(1e-9, float(np.abs(slopes).max()) * 1e-3)
+    idx = np.nonzero(d2 > tol)[0] + 1  # LUT index of each slope break
+    if len(idx) + 1 <= max_knots:
+        kx = lo + np.concatenate([[0], idx]) * dv  # (M,)
+        sl = slopes[np.concatenate([[0], idx])]    # slope after each knot
+        y0 = rgba[0]
+    else:
+        px = np.linspace(0, n - 1, max_knots + 1)
+        ys = np.stack([np.interp(px, np.arange(n), rgba[:, c])
+                       for c in range(4)], axis=1)
+        kx = lo + px[:-1] * dv
+        sl = np.diff(ys, axis=0) / ((px[1] - px[0]) * dv)
+        y0 = ys[0]
+    m = len(kx)
+    mp = -(-m // 8) * 8
+    xs = np.full(mp, hi, np.float32)
+    xs[:m] = kx
+    dmk = np.zeros((4, mp), np.float32)
+    dmk[:, 0] = sl[0]
+    dmk[:, 1:m] = (sl[1:] - sl[:-1]).T
+    hit = (jnp.asarray(xs), jnp.asarray(y0.astype(np.float32)),
+           jnp.asarray(dmk))
+    preset._knots_dev = hit
     return hit
 
 
@@ -732,13 +784,17 @@ def shear_warp_render(
     elevation: float = 0.0,
     image_size: int = 512,
     downsample: int = 1,
+    fetch: bool = True,
 ) -> np.ndarray:
     """Interactive-quality volume rendering via shear-warp; same camera
     model as ``render``.  Returns (H, W, 3) uint8.
 
     ``downsample=2`` composites a 2x-pooled copy of the volume (mean for
     composite, max for MIP) — 8x less slice work for interactive orbiting;
-    the warp resamples to the requested image size either way."""
+    the warp resamples to the requested image size either way.
+
+    ``fetch=False`` returns the device array without the D2H sync so a
+    frame-streaming loop can overlap render k+1 with readback of k."""
     preset = preset or builtin_preset("Bone")
     full_shape = tuple(int(s) for s in volume.shape)
     origins, direction, diag, _ = camera_rays(
@@ -766,20 +822,8 @@ def shear_warp_render(
 
     mode = preset.projection_mode if preset.projection_mode == "mip" else "composite"
     dn_p = dp / np.linalg.norm(dp)
-    # downsample the baked CLUT to uniform piecewise-linear nodes (the
-    # compositing kernel evaluates them elementwise — no gathers)
-    K = 32
-    n_lut = preset.rgba.shape[0]
-    src_pos = np.linspace(0, n_lut - 1, K + 1)
-    nodes = np.stack([np.interp(src_pos, np.arange(n_lut), preset.rgba[:, c])
-                      for c in range(4)], axis=1).astype(np.float32)
+    xs, y0, dm = _preset_knots(preset)
     chunk = max(k for k in (8, 4, 2, 1) if P % k == 0)
-    acc = _shear_composite(
-        vol_p, jnp.asarray(shear, jnp.float32), jnp.asarray(base, jnp.float32),
-        jnp.asarray(nodes), preset.lut_min, preset.lut_max,
-        jnp.float32(alpha_q), mode, (AU, AV),
-        use_shading=bool(preset.use_shading),
-        dn=jnp.asarray(dn_p, jnp.float32), chunk=chunk)
 
     # screen -> base-plane coordinates: ray (o + t d) crosses the slice-0
     # plane of the permuted/flipped frame at t0 = (p0 - o_p) / d_p
@@ -801,12 +845,15 @@ def shear_warp_render(
         cv[0, 0], (cv[-1, 0] - cv[0, 0]) / max(H - 1, 1),
         (cv[0, -1] - cv[0, 0]) / max(W - 1, 1),
     ], np.float32)
-    lut_t = _preset_lut_t(preset)
-    img8 = _frame_epilogue(
-        acc, jnp.asarray(affine), lut_t,
+    img8 = _shear_frame(
+        vol_p, jnp.asarray(shear, jnp.float32),
+        jnp.asarray(base, jnp.float32), xs, y0, dm,
         jnp.float32(preset.lut_min), jnp.float32(preset.lut_max),
-        jnp.asarray(preset.background, jnp.float32), mode, (H, W))
-    return np.asarray(img8)
+        jnp.float32(alpha_q), jnp.asarray(affine),
+        jnp.asarray(preset.background, jnp.float32),
+        jnp.asarray(dn_p, jnp.float32), mode, (AU, AV),
+        bool(preset.use_shading), chunk, (H, W))
+    return np.asarray(img8) if fetch else img8
 
 
 # ---------------------------------------------------------------------------

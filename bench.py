@@ -29,23 +29,39 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
+# this host's hugepage zeroing intermittently degrades fresh-page faults
+# to ~MB/s; see invesalius3_tpu._disable_numpy_hugepage_madvise
+from invesalius3_tpu import _disable_numpy_hugepage_madvise
+_disable_numpy_hugepage_madvise()
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
 def make_ct(n: int) -> np.ndarray:
-    """Synthetic cranium-like CT: skull shell + inner bone island."""
-    zz, yy, xx = np.mgrid[:n, :n, :n].astype(np.float32)
+    """Synthetic cranium-like CT: skull shell + inner bone island.
+
+    Built slice-by-slice with reused (n, n) work buffers: the obvious
+    np.mgrid formulation faults ~6 GB of fresh float64 pages, and this
+    host's fresh-page bandwidth intermittently degrades to ~10 MB/s
+    (huge-page zeroing pathology) — mgrid then takes 10+ minutes.  Reused
+    pages run at full speed, so peak transient memory here is a few MB.
+    """
     c = n / 2.0
-    r = np.sqrt((zz - c) ** 2 + (yy - c) ** 2 + (xx - c) ** 2)
-    ct = np.full((n, n, n), -1000, np.int16)
-    ct[r < 0.42 * n] = 40
-    shell = (r >= 0.36 * n) & (r < 0.42 * n)
-    ct[shell] = 1200
-    ct[r < 0.08 * n] = 900
+    yy = (np.arange(n, dtype=np.float32) - c) ** 2
+    r2p = yy[:, None] + yy[None, :]  # (n, n) in-plane radius^2
+    ct = np.empty((n, n, n), np.int16)
     rng = np.random.default_rng(0)
-    ct = ct + rng.integers(-20, 20, ct.shape).astype(np.int16)
+    sl = np.empty((n, n), np.int16)
+    for z in range(n):
+        r = np.sqrt((z - c) ** 2 + r2p)
+        sl[:] = -1000
+        sl[r < 0.42 * n] = 40
+        sl[(r >= 0.36 * n) & (r < 0.42 * n)] = 1200
+        sl[r < 0.08 * n] = 900
+        sl += rng.integers(-20, 20, (n, n), dtype=np.int16)
+        ct[z] = sl
     return ct
 
 

@@ -23,4 +23,25 @@ Design stance (TPU-first, not a port):
 
 __version__ = "0.1.0"
 
+
+def _disable_numpy_hugepage_madvise() -> None:
+    """Turn off numpy's MADV_HUGEPAGE on large allocations.
+
+    On this host (THP "madvise" mode) hugepage zeroing intermittently
+    degrades fresh-page faults to ~3-12 MB/s system-wide, so a single
+    512^3 float64 temporary can stall for 10+ minutes.  Reused pages run
+    at full speed; plain 4K faults are fine.  Works after numpy import
+    (the flag is read per-allocation); falls back to a no-op if the
+    private hook moves."""
+    import os
+    os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+    try:
+        from numpy._core import multiarray as _ma
+        _ma._set_madvise_hugepage(False)
+    except Exception:
+        pass
+
+
+_disable_numpy_hugepage_madvise()
+
 from invesalius3_tpu.core.volume import Volume  # noqa: F401

@@ -225,11 +225,64 @@ def _emit_slots(ins: jax.Array, valid_cell: jax.Array, max_tris: int):
     return case, tri_slots, n_tris
 
 
+def _materialize_tables(vol_shape):
+    """Composed per-(tet, k, case, corner) lookup tables for _materialize.
+
+    Chained small-table gathers (case -> edge -> endpoints -> offsets) and
+    per-endpoint div/mod lattice decompositions dominated the materialize
+    stage; every chain folds into ONE 192-entry lookup per triangle corner
+    because (t, k, case) has only 6*2*16 combinations:
+
+    - geom[c][idx]: packed int32 — ea(2) eb(2) za(1) ya(1) xa(1)
+      (ddz+1)(2) (ddy+1)(2) (ddx+1)(2) where (za, ya, xa) is endpoint a's
+      cube-corner offset and (ddz, ddy, ddx) = offset_b - offset_a.
+    - keyoff[c][idx]: min(OFF[ca], OFF[cb]) * 8 + edge code, so the dedup
+      key is just cell_lin * 8 + keyoff (no div/mod at all).
+    - cent[t]: the 4 tet-corner offsets packed 3 bits each (12 bits).
+    - cja[t * 4 + j]: TETS[t][j] * A is folded by the caller (A-dependent).
+    """
+    Z, Y, X = vol_shape
+    off = (CUBE_OFFSETS[:, 0] * (Y * X) + CUBE_OFFSETS[:, 1] * X
+           + CUBE_OFFSETS[:, 2]).astype(np.int64)
+    geom = np.zeros((3, 192), np.int32)
+    keyoff = np.zeros((3, 192), np.int32)
+    for t in range(6):
+        for k in range(2):
+            for case_id in range(16):
+                idx = t * 32 + k * 16 + case_id
+                for c in range(3):
+                    e = int(TET_TRIS[case_id][k][c])
+                    if e < 0:  # unused slot: never compacted, any value
+                        continue
+                    ea, eb = (int(v) for v in TET_EDGES[e])
+                    ca = int(TETS[t][ea])
+                    cb = int(TETS[t][eb])
+                    oa = CUBE_OFFSETS[ca]
+                    dd = CUBE_OFFSETS[cb] - oa
+                    code = abs(int(dd[2])) + 2 * abs(int(dd[1])) + \
+                        4 * abs(int(dd[0]))
+                    keyoff[c, idx] = int(min(off[ca], off[cb])) * 8 + code
+                    geom[c, idx] = (
+                        ea | (eb << 2)
+                        | (int(oa[0]) << 4) | (int(oa[1]) << 5)
+                        | (int(oa[2]) << 6)
+                        | ((int(dd[0]) + 1) << 7) | ((int(dd[1]) + 1) << 9)
+                        | ((int(dd[2]) + 1) << 11))
+    cent = np.zeros((6,), np.int32)
+    for t in range(6):
+        v = 0
+        for j in range(4):
+            o = CUBE_OFFSETS[int(TETS[t][j])]
+            v |= (int(o[0]) | (int(o[1]) << 1) | (int(o[2]) << 2)) << (3 * j)
+        cent[t] = v
+    return geom, keyoff, cent
+
+
 @partial(jax.jit, static_argnames=("vol_shape",))
 def _materialize(
     corner_lin: jax.Array,  # (8, A)
     vals: jax.Array,  # (8, A)
-    ins: jax.Array,  # (8, A)
+    ins: jax.Array,  # (8, A)  (kept for API; inside == vals > iso)
     case: jax.Array,  # (6, A) uint8
     tri_slots: jax.Array,  # (T,)
     iso: float,
@@ -249,18 +302,21 @@ def _materialize(
     the body diagonal) and code = a + 2b + 4c in 1..7.  One int32 per
     vertex instead of an endpoint pair halves the dedup sort payload.
     Callers assert 8 * Z * Y * X < 2^31.
+
+    Per-slot data comes from SIX length-T gathers over the (8, A) blocks
+    (tri_case, cell lattice id, the 4 tet-corner values); everything else
+    is composed 192-entry tables (see _materialize_tables) + VPU bit math.
+    The earlier endpoint-chain formulation paid 21 big gathers and 6
+    div/mod lattice decompositions per chunk and measured 2.96 s at 512^3.
     """
-    Z, Y, X = vol_shape
-    # all lookup tables flattened: a gather with TWO index vectors lowers
-    # to a serial loop on TPU (CLAUDE.md rule 8) — the (8, A)/(6, A)
-    # two-vector gathers here were 40%+ of the marching stage
-    tets_f = jnp.asarray(TETS.reshape(-1))          # (24,)
-    tet_edges_f = jnp.asarray(TET_EDGES.reshape(-1))  # (12,)
-    tet_tris_f = jnp.asarray(TET_TRIS.astype(np.int32).reshape(-1))  # (96,)
+    del ins  # == vals > iso; deriving it saves 4 big gathers
+    geom_np, keyoff_np, cent_np = _materialize_tables(vol_shape)
+    geom_t = jnp.asarray(geom_np)      # (3, 192)
+    keyoff_t = jnp.asarray(keyoff_np)  # (3, 192)
+    cent_t = jnp.asarray(cent_np)      # (6,)
     case_f = case.reshape(-1)
     corner_lin_f = corner_lin.reshape(-1)
     vals_f = vals.reshape(-1)
-    ins_f = ins.reshape(-1)
 
     slot_ok = tri_slots >= 0
     slots = jnp.maximum(tri_slots, 0)
@@ -271,58 +327,61 @@ def _materialize(
     a_idx = slots % A
 
     tri_case = case_f[t_idx * A + a_idx].astype(jnp.int32)  # (T,)
+    cell0 = corner_lin_f[a_idx]  # (T,) lattice id of the cell origin
+    Z, Y, X = vol_shape
+    cz = (cell0 // (Y * X)).astype(jnp.float32)
+    rem = cell0 % (Y * X)
+    cy = (rem // X).astype(jnp.float32)
+    cx = (rem % X).astype(jnp.float32)
 
-    def lat_z(lin):
-        return (lin // (Y * X)).astype(jnp.float32)
+    # the 4 tet-corner values (cube-corner id folded into the gather index)
+    cja = jnp.asarray(TETS.astype(np.int32) * A)  # (6, 4) -> flat (24,)
+    cja_f = cja.reshape(-1)
+    vj = [vals_f[cja_f[t_idx * 4 + j] + a_idx] for j in range(4)]  # 4x (T,)
 
-    def lat_y(lin):
-        return ((lin // X) % Y).astype(jnp.float32)
+    def sel4(code2, xs):
+        """xs[code2] for code2 in 0..3 without a gather."""
+        lo = jnp.where(code2 == 0, xs[0], xs[1])
+        hi = jnp.where(code2 == 2, xs[2], xs[3])
+        return jnp.where(code2 < 2, lo, hi)
 
-    def lat_x(lin):
-        return (lin % X).astype(jnp.float32)
-
-    # per-corner 1-D pipelines
-    pcs = []  # corner -> (z, y, x) float coords, each (T,)
-    lakeys = []  # corner -> (lo, hi) lattice-id pair
+    idx_tk = t_idx * 32 + k_idx * 16 + tri_case  # (T,) in 0..191
+    pcs = []   # corner -> (z, y, x) float coords, each (T,)
+    lakeys = []  # corner -> int32 lattice-edge key
     for c in range(3):
-        e = tet_tris_f[(tri_case * 2 + k_idx) * 3 + c]  # (T,) local tet edge
-        ea = tet_edges_f[e * 2]  # (T,) local tet corner
-        eb = tet_edges_f[e * 2 + 1]
-        ca = tets_f[t_idx * 4 + ea]  # (T,) cube corner id
-        cb = tets_f[t_idx * 4 + eb]
-        la = corner_lin_f[ca * A + a_idx]  # (T,) lattice id
-        lb = corner_lin_f[cb * A + a_idx]
-        fa = vals_f[ca * A + a_idx]
-        fb = vals_f[cb * A + a_idx]
+        g = geom_t[c][idx_tk]  # (T,) packed endpoint geometry
+        fa = sel4(g & 3, vj)
+        fb = sel4((g >> 2) & 3, vj)
         denom = fb - fa
         t = jnp.where(denom == 0, 0.5,
                       (jnp.float32(iso) - fa) / jnp.where(denom == 0, 1.0, denom))
         t = jnp.clip(t, 0.0, 1.0)
-        pz = lat_z(la) + t * (lat_z(lb) - lat_z(la))
-        py = lat_y(la) + t * (lat_y(lb) - lat_y(la))
-        px = lat_x(la) + t * (lat_x(lb) - lat_x(la))
+        pz = cz + ((g >> 4) & 1).astype(jnp.float32) + \
+            t * (((g >> 7) & 3) - 1).astype(jnp.float32)
+        py = cy + ((g >> 5) & 1).astype(jnp.float32) + \
+            t * (((g >> 9) & 3) - 1).astype(jnp.float32)
+        px = cx + ((g >> 6) & 1).astype(jnp.float32) + \
+            t * (((g >> 11) & 3) - 1).astype(jnp.float32)
         pcs.append((pz, py, px))
-        lo = jnp.minimum(la, lb)
-        diff = jnp.abs(lb - la)  # a*1 + b*X + c*X*Y, each in {0, 1}
-        c_ = diff // (Y * X)
-        rem = diff % (Y * X)
-        b_ = rem // X
-        a_ = rem % X
-        lakeys.append(lo * 8 + (a_ + 2 * b_ + 4 * c_))
+        lakeys.append(cell0 * 8 + keyoff_t[c][idx_tk])
 
-    # inside-corner centroid of the tet (unrolled over the 4 tet corners)
+    # inside-corner centroid of the tet (unrolled over the 4 tet corners);
+    # inside == value > iso, exactly _extract_cells' flag
+    cb_ = cent_t[t_idx]  # (T,) packed 4x (dz, dy, dx)
     czs = cys = cxs = wsum = None
     for j in range(4):
-        cj = tets_f[t_idx * 4 + j]  # (T,) cube corner id
-        lj = corner_lin_f[cj * A + a_idx]
-        wj = ins_f[cj * A + a_idx].astype(jnp.float32)
-        z_, y_, x_ = lat_z(lj) * wj, lat_y(lj) * wj, lat_x(lj) * wj
+        wj = (vj[j] > jnp.float32(iso)).astype(jnp.float32)
+        z_ = ((cb_ >> (3 * j)) & 1).astype(jnp.float32) * wj
+        y_ = ((cb_ >> (3 * j + 1)) & 1).astype(jnp.float32) * wj
+        x_ = ((cb_ >> (3 * j + 2)) & 1).astype(jnp.float32) * wj
         if czs is None:
             czs, cys, cxs, wsum = z_, y_, x_, wj
         else:
             czs, cys, cxs, wsum = czs + z_, cys + y_, cxs + x_, wsum + wj
     wsum = jnp.maximum(wsum, 1.0)
-    icz, icy, icx = czs / wsum, cys / wsum, cxs / wsum
+    icz = cz + czs / wsum
+    icy = cy + cys / wsum
+    icx = cx + cxs / wsum
 
     (p0z, p0y, p0x), (p1z, p1y, p1x), (p2z, p2y, p2x) = pcs
     e1z, e1y, e1x = p1z - p0z, p1y - p0y, p1x - p0x
@@ -364,21 +423,26 @@ def _dedup_vertices(pts: jax.Array, keys: jax.Array):
     adjacency build reuses them instead of paying its own lexsort.
     """
     M = pts.shape[1]
-    _, order = jax.lax.sort_key_val(keys, jnp.arange(M, dtype=jnp.int32))
+    arange = jnp.arange(M, dtype=jnp.int32)
+    _, order = jax.lax.sort_key_val(keys, arange)
     ks = keys[order]
     new_group = jnp.concatenate([
         jnp.ones((1,), jnp.int32),
         (ks[1:] != ks[:-1]).astype(jnp.int32),
     ])
     group_of_sorted = jnp.cumsum(new_group) - 1  # (M,)
-    inverse = jnp.zeros((M,), jnp.int32).at[order].set(group_of_sorted)
-    # vertex coordinates: gather one representative corner per group via a
-    # scatter-min of start positions (an int32 scatter is 1/3 the traffic
-    # of scattering the (3, M) float coordinates; the probe measured the
-    # coordinate scatter as the bulk of dedup's 2.3 s at 512^3)
-    arange = jnp.arange(M, dtype=jnp.int32)
-    start_of = jnp.full((M,), M - 1, jnp.int32).at[group_of_sorted].min(arange)
-    rep = order[start_of]  # (M,) original corner id per group (pad = junk)
+    # Scatter-free inverses: this TPU sorts a 22M-element key/val pair in
+    # 0.08 s while the equivalent scatters cost ~1 s each (CLAUDE.md rules
+    # 12/13), so BOTH scatters below are re-expressed as sorts.
+    # 1. permutation inverse: sorting (order, group) by order lands group
+    #    ids back at their corner-major positions.
+    _, inverse = jax.lax.sort_key_val(order, group_of_sorted)
+    # 2. representative corner per group: group starts get key = their own
+    #    group id (< M), everything else a unique key >= M — after sorting,
+    #    position g holds the sorted-position of group g's first corner.
+    start_key = jnp.where(new_group == 1, group_of_sorted, M + arange)
+    _, starts = jax.lax.sort_key_val(start_key, arange)
+    rep = order[starts]  # (M,) original corner id per group (pad = junk)
     verts = pts[:, rep]
     n_groups = group_of_sorted[-1] + 1
     return verts, inverse, n_groups, order, group_of_sorted

@@ -10,6 +10,16 @@ TPU pipeline: peel k = isosurface of the mask eroded k times by a sphere
 of ``peel_depth_mm`` (one fused erosion kernel per peel), smoothed with a
 few Taubin iterations, textured by trilinear sampling of the image at the
 vertices — all device ops.
+
+The reference's mesh-space regularization (pyacvd clustered remesh inside
+the downsample -> smooth -> fix -> upsample chain, brainmesh_handler.py
+:109-179) is replaced by VOLUME-space regularization (``regularize=True``):
+the binary mask is mean-pooled 2x to a fractional occupancy field,
+gaussian-smoothed at the coarse scale, trilinearly upsampled back, and the
+isosurface is extracted at occupancy 0.5 — the same low-pass +
+re-discretize semantics expressed as three fused grid ops instead of an
+irregular remesh, so it stays jittable and runs on the padded grids the
+TPU wants.  Taubin then relaxes the remaining lattice bias.
 """
 
 from __future__ import annotations
@@ -20,8 +30,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from invesalius3_tpu.ops import marching, mesh as mesh_ops
+from invesalius3_tpu.ops.filters import gaussian
 from invesalius3_tpu.ops.morphology import binary_erosion, brush_element
 from invesalius3_tpu.ops.reslice import trilinear
+from invesalius3_tpu.ops.resize import resize_volume
 
 
 class Brain:
@@ -30,12 +42,35 @@ class Brain:
     def __init__(self, image: np.ndarray, mask: np.ndarray,
                  spacing: Tuple[float, float, float] = (1.0, 1.0, 1.0),
                  n_peels: int = 5, peel_depth_mm: float = 1.0,
-                 smooth_iters: int = 4):
+                 smooth_iters: int = 4, regularize: bool = True):
         self.image = jnp.asarray(image)
         self.spacing = spacing
         self.n_peels = n_peels
+        self.regularize = regularize
         self.peels: List[dict] = []
         self._build(jnp.asarray(mask) > 127, peel_depth_mm, smooth_iters)
+
+    @staticmethod
+    def _occupancy_surface(vis, spacing):
+        """Isosurface of the low-passed occupancy field (see module doc):
+        mean-pool 2x -> gaussian(sigma=1 coarse voxel) -> trilinear
+        upsample -> marching at occupancy 0.5.  Voxel staircase corners
+        never reach the surface, so thin-gyri peels come out smooth
+        without mesh-space remeshing."""
+        occ = vis.astype(jnp.float32)
+        coarse_shape = tuple(max(2, s // 2) for s in occ.shape)
+        occ = resize_volume(occ, coarse_shape)
+        occ = gaussian(occ, sigma=1.0)
+        occ = resize_volume(occ, tuple(vis.shape))
+        # uint8 field keeps marching's input bandwidth at 1 B/voxel; the
+        # CONTINUOUS field goes straight to marching (iso 127.5) so vertex
+        # positions interpolate the occupancy — mask_to_surface would
+        # re-binarize and bring the staircase back
+        field = jnp.pad(jnp.clip(occ * 255.0, 0.0, 255.0).astype(jnp.uint8), 1)
+        sx, sy, sz = spacing
+        dm = marching.marching_cubes_device(
+            field, 127.5, spacing, origin_shift=(-sx, -sy, -sz))
+        return marching.mesh_to_host(dm, fp16=False)
 
     def _build(self, vis, depth_mm: float, smooth_iters: int) -> None:
         strct = brush_element(depth_mm, self.spacing, "circle", dims=3)
@@ -43,8 +78,12 @@ class Brain:
         for k in range(self.n_peels):
             if not bool(jnp.any(current)):
                 break
-            verts, faces = marching.mask_to_surface(
-                jnp.where(current, jnp.uint8(255), jnp.uint8(0)), self.spacing)
+            if self.regularize:
+                verts, faces = self._occupancy_surface(current, self.spacing)
+            else:
+                verts, faces = marching.mask_to_surface(
+                    jnp.where(current, jnp.uint8(255), jnp.uint8(0)),
+                    self.spacing)
             if len(faces) == 0:
                 break
             if smooth_iters > 0 and len(verts) > 4:

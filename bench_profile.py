@@ -109,10 +109,11 @@ def main():
                                          jnp.float32(0.5))
         synced(weights)
         tm.lap("ca weights sample")
-        out3v = mesh_ops._taubin_core(dm.verts3v, neigh_dv, deg_j, weights,
-                                      jnp.float32(0.5), jnp.float32(-0.53), 10)
+        out3v = mesh_ops.taubin_smooth_bucketed(
+            dm.verts3v, neigh_dv, deg_j, weights,
+            jnp.float32(0.5), jnp.float32(-0.53), 10)
         synced(out3v)
-        tm.lap("ca taubin")
+        tm.lap("ca taubin (bucketed)")
         import dataclasses as _dc
         dm2 = _dc.replace(dm, verts3v=out3v)
         smoothed, faces = marching.mesh_to_host(dm2)

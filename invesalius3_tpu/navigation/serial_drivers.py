@@ -84,10 +84,12 @@ class ReplayTransport(SerialTransport):
         if self.pos >= len(self.transcript):
             if not self.loop:
                 raise EOFError("replay transcript exhausted")
-            # loop over the trailing poll section (entries whose write is
-            # the poll command) so long-running navigation keeps a pose
+            # loop over the trailing poll section (entries sharing the
+            # final entry's command — b"P" for Polhemus, framed TX: for
+            # NDI) so long-running navigation keeps a pose
+            last = self.transcript[-1]["write"]
             polls = [e for e in self.transcript
-                     if bytes.fromhex(e["write"]) == b"P"] or self.transcript
+                     if e["write"] == last] or self.transcript
             return polls[(self.pos - len(self.transcript)) % len(polls)]
         return self.transcript[self.pos]
 
@@ -180,6 +182,160 @@ class PolhemusSerialConnection(TrackerConnection):
             coords[0] = probe
             flags[0] = True
         return coords, flags
+
+
+# ---------------------------------------------------------------------------
+# NDI Combined API (Polaris / Polaris P4 / Vega) over serial
+# ---------------------------------------------------------------------------
+
+def crc16_ndi(data: bytes) -> int:
+    """CRC16 of the NDI Combined API (CRC-16/ARC: reflected poly 0xA001,
+    init 0) — appended as 4 uppercase hex chars to every command and reply.
+    The reference reaches Polaris through the closed pypolaris SWIG wrapper
+    (tracker_connection.py:417); this build speaks the wire protocol the
+    wrapper wraps, so the framing is implemented here."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = (crc >> 1) ^ 0xA001 if crc & 1 else crc >> 1
+    return crc
+
+
+def frame_ndi(cmd: bytes) -> bytes:
+    """Frame a command: payload + CRC16 (4 hex) + CR."""
+    return cmd + f"{crc16_ndi(cmd):04X}".encode() + b"\r"
+
+
+def unframe_ndi(reply: bytes) -> bytes:
+    """Strip CR + verify/remove the trailing CRC of a device reply."""
+    reply = reply.rstrip(b"\r\n")
+    body, crc_hex = reply[:-4], reply[-4:]
+    want = f"{crc16_ndi(body):04X}".encode()
+    if crc_hex.upper() != want:
+        raise AssertionError(
+            f"NDI reply CRC mismatch: got {crc_hex!r}, want {want!r}")
+    return body
+
+
+class NDIProtocolError(RuntimeError):
+    pass
+
+
+class NDIPolarisConnection(TrackerConnection):
+    """Polaris driver speaking the NDI Combined API over serial
+    (reference tracker_connection.py:386 ``PolarisTrackerConnection`` /
+    coordinates.py:139 ``PolarisP4Coord`` — there via the closed pypolaris
+    wrapper; here at protocol level so the replay transport can assert the
+    exact byte exchange).
+
+    Init sequence: ``INIT:`` -> ``PHSR:02`` (handles needing init) ->
+    per handle ``PINIT:HH`` + ``PENA:HHD`` (dynamic) -> ``TSTART:``.
+    Poll: ``TX:0001`` — per-handle ASCII transform records in the P4
+    layout vendor_coords.parse_polaris_p4 decodes (four 6-char quaternion
+    ints x1e-4, three 7-char translation ints x1e-2, 'MISSING' when the
+    tool is out of view), LF-separated, then 4-hex system status.
+
+    Handle order follows tool-load order like the reference wrapper:
+    probe, reference, coil (coordinates.py:259 reads trck.probe/ref/objs).
+    """
+
+    POLL = b"TX:0001"
+
+    def __init__(self, transport: SerialTransport, n_tools: int = 3):
+        self.transport = transport
+        self.n_tools = n_tools
+        self.handles: List[str] = []
+
+    # -- framing ----------------------------------------------------------
+    def _exchange(self, cmd: bytes) -> bytes:
+        self.transport.write(frame_ndi(cmd))
+        reply = b"".join(self.transport.readlines())
+        body = unframe_ndi(reply)
+        if body.startswith(b"ERROR"):
+            raise NDIProtocolError(
+                f"device error {body[5:7].decode()} for command {cmd!r}")
+        return body
+
+    # -- lifecycle --------------------------------------------------------
+    def connect(self) -> bool:
+        if self._exchange(b"INIT:") != b"OKAY":
+            return False
+        phsr = self._exchange(b"PHSR:02").decode()
+        n = int(phsr[:2], 16)
+        self.handles = [phsr[2 + 5 * i:4 + 5 * i] for i in range(n)]
+        for h in self.handles:
+            self._exchange(f"PINIT:{h}".encode())
+            self._exchange(f"PENA:{h}D".encode())
+        self._exchange(b"TSTART:")
+        return True
+
+    def disconnect(self) -> None:
+        try:
+            self._exchange(b"TSTOP:")
+        except Exception:
+            pass
+        self.transport.close()
+
+    # -- polling ----------------------------------------------------------
+    def get_coordinates(self) -> Tuple[np.ndarray, np.ndarray]:
+        body = self._exchange(self.POLL).decode()
+        records = body.split("\n")
+        n = int(records[0][:2], 16)
+        records[0] = records[0][2:]
+        coords = np.zeros((self.n_sensors, 6))
+        flags = np.array([False] * 3)
+        for i, rec in enumerate(records[:n]):
+            if i >= self.n_sensors:
+                break
+            pose = vendor_coords.parse_polaris_p4(rec)
+            if pose is not None:
+                coords[i] = pose
+                if i < 3:
+                    flags[i] = True
+        return coords, flags
+
+
+def make_polaris_transcript(frames: Sequence[Sequence[Optional[Tuple[
+        Sequence[float], Sequence[float]]]]],
+        handles: Sequence[str] = ("0A", "0B", "0C")) -> List[dict]:
+    """Synthesize the byte transcript a Polaris would produce for the
+    given frames — each frame is a per-tool list of ``(q_wxyz, t_mm)`` or
+    ``None`` (tool out of view).  Replies carry real CRC16s so the driver's
+    CRC verification is part of the replay assertion."""
+    def reply(body: bytes) -> str:
+        return (body + f"{crc16_ndi(body):04X}".encode() + b"\r").hex()
+
+    handles = list(handles)[:len(frames[0])]
+    phsr = f"{len(handles):02X}" + "".join(h + "001" for h in handles)
+    entries = [
+        {"write": frame_ndi(b"INIT:").hex(), "lines": [reply(b"OKAY")]},
+        {"write": frame_ndi(b"PHSR:02").hex(),
+         "lines": [reply(phsr.encode())]},
+    ]
+    for h in handles:
+        entries.append({"write": frame_ndi(f"PINIT:{h}".encode()).hex(),
+                        "lines": [reply(b"OKAY")]})
+        entries.append({"write": frame_ndi(f"PENA:{h}D".encode()).hex(),
+                        "lines": [reply(b"OKAY")]})
+    entries.append({"write": frame_ndi(b"TSTART:").hex(),
+                    "lines": [reply(b"OKAY")]})
+
+    def tool_record(handle: str, tool) -> str:
+        if tool is None:
+            return handle + "MISSING" + "0" * 8 + "0" * 8
+        q, t = tool
+        qs = "".join(f"{int(round(v * 10000)):+06d}" for v in q)
+        ts = "".join(f"{int(round(v * 100)):+07d}" for v in t)
+        err, status, frame_no = "+00001", "0" * 8, "0" * 8
+        return handle + qs + ts + err + status + frame_no
+
+    for frame in frames:
+        recs = [tool_record(h, tool) for h, tool in zip(handles, frame)]
+        body = (f"{len(recs):02X}" + "\n".join(recs) + "\n0000").encode()
+        entries.append({"write": frame_ndi(NDIPolarisConnection.POLL).hex(),
+                        "lines": [reply(body)]})
+    return entries
 
 
 def make_isotrak_transcript(poses: Sequence[Tuple[Sequence[float],

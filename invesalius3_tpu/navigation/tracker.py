@@ -25,8 +25,9 @@ import numpy as np
 TRACKER_DEBUG_RANDOM = "debug_random"
 TRACKER_DEBUG_APPROACH = "debug_approach"
 TRACKER_POLHEMUS_SERIAL = "polhemus_serial"
+TRACKER_POLARIS_NDI = "polaris_ndi"
 TRACKERS = [TRACKER_DEBUG_RANDOM, TRACKER_DEBUG_APPROACH,
-            TRACKER_POLHEMUS_SERIAL]
+            TRACKER_POLHEMUS_SERIAL, TRACKER_POLARIS_NDI]
 
 
 class TrackerConnection:
@@ -91,6 +92,17 @@ def create_tracker_connection(tracker_id: str, **kw) -> TrackerConnection:
             transport = PySerialTransport(kw.pop("com_port"),
                                           kw.pop("baud_rate", 115200))
         return PolhemusSerialConnection(transport, **kw)
+    if tracker_id == TRACKER_POLARIS_NDI:
+        from invesalius3_tpu.navigation.serial_drivers import (
+            NDIPolarisConnection, PySerialTransport, ReplayTransport)
+
+        transport = kw.pop("transport", None)
+        if transport is None and "transcript" in kw:
+            transport = ReplayTransport(kw.pop("transcript"))
+        if transport is None:
+            transport = PySerialTransport(kw.pop("com_port"),
+                                          kw.pop("baud_rate", 921600))
+        return NDIPolarisConnection(transport, **kw)
     raise ValueError(
         f"tracker {tracker_id!r} not available in this build (vendor SDKs "
         f"are hardware-gated); available: {TRACKERS}"

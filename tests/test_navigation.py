@@ -533,6 +533,85 @@ def test_navigation_pipeline_on_replayed_capture():
 
 
 # ---------------------------------------------------------------------------
+# NDI Polaris Combined-API driver (reference tracker_connection.py:386,
+# coordinates.py:139 PolarisP4Coord — there via the closed pypolaris SWIG
+# wrapper; here at wire-protocol level with CRC16 framing)
+# ---------------------------------------------------------------------------
+
+
+def _polaris_frames():
+    ident = (1.0, 0.0, 0.0, 0.0)
+    yaw90 = (0.7071, 0.0, 0.0, 0.7071)  # 90 deg about z
+    return [
+        [(ident, (10.0, -20.0, 30.0)),
+         (ident, (0.0, 0.0, 0.0)),
+         (yaw90, (5.0, 5.0, 5.0))],
+        [(ident, (11.0, -21.0, 31.0)),
+         None,  # reference occluded this frame
+         (yaw90, (6.0, 6.0, 6.0))],
+    ]
+
+
+def test_polaris_ndi_replay_protocol():
+    from invesalius3_tpu.navigation import serial_drivers as sd
+
+    transcript = sd.make_polaris_transcript(_polaris_frames())
+    tp = sd.ReplayTransport(transcript, loop=False)
+    conn = sd.NDIPolarisConnection(tp)
+    assert conn.connect()  # INIT/PHSR/PINIT/PENA/TSTART verified byte-exact
+    assert conn.handles == ["0A", "0B", "0C"]
+    coords, flags = conn.get_coordinates()
+    assert flags.tolist() == [True, True, True]
+    np.testing.assert_allclose(coords[0], [10.0, -20.0, 30.0, 0, 0, 0],
+                               atol=1e-6)
+    # yaw-90 tool: rzyx euler -> (90, 0, 0) degrees
+    np.testing.assert_allclose(coords[2, :3], [5.0, 5.0, 5.0])
+    np.testing.assert_allclose(coords[2, 3], 90.0, atol=0.1)
+    coords2, flags2 = conn.get_coordinates()
+    assert flags2.tolist() == [True, False, True]  # MISSING handled
+    np.testing.assert_allclose(coords2[1], np.zeros(6))
+    np.testing.assert_allclose(coords2[0, :3], [11.0, -21.0, 31.0])
+
+
+def test_polaris_reply_crc_verified():
+    from invesalius3_tpu.navigation import serial_drivers as sd
+
+    transcript = sd.make_polaris_transcript(_polaris_frames())
+    # corrupt one byte of the INIT reply body: CRC check must trip
+    okay = bytes.fromhex(transcript[0]["lines"][0])
+    transcript[0]["lines"][0] = (b"OKAX" + okay[4:]).hex()
+    conn = sd.NDIPolarisConnection(sd.ReplayTransport(transcript))
+    with pytest.raises(AssertionError):
+        conn.connect()
+
+
+def test_polaris_device_error_raised():
+    from invesalius3_tpu.navigation import serial_drivers as sd
+
+    transcript = sd.make_polaris_transcript(_polaris_frames())
+    body = b"ERROR01"
+    transcript[0]["lines"][0] = (
+        body + f"{sd.crc16_ndi(body):04X}".encode() + b"\r").hex()
+    conn = sd.NDIPolarisConnection(sd.ReplayTransport(transcript))
+    with pytest.raises(sd.NDIProtocolError):
+        conn.connect()
+
+
+def test_polaris_via_tracker_factory():
+    from invesalius3_tpu.navigation import serial_drivers as sd
+    from invesalius3_tpu.navigation.tracker import TRACKER_POLARIS_NDI
+
+    transcript = sd.make_polaris_transcript(_polaris_frames())
+    t = Tracker()
+    assert t.connect(TRACKER_POLARIS_NDI, poll_hz=500, transcript=transcript)
+    time.sleep(0.05)
+    coords, flags = t.get_coordinates()
+    assert flags[0]
+    assert coords[0, 0] in (10.0, 11.0)
+    t.disconnect()
+
+
+# ---------------------------------------------------------------------------
 # mTMS offset -> stimulation-parameter mapping (reference mtms.py:11-127)
 # ---------------------------------------------------------------------------
 

@@ -438,3 +438,50 @@ class FastSurferPipeline:
         if return_freesurfer_ids:
             labels = jnp.asarray(class_ids())[labels]
         return np.asarray(labels)
+
+
+# ---------------------------------------------------------------------------
+# Quick QC (reference fastsurfer_subpart/quick_qc.py:35-196)
+# ---------------------------------------------------------------------------
+
+VENT_LABELS = {
+    "Left-Lateral-Ventricle": 4,
+    "Right-Lateral-Ventricle": 43,
+    "Left-choroid-plexus": 31,
+    "Right-choroid-plexus": 63,
+}
+
+
+@jax.jit
+def _qc_device(seg: jax.Array, vent_ids: jax.Array) -> tuple:
+    """Device half of quick QC: total foreground count + the count of
+    background voxels touching a 1-voxel dilation of the ventricle system
+    (reference quick_qc.py:63-134 get_region_bg_intersection_mask — there
+    with skimage binary_dilation on host; here one fused XLA program)."""
+    from invesalius3_tpu.ops import morphology
+
+    fg = jnp.sum(seg > 0)
+    vent = jnp.isin(seg, vent_ids)
+    vent_dil = morphology.binary_dilation(
+        vent, morphology.generate_binary_structure(3, 3))
+    leak = jnp.sum(vent_dil & (seg == 0))
+    return fg, leak
+
+
+def run_quick_qc(seg: np.ndarray, voxel_volume: float,
+                 volume_threshold: float = 0.70) -> dict:
+    """Sanity checks on a FreeSurfer-id label volume (reference
+    quick_qc.py:137-196 run_quick_qc): total segmented volume must exceed
+    ``volume_threshold`` liters, and the ventricle/background contact
+    volume estimates CSF leakage.  Same keys as the reference's report."""
+    seg_j = jnp.asarray(np.ascontiguousarray(seg), jnp.int32)
+    vent_ids = jnp.asarray(sorted(VENT_LABELS.values()), jnp.int32)
+    fg, leak = _qc_device(seg_j, vent_ids)
+    total_volume_liters = float(fg) * voxel_volume / 1e6
+    volume_check_passed = total_volume_liters >= volume_threshold
+    return {
+        "volume_check_passed": bool(volume_check_passed),
+        "total_volume_liters": total_volume_liters,
+        "ventricle_bg_intersection_volume_mm3": float(leak) * voxel_volume,
+        "overall_passed": bool(volume_check_passed),
+    }

@@ -228,3 +228,26 @@ def test_onnx_reader_data_variants(tmp_path):
     np.testing.assert_array_equal(out["w.float_data"], f32)
     np.testing.assert_array_equal(out["w.int64"], np.array(i64, np.int64))
     np.testing.assert_array_equal(out["w.fp16"], h16.astype(np.float32))
+
+
+def test_quick_qc_report():
+    """Reference fastsurfer_subpart/quick_qc.py:137 run_quick_qc — volume
+    threshold + ventricle/background leakage estimate."""
+    from invesalius3_tpu.models.fastsurfer import run_quick_qc
+
+    seg = np.zeros((40, 40, 40), np.int32)
+    seg[5:35, 5:35, 5:35] = 2          # bulk white matter
+    seg[15:25, 15:25, 15:25] = 4       # left ventricle inside the bulk
+    # voxvol chosen so the 27k-voxel brain ~ 1.7 L > 0.70 L threshold
+    rep = run_quick_qc(seg, voxel_volume=64.0)
+    assert rep["volume_check_passed"] and rep["overall_passed"]
+    assert rep["total_volume_liters"] > 0.7
+    # ventricle fully enclosed by tissue: no background contact
+    assert rep["ventricle_bg_intersection_volume_mm3"] == 0.0
+
+    # ventricle poking into background -> nonzero leak, tiny brain fails
+    seg2 = np.zeros((40, 40, 40), np.int32)
+    seg2[10:14, 10:14, 10:14] = 43
+    rep2 = run_quick_qc(seg2, voxel_volume=1.0)
+    assert not rep2["volume_check_passed"]
+    assert rep2["ventricle_bg_intersection_volume_mm3"] > 0

@@ -26,8 +26,9 @@ TRACKER_DEBUG_RANDOM = "debug_random"
 TRACKER_DEBUG_APPROACH = "debug_approach"
 TRACKER_POLHEMUS_SERIAL = "polhemus_serial"
 TRACKER_POLARIS_NDI = "polaris_ndi"
+TRACKER_CAMERA = "camera"
 TRACKERS = [TRACKER_DEBUG_RANDOM, TRACKER_DEBUG_APPROACH,
-            TRACKER_POLHEMUS_SERIAL, TRACKER_POLARIS_NDI]
+            TRACKER_POLHEMUS_SERIAL, TRACKER_POLARIS_NDI, TRACKER_CAMERA]
 
 
 class TrackerConnection:
@@ -75,6 +76,25 @@ class DebugApproachConnection(TrackerConnection):
         return coords, np.array([True, True, True])
 
 
+class CameraConnection(TrackerConnection):
+    """Duck-typed external camera tracker (reference coordinates.py:288
+    ``CameraCoord`` + tracker_connection.py camera entry): the caller
+    injects an object whose ``Run()`` returns (coords, probe_vis, ref_vis,
+    coil_vis) — the same seam the reference uses for research camera
+    rigs driven from another process."""
+
+    def __init__(self, camera):
+        self.camera = camera
+
+    def get_coordinates(self):
+        coords, probe_vis, ref_vis, coil_vis = self.camera.Run()
+        out = np.zeros((self.n_sensors, 6))
+        out[:min(len(coords), self.n_sensors)] = np.asarray(
+            coords, float)[:self.n_sensors]
+        return out, np.array([bool(probe_vis), bool(ref_vis),
+                              bool(coil_vis)])
+
+
 def create_tracker_connection(tracker_id: str, **kw) -> TrackerConnection:
     """Reference tracker_connection.CreateTrackerConnection :562."""
     if tracker_id == TRACKER_DEBUG_RANDOM:
@@ -103,6 +123,8 @@ def create_tracker_connection(tracker_id: str, **kw) -> TrackerConnection:
             transport = PySerialTransport(kw.pop("com_port"),
                                           kw.pop("baud_rate", 921600))
         return NDIPolarisConnection(transport, **kw)
+    if tracker_id == TRACKER_CAMERA:
+        return CameraConnection(kw.pop("camera"))
     raise ValueError(
         f"tracker {tracker_id!r} not available in this build (vendor SDKs "
         f"are hardware-gated); available: {TRACKERS}"

@@ -685,3 +685,22 @@ def test_mtms_sequence_and_log(tmp_path):
     out = m.save_sequence(tmp_path)
     rows = out.read_text().strip().split("\n")
     assert len(rows) == 7 and rows[0].startswith("mTMS_target")
+
+
+def test_camera_tracker_seam():
+    """Reference coordinates.py:288 CameraCoord: duck-typed external
+    camera object with Run() -> (coords, probe_vis, ref_vis, coil_vis)."""
+    from invesalius3_tpu.navigation.tracker import TRACKER_CAMERA
+
+    class FakeCamera:
+        def Run(self):
+            return ([[1, 2, 3, 0, 0, 0], [4, 5, 6, 0, 0, 0]],
+                    True, True, False)
+
+    t = Tracker()
+    assert t.connect(TRACKER_CAMERA, poll_hz=500, camera=FakeCamera())
+    time.sleep(0.05)
+    coords, flags = t.get_coordinates()
+    assert coords[0, 0] == 1 and coords[1, 2] == 6
+    assert flags.tolist() == [True, True, False]
+    t.disconnect()

@@ -145,34 +145,30 @@ def _taubin_core(verts3v, neigh_dv, deg, weights, lam, mu, steps: int):
     return out
 
 
-@partial(jax.jit, static_argnames=("steps", "split", "d_lo"))
 def _taubin_core_bucketed(verts3v, neigh_p, deg_p, weights_p, lam, mu,
-                          steps: int, split: int, d_lo: int):
-    """_taubin_core over DEGREE-SORTED vertices: columns [0, split) have
-    degree <= d_lo and gather only d_lo neighbor rows; the rest use the
-    full table.  Marching-tet meshes are ~85% degree <= 6 with max ~12,
-    so the neighbor gather (the taubin bottleneck — 4.8 s warm at 512^3)
-    shrinks ~40%.  Bit-identical to the unbucketed core on the permuted
-    arrays (the extra rows it skips are masked out anyway)."""
-    lo_n = neigh_p[:d_lo, :split]
-    lo_deg = deg_p[:split]
-    lo_w = weights_p[:split]
-    hi_n = neigh_p[:, split:]
-    hi_deg = deg_p[split:]
-    hi_w = weights_p[split:]
+                          steps: int, buckets):
+    """_taubin_core over DEGREE-SORTED vertices: ``buckets`` is a static
+    tuple of (start, end, d_cap) column spans; span b gathers only its
+    d_cap neighbor rows.  Marching-tet meshes are ~70% degree == 6 with a
+    thin tail to ~12, and the TPU gather costs ~6 ns per INDEX regardless
+    of fetched width (probe4: 3x indices = 3x time; sorted indices = no
+    change), so the pass cost is exactly the gathered-index count — finer
+    buckets cut it toward sum(deg).  Bit-identical to the unbucketed core
+    on the permuted arrays (the skipped rows are masked out anyway)."""
 
-    def d_bucket(v, center, nb_tbl, deg_b):
-        nb = v[:, nb_tbl]  # (3, D_b, n_b) gather of GLOBAL columns
-        valid = (jnp.arange(nb_tbl.shape[0])[:, None]
-                 < deg_b[None, :]).astype(v.dtype)
-        diff = (center[:, None, :] - nb) * valid[None]
+    def d_bucket(v, s, e, dcap):
+        nb_tbl = neigh_p[:dcap, s:e]
+        deg_b = deg_p[s:e]
+        nb = v[:, nb_tbl]  # (3, dcap, e-s) gather of GLOBAL columns
+        valid = (jnp.arange(dcap)[:, None] < deg_b[None, :]).astype(v.dtype)
+        diff = (v[:, None, s:e] - nb) * valid[None]
         return jnp.sum(diff, axis=1) / jnp.maximum(
             deg_b.astype(v.dtype), 1.0)[None, :]
 
     def one_pass(v, factor):
-        d_l = d_bucket(v, v[:, :split], lo_n, lo_deg)
-        d_h = d_bucket(v, v[:, split:], hi_n, hi_deg)
-        dw = jnp.concatenate([lo_w[None] * d_l, hi_w[None] * d_h], axis=1)
+        dw = jnp.concatenate(
+            [weights_p[None, s:e] * d_bucket(v, s, e, d)
+             for (s, e, d) in buckets], axis=1)
         return v + factor * dw
 
     def one_step(v, _):
@@ -184,18 +180,34 @@ def _taubin_core_bucketed(verts3v, neigh_p, deg_p, weights_p, lam, mu,
     return out
 
 
+_taubin_core_bucketed = partial(jax.jit, static_argnames=("steps", "buckets")
+                                )(_taubin_core_bucketed)
+
+
 def taubin_smooth_bucketed(verts3v, neigh_dv, deg, weights, lam, mu,
-                           steps: int, d_lo: int = 6):
+                           steps: int, d_caps=(5, 6, 7)):
     """Degree-bucketed Taubin: sort vertices by degree (device), run the
-    two-bucket core, unsort.  Returns (3, V) like _taubin_core."""
+    multi-bucket core, unsort.  Returns (3, V) like _taubin_core."""
     V = verts3v.shape[1]
+    D = neigh_dv.shape[0]
     deg_sorted, perm = jax.lax.sort_key_val(
         deg, jnp.arange(V, dtype=jnp.int32))
-    n_lo = int(jnp.sum(deg <= d_lo))
-    # round the split DOWN to a 4k boundary (bounded jit cache; the verts
-    # between the boundary and n_lo just use the full-width bucket)
-    split = (n_lo // 4096) * 4096
-    if split < 4096 or split >= V or neigh_dv.shape[0] <= d_lo:
+    caps = [c for c in sorted(set(d_caps)) if c < D]
+    # one tiny device reduction per cap (scalars only — the relay D2H of
+    # a full histogram would cost more than it saves)
+    counts = [int(jnp.sum(deg <= c)) for c in caps]
+    # round splits DOWN to 4k boundaries (bounded jit cache; columns
+    # between a boundary and the true count just use the next, wider cap)
+    buckets = []
+    start = 0
+    for c, n in zip(caps, counts):
+        end = (n // 4096) * 4096
+        if end - start >= 4096:
+            buckets.append((start, end, c))
+            start = end
+    if start < V:
+        buckets.append((start, V, D))
+    if len(buckets) < 2:
         return _taubin_core(verts3v, neigh_dv, deg, weights, lam, mu, steps)
     inv_perm = jnp.zeros((V,), jnp.int32).at[perm].set(
         jnp.arange(V, dtype=jnp.int32))
@@ -204,7 +216,7 @@ def taubin_smooth_bucketed(verts3v, neigh_dv, deg, weights, lam, mu,
     neigh_p = remap[jnp.minimum(neigh_dv[:, perm], V)]
     out_p = _taubin_core_bucketed(
         verts3v[:, perm], neigh_p, deg_sorted, weights[perm],
-        lam, mu, steps, split, int(d_lo))
+        lam, mu, steps, tuple(buckets))
     return out_p[:, inv_perm]
 
 

@@ -186,6 +186,10 @@ def split_surface(surface: Surface) -> list:
     """One new Surface per connected component, largest first (reference
     surface.py:431 OnSplitSurface)."""
     parts = mesh_ops.split_components(surface.vertices, surface.faces)
+    # isolated (e.g. dedup-padding) vertices form face-less components —
+    # drop them, and order largest-first like the reference
+    parts = sorted((p for p in parts if len(p[1])),
+                   key=lambda p: len(p[1]), reverse=True)
     out = []
     for i, (v, f) in enumerate(parts):
         s = Surface(vertices=v, faces=f, name=f"{surface.name} part {i + 1}")

@@ -41,7 +41,13 @@ surface the viewers consumed:
   POST /api/brush {"strokes","radius_mm"}  paint/erase a brush stroke
   POST /api/surface {"algorithm",...}      create surface from the mask
   POST /api/surface/import {"path",...}    import a mesh file (+hole fill)
-  GET  /api/surface/{index}.stl            download a surface
+  GET  /api/surfaces                       surface list (props + metrics)
+  POST /api/surface/{remove,props,split,smooth,decimate}
+                                           per-surface ops (reference
+                                           task_surface + data_notebook)
+  GET  /api/surface/{index}.{ext}          download (stl/ply/obj/vtp/x3d/
+                                           3mf/wrl/iv/bin)
+  POST /api/project/save | /api/project/open   .inv3 persistence
   GET  /api/render_scene?azimuth=...       surface-actor 3D scene (PNG)
   GET  /api/dicom/scan?dir= | /api/dicom/thumb  import-UI series preview
   GET  /api/i18n                           locales + current catalog
@@ -372,18 +378,31 @@ def make_handler(state: AppState):
                         downsample=ds,
                     )
                     self._png(img)
+                elif url.path == "/api/surfaces":
+                    self._json([{
+                        "index": s.index, "name": s.name,
+                        "colour": list(s.colour),
+                        "transparency": s.transparency,
+                        "visible": s.is_shown,
+                        "triangles": int(len(s.faces)),
+                        "vertices": int(len(s.vertices)),
+                        "volume_mm3": s.volume, "area_mm2": s.area,
+                    } for s in state.surfaces.values()])
                 elif len(parts) == 3 and parts[:2] == ["api", "surface"]:
-                    idx = int(parts[2].split(".")[0])
-                    surf = state.surfaces[idx]
+                    # download in any writer format mesh_io knows:
+                    # /api/surface/{index}.{stl|ply|obj|vtp|x3d|3mf|wrl|iv|bin}
+                    stem, _, ext = parts[2].partition(".")
+                    surf = state.surfaces[int(stem)]
                     import tempfile, os
 
-                    fd, tmp = tempfile.mkstemp(suffix=".stl")
+                    fd, tmp = tempfile.mkstemp(suffix="." + (ext or "stl"))
                     os.close(fd)
                     surf.export(tmp)
                     data = open(tmp, "rb").read()
                     os.remove(tmp)
                     self.send_response(200)
-                    self.send_header("Content-Type", "model/stl")
+                    self.send_header("Content-Type",
+                                     "model/" + (ext or "stl"))
                     self.send_header("Content-Length", str(len(data)))
                     self.end_headers()
                     self.wfile.write(data)
@@ -718,6 +737,64 @@ def make_handler(state: AppState):
                         "index": surf.index, "triangles": int(len(surf.faces)),
                         "volume_mm3": surf.volume, "area_mm2": surf.area,
                     })
+                elif self.path == "/api/surface/remove":
+                    del state.surfaces[int(body["index"])]
+                    state.record_event("surface.removed",
+                                       {"index": int(body["index"])})
+                    self._json({"ok": True})
+                elif self.path == "/api/surface/props":
+                    # reference data_notebook per-row controls: colour /
+                    # transparency / name / visibility
+                    surf = state.surfaces[int(body["index"])]
+                    if "colour" in body:
+                        surf.colour = tuple(float(c) for c in body["colour"])
+                    if "transparency" in body:
+                        surf.transparency = float(body["transparency"])
+                    if "name" in body:
+                        surf.name = str(body["name"])
+                    if "visible" in body:
+                        surf.is_shown = bool(body["visible"])
+                    self._json({"ok": True})
+                elif self.path == "/api/surface/split":
+                    # reference surface.py:431 OnSplitSurface (all
+                    # components) / :319 OnSeedSurface (seeded selection)
+                    from invesalius3_tpu.core import surface as surface_mod
+
+                    surf = state.surfaces[int(body["index"])]
+                    if "seeds" in body:
+                        parts = [surface_mod.surface_from_seeds(
+                            surf, np.asarray(body["seeds"], float))]
+                    else:
+                        parts = surface_mod.split_surface(surf)
+                    for s in parts:
+                        state.surfaces[s.index] = s
+                    self._json([{"index": s.index, "name": s.name,
+                                 "triangles": int(len(s.faces))}
+                                for s in parts])
+                elif self.path == "/api/surface/smooth":
+                    from invesalius3_tpu.core import surface as surface_mod
+
+                    surf = state.surfaces[int(body["index"])]
+                    s = surface_mod.smooth_surface(
+                        surf, iterations=int(body.get("iterations", 20)),
+                        relaxation=float(body.get("relaxation", 0.4)))
+                    state.surfaces[s.index] = s
+                    self._json({"index": s.index, "name": s.name})
+                elif self.path == "/api/surface/decimate":
+                    from invesalius3_tpu.core import surface as surface_mod
+
+                    surf = state.surfaces[int(body["index"])]
+                    v, f = surface_mod.decimate(
+                        surf.vertices, surf.faces,
+                        float(body.get("reduction", 0.5)))
+                    s = surface_mod.Surface(
+                        vertices=v, faces=f,
+                        name=f"{surf.name} (decimated)")
+                    s.colour = surf.colour
+                    s.compute_properties()
+                    state.surfaces[s.index] = s
+                    self._json({"index": s.index,
+                                "triangles": int(len(s.faces))})
                 else:
                     self._json({"error": tr("not found")}, 404)
 

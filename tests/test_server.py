@@ -445,3 +445,52 @@ def test_project_save_open_roundtrip(tmp_path):
         assert abs(meas[0]["value"] - 8.0) < 1e-3
     finally:
         srv.stop()
+
+
+def test_surface_management_endpoints(server):
+    """Per-surface ops the reference exposes via task_surface +
+    data_notebook: list, props, split, smooth, decimate, remove,
+    multi-format download."""
+    # full-range threshold: guaranteed non-empty whatever study earlier
+    # tests left loaded (test_import_endpoint_replaces_study swaps it)
+    _post(server, "/api/threshold", {"tmin": -32768, "tmax": 32767})
+    code, out = _post(server, "/api/surface", {"algorithm": "Default"})
+    assert out["triangles"] > 0
+    idx = out["index"]
+
+    code, _, body = _get(server, "/api/surfaces")
+    rows = json.loads(body)
+    row = [r for r in rows if r["index"] == idx][0]
+    assert row["triangles"] == out["triangles"] and row["visible"]
+
+    code, res = _post(server, "/api/surface/props",
+                      {"index": idx, "colour": [0.2, 0.4, 0.6],
+                       "transparency": 0.5, "name": "Skull",
+                       "visible": False})
+    assert code == 200
+    _, _, body = _get(server, "/api/surfaces")
+    row = [r for r in json.loads(body) if r["index"] == idx][0]
+    assert row["name"] == "Skull" and not row["visible"]
+    assert row["colour"] == [0.2, 0.4, 0.6]
+
+    code, parts = _post(server, "/api/surface/split", {"index": idx})
+    assert code == 200 and len(parts) >= 1 and parts[0]["triangles"] > 0
+
+    code, sm = _post(server, "/api/surface/smooth",
+                     {"index": idx, "iterations": 3})
+    assert code == 200
+
+    code, dec = _post(server, "/api/surface/decimate",
+                      {"index": idx, "reduction": 0.5})
+    assert code == 200 and dec["triangles"] < out["triangles"]
+
+    # multi-format download: PLY header + OBJ text
+    _, _, ply = _get(server, f"/api/surface/{idx}.ply")
+    assert ply[:3] == b"ply"
+    _, _, obj = _get(server, f"/api/surface/{idx}.obj")
+    assert obj.lstrip()[:1] in (b"#", b"v")
+
+    code, res = _post(server, "/api/surface/remove", {"index": idx})
+    assert code == 200
+    _, _, body = _get(server, "/api/surfaces")
+    assert idx not in [r["index"] for r in json.loads(body)]

@@ -262,13 +262,62 @@ async function refreshLists() {
   });
 }
 
-function addSurfaceRow(s) {
-  const li = document.createElement("li");
-  li.innerHTML = `<span class="grow">#${s.index} ` +
-    `${(s.triangles || 0).toLocaleString()} tris ` +
-    `${s.volume_mm3 ? s.volume_mm3.toFixed(0) + " mm³" : ""}</span>` +
-    `<a href="/api/surface/${s.index}.stl" download="surface_${s.index}.stl">STL</a>`;
-  $("#surface-list").appendChild(li);
+function rgbHex(c) {
+  return "#" + c.map((v) => Math.round(v * 255).toString(16)
+    .padStart(2, "0")).join("");
+}
+
+async function refreshSurfaces() {
+  const surfaces = await api("/api/surfaces");
+  const ul = $("#surface-list");
+  ul.innerHTML = "";
+  surfaces.forEach((s) => {
+    const li = document.createElement("li");
+    const vol = s.volume_mm3 ? ` ${s.volume_mm3.toFixed(0)} mm³` : "";
+    li.innerHTML =
+      `<span class="grow">#${s.index} ${s.name} ` +
+      `${(s.triangles || 0).toLocaleString()} tris${vol}</span>`;
+    const col = document.createElement("input");
+    col.type = "color";
+    col.value = rgbHex(s.colour || [1, 0.78, 0.65]);
+    col.title = "surface colour";
+    col.onchange = () => api("/api/surface/props", { index: s.index,
+      colour: [1, 3, 5].map((i) => parseInt(col.value.substr(i, 2), 16) / 255),
+    }).then(refresh3D);
+    li.appendChild(col);
+    const vis = document.createElement("button");
+    vis.textContent = s.visible ? "👁" : "–";
+    vis.title = "toggle visibility";
+    vis.onclick = () => api("/api/surface/props",
+      { index: s.index, visible: !s.visible })
+      .then(() => { refreshSurfaces(); refresh3D(); });
+    li.appendChild(vis);
+    [["split", "/api/surface/split", {}],
+     ["smooth", "/api/surface/smooth", { iterations: 20 }],
+     ["½", "/api/surface/decimate", { reduction: 0.5 }]].forEach(
+      ([label, path, extra]) => {
+        const b = document.createElement("button");
+        b.textContent = label;
+        b.onclick = async () => {
+          setStatus(`${label} surface #${s.index}…`);
+          await api(path, Object.assign({ index: s.index }, extra));
+          setStatus("");
+          refreshSurfaces(); refresh3D();
+        };
+        li.appendChild(b);
+      });
+    const dl = document.createElement("a");
+    dl.href = `/api/surface/${s.index}.stl`;
+    dl.download = `surface_${s.index}.stl`;
+    dl.textContent = "STL";
+    li.appendChild(dl);
+    const del = document.createElement("button");
+    del.textContent = "x";
+    del.onclick = () => api("/api/surface/remove", { index: s.index })
+      .then(() => { refreshSurfaces(); refresh3D(); });
+    li.appendChild(del);
+    ul.appendChild(li);
+  });
 }
 
 // --- tool interactions ------------------------------------------------------
@@ -557,13 +606,13 @@ async function init() {
     setStatus("creating surface…");
     const r = await api("/api/surface", { algorithm: $("#surf-algo").value });
     setStatus(`surface #${r.index}: ${r.triangles.toLocaleString()} triangles`);
-    addSurfaceRow(r);
+    refreshSurfaces();
   };
   $("#do-surf-import").onclick = async () => {
     const r = await api("/api/surface/import",
       { path: $("#surf-import-path").value });
     setStatus(`imported #${r.index} (${r.filled_holes} holes filled)`);
-    addSurfaceRow(r);
+    refreshSurfaces();
   };
 
   $("#do-scan").onclick = async () => {
@@ -624,6 +673,7 @@ async function init() {
   refreshSlices();
   refresh3D();
   refreshLists();
+  refreshSurfaces();
 }
 
 init().catch((e) => setStatus("init failed: " + e));

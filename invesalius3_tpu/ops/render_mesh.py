@@ -197,10 +197,11 @@ def render_surfaces(meshes: Sequence[Tuple[np.ndarray, np.ndarray,
 
 
 def render_scene(surfaces, markers=None, probe_pose=None, streamlines=None,
-                 **kw) -> np.ndarray:
+                 coil_poses=None, **kw) -> np.ndarray:
     """Navigation-scene composition: surfaces + marker glyph spheres +
-    a probe arrow + tract streamlines (reference viewer_volume.py
-    navigation scene; the actor_factory sphere/arrow builders become
+    a probe arrow + coil figure-8 glyphs + tract streamlines (reference
+    viewer_volume.py navigation scene; the actor_factory sphere/arrow
+    builders and data/visualization/coil_visualizer.py coil actor become
     generated glyph meshes, tractography tubes become thin ribbons)."""
     meshes = [(s.vertices, s.faces, s.colour) for s in surfaces
               if getattr(s, "is_shown", True)]
@@ -214,6 +215,11 @@ def render_scene(surfaces, markers=None, probe_pose=None, streamlines=None,
         v, f = _arrow(np.asarray(probe_pose[:3], float),
                       np.asarray(probe_pose[3:6], float))
         meshes.append((v, f, (0.2, 0.9, 0.4)))
+    if coil_poses:
+        for pose in coil_poses:
+            v, f = _coil_glyph(np.asarray(pose[:3], float),
+                               np.asarray(pose[3:6], float))
+            meshes.append((v, f, (0.35, 0.55, 0.95)))
     if streamlines:
         for item in streamlines:
             pts, colour = (item if isinstance(item, tuple)
@@ -260,6 +266,41 @@ def _icosphere(center, radius: float = 2.0):
         (3, 9, 4), (3, 4, 2), (3, 2, 6), (3, 6, 8), (3, 8, 9),
         (4, 9, 5), (2, 4, 11), (6, 2, 10), (8, 6, 7), (9, 8, 1)], np.int32)
     return v, f
+
+
+def _coil_glyph(center, angles_deg, wing_radius: float = 9.0,
+                segments: int = 12):
+    """TMS figure-8 coil glyph: two tangent discs in the pose's xy-plane
+    plus a handle quad along -y (reference coil_visualizer.py ships an
+    STL coil actor; a generated glyph keeps the scene mesh-free)."""
+    from invesalius3_tpu.ops import transforms as tr
+
+    m = tr.euler_matrix(*np.radians(np.asarray(angles_deg, float)),
+                        axes="sxyz")[:3, :3]
+    verts = []
+    faces = []
+    ang = np.linspace(0.0, 2 * np.pi, segments, endpoint=False)
+    for side in (-1.0, 1.0):
+        c = np.array([side * wing_radius, 0.0, 0.0])
+        base = len(verts)
+        verts.append(c)
+        for a in ang:
+            verts.append(c + wing_radius * np.array([np.cos(a), np.sin(a), 0.0]))
+        for i in range(segments):
+            j = base + 1 + i
+            k = base + 1 + (i + 1) % segments
+            faces.append((base, j, k))
+            faces.append((base, k, j))  # two-sided disc: visible either way
+    base = len(verts)
+    w = wing_radius * 0.25
+    for p in ([-w, -wing_radius, 0], [w, -wing_radius, 0],
+              [w, -3 * wing_radius, 0], [-w, -3 * wing_radius, 0]):
+        verts.append(np.asarray(p, float))
+    faces += [(base, base + 1, base + 2), (base, base + 2, base + 3),
+              (base, base + 2, base + 1), (base, base + 3, base + 2)]
+    v = (np.asarray(verts, np.float32) @ m.T
+         + np.asarray(center, np.float32)).astype(np.float32)
+    return v, np.asarray(faces, np.int32)
 
 
 def _arrow(tip, angles_deg, length: float = 20.0, width: float = 2.0):

@@ -93,8 +93,12 @@ class AppState:
         self.measures = MeasurementManager(bus=slc.bus)
         self.lock = threading.Lock()  # serializes state-changing POSTs
 
+        self.last_scene = None  # latest navigation.update_scene payload
+
         @events.wants_topic
         def tap(topic=None, **kw):
+            if topic == "navigation.update_scene":
+                self.last_scene = kw
             self.record_event(topic, _jsonable_shallow(kw))
 
         self._tap = tap  # keep a reference (bus stores it)
@@ -312,6 +316,7 @@ def make_handler(state: AppState):
 
 
                     markers = probe = None
+                    coil_poses = None
                     nav = getattr(state, "_nav", None)
                     if nav is not None:  # live navigation scene
                         markers = nav.markers.markers
@@ -319,10 +324,18 @@ def make_handler(state: AppState):
                             coords, flags = nav.tracker.get_coordinates()
                             if np.asarray(flags)[0]:
                                 probe = np.asarray(coords[0], float)
+                    scene = state.last_scene
+                    if scene and scene.get("coils_img"):
+                        from invesalius3_tpu.navigation import (
+                            coregistration as coreg)
+
+                        coil_poses = [coreg.matrix_to_pose(m)
+                                      for m in scene["coils_img"].values()]
                     img = render_mesh.render_scene(
                         list(state.surfaces.values()),
                         markers=markers,
                         probe_pose=probe,
+                        coil_poses=coil_poses,
                         azimuth=float(q.get("azimuth", 30)),
                         elevation=float(q.get("elevation", 20)),
                         size=int(q.get("size", 256)),

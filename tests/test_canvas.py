@@ -223,3 +223,22 @@ def test_render_scene_streamlines():
                                    size=96)
     lit = (img != np.array([17, 19, 24])).any(axis=-1)
     assert lit.sum() > 100  # the helix ribbon is visible
+
+
+def test_render_scene_coil_glyph():
+    """Figure-8 coil actor (reference coil_visualizer.py) renders and
+    follows the pose rotation."""
+    from invesalius3_tpu.ops import render_mesh
+
+    img = render_mesh.render_scene(
+        [], coil_poses=[(0, 0, 0, 0, 0, 0)], size=96)
+    lit = (img != np.array([17, 19, 24])).any(axis=-1)
+    assert lit.sum() > 300  # two discs + handle cover real area
+
+    # rotated 90 deg about x: the flat coil is seen edge-on -> far fewer
+    # lit pixels from the default camera
+    img2 = render_mesh.render_scene(
+        [], coil_poses=[(0, 0, 0, 90, 0, 0)], size=96,
+        azimuth=0.0, elevation=90.0)
+    lit2 = (img2 != np.array([17, 19, 24])).any(axis=-1)
+    assert lit2.sum() < lit.sum()

@@ -111,10 +111,17 @@ def render_surfaces(meshes: Sequence[Tuple[np.ndarray, np.ndarray,
             verts, faces = decimate(verts, faces,
                                     1.0 - max_triangles / len(faces))
             faces = np.asarray(faces, np.int64)
+            if np.ndim(colour) == 2:  # vertex ids changed: colours no
+                colour = np.asarray(colour).mean(axis=0)  # longer align
         all_v.append(verts)
         all_f.append(faces + base)
-        cols.append(np.tile(np.asarray(colour, np.float32)[:, None],
-                            (1, len(faces))))
+        colour = np.asarray(colour, np.float32)
+        if colour.ndim == 2:  # per-vertex colours (V, 3), e.g. MEP
+            # heat map (reference mep_visualizer.py textures the brain
+            # actor): face colour = corner mean in this renderer
+            cols.append(colour[faces].mean(axis=1).T.astype(np.float32))
+        else:
+            cols.append(np.tile(colour[:, None], (1, len(faces))))
         base += len(verts)
     verts = np.concatenate(all_v)
     faces = np.concatenate(all_f)

@@ -331,8 +331,24 @@ def make_handler(state: AppState):
 
                         coil_poses = [coreg.matrix_to_pose(m)
                                       for m in scene["coils_img"].values()]
+                    surfs = list(state.surfaces.values())
+                    if int(q.get("mep", 0)) and nav is not None and surfs:
+                        # MEP heat map over the first visible surface
+                        # (reference mep_visualizer.py brain texturing)
+                        from invesalius3_tpu.navigation.mep import MEPMapper
+
+                        import copy as _copy
+
+                        target = next((s for s in surfs if s.is_shown),
+                                      surfs[0])
+                        mapped = MEPMapper().map_markers(
+                            target.vertices, nav.markers.markers)
+                        target = _copy.copy(target)
+                        target.colour = mapped["colors"]
+                        surfs = [target if s.index == target.index else s
+                                 for s in surfs]
                     img = render_mesh.render_scene(
-                        list(state.surfaces.values()),
+                        surfs,
                         markers=markers,
                         probe_pose=probe,
                         coil_poses=coil_poses,
@@ -721,7 +737,8 @@ def make_handler(state: AppState):
                     m = state.nav.markers.add(Marker(
                         marker_type=MarkerType(int(body.get("type", 1))),
                         position=tuple(body["position"]),
-                        label=body.get("label", "")))
+                        label=body.get("label", ""),
+                        mep_value=body.get("mep_value")))
                     self._json({"id": m.marker_id})
                 elif self.path == "/api/nav/markers/remove":
                     state.nav.markers.delete(int(body["id"]))

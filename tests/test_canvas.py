@@ -242,3 +242,25 @@ def test_render_scene_coil_glyph():
         azimuth=0.0, elevation=90.0)
     lit2 = (img2 != np.array([17, 19, 24])).any(axis=-1)
     assert lit2.sum() < lit.sum()
+
+
+def test_render_scene_vertex_colours():
+    """Per-vertex colours (the MEP heat-map path) render per-face means."""
+    from invesalius3_tpu.ops import render_mesh
+
+    class S:
+        pass
+
+    s = S()
+    s.vertices, s.faces = render_mesh._icosphere((0, 0, 0), 10.0)
+    vc = np.zeros((len(s.vertices), 3), np.float32)
+    vc[:, 0] = 1.0  # all-red vertex colours
+    s.colour = vc
+    s.is_shown = True
+    img = render_mesh.render_scene([s], size=96)
+    lit = (img != np.array([17, 19, 24])).any(axis=-1)
+    assert lit.sum() > 100
+    # lit pixels are red-dominant
+    reds = img[..., 0][lit].astype(int)
+    greens = img[..., 1][lit].astype(int)
+    assert (reds > greens).mean() > 0.9

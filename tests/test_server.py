@@ -494,3 +494,21 @@ def test_surface_management_endpoints(server):
     assert code == 200
     _, _, body = _get(server, "/api/surfaces")
     assert idx not in [r["index"] for r in json.loads(body)]
+
+
+def test_render_scene_mep_overlay(server):
+    """GET /api/render_scene?mep=1 textures the surface with the MEP
+    heat map interpolated from markers carrying mep_value (reference
+    mep_visualizer.py + task_mepmapping.py)."""
+    _post(server, "/api/threshold", {"tmin": -32768, "tmax": 32767})
+    _post(server, "/api/surface", {"algorithm": "Default"})
+    _post(server, "/api/nav/connect", {"tracker": "debug_random"})
+    _post(server, "/api/nav/markers",
+          {"position": [12, 12, 8], "mep_value": 900.0})
+    _post(server, "/api/nav/markers",
+          {"position": [4, 4, 4], "mep_value": 50.0})
+    code, ctype, plain = _get(server, "/api/render_scene?size=96")
+    code2, _, mep = _get(server, "/api/render_scene?size=96&mep=1")
+    assert code == 200 and code2 == 200 and mep[:4] == b"\x89PNG"
+    assert mep != plain  # the heat map changed surface colouring
+    _post(server, "/api/nav/disconnect", {})

@@ -158,6 +158,22 @@ def count_triangles(field: jax.Array, iso: float, iso_greater: bool = True):
     return count_cells_and_triangles(field, iso, iso_greater)[1]
 
 
+def _compact_true_ids(mask_flat: jax.Array, size: int) -> jax.Array:
+    """Indices of True entries, ascending, padded with -1 — the
+    ``jnp.nonzero(size=..., fill_value=-1)`` contract, but via one device
+    sort: on this TPU the nonzero lowering's scatter costs ~1.2 s at
+    134M elements while the equivalent sort costs 0.44 s (probe7; the
+    cumsum inside nonzero is only 0.06 s — scatters are the expense,
+    rule: sorts are nearly free, scatters are not)."""
+    M = mask_flat.shape[0]
+    sentinel = jnp.int32(2**31 - 1)
+    keys = jnp.where(mask_flat, jnp.arange(M, dtype=jnp.int32), sentinel)
+    if size > M:  # tiny volumes: bucket exceeds the cell count
+        keys = jnp.pad(keys, (0, size - M), constant_values=2**31 - 1)
+    ids = jax.lax.slice(jax.lax.sort(keys), (0,), (size,))
+    return jnp.where(ids == sentinel, jnp.int32(-1), ids)
+
+
 @partial(jax.jit, static_argnames=("max_active", "iso_greater"))
 def _extract_cells(field: jax.Array, iso: float, max_active: int,
                    iso_greater: bool = True):
@@ -175,7 +191,7 @@ def _extract_cells(field: jax.Array, iso: float, max_active: int,
         agg_all = agg_all & corner
     active = (agg_any & ~agg_all).reshape(-1)
     n_active = jnp.sum(active.astype(jnp.int32))
-    (cell_ids,) = jnp.nonzero(active, size=max_active, fill_value=-1)
+    cell_ids = _compact_true_ids(active, max_active)
     valid_cell = cell_ids >= 0
     cell_ids_safe = jnp.maximum(cell_ids, 0)
 
@@ -221,7 +237,7 @@ def _emit_slots(ins: jax.Array, valid_cell: jax.Array, max_tris: int):
     ) & valid_cell[None, None, :]  # (6, 2, A)
     n_tris = jnp.sum(tri_valid.astype(jnp.int32))
     flat_valid = tri_valid.reshape(-1)  # (12A,) tet-major
-    (tri_slots,) = jnp.nonzero(flat_valid, size=max_tris, fill_value=-1)
+    tri_slots = _compact_true_ids(flat_valid, max_tris)
     return case, tri_slots, n_tris
 
 

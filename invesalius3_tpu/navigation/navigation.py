@@ -180,9 +180,14 @@ class NavigationHub:
     NavigationHub)."""
 
     def __init__(self, bus=None):
+        from invesalius3_tpu.navigation.mep import MEPMapper
+        from invesalius3_tpu.navigation.robot import Robots
+
         self.bus = bus or events.bus
         self.tracker = Tracker()
         self.navigation = Navigation(self.tracker, bus=self.bus)
         self.markers = MarkersControl(bus=self.bus)
         self.image = self.navigation.image
         self.icp = self.navigation.icp
+        self.robots = Robots(bus=self.bus)
+        self.mep = MEPMapper()

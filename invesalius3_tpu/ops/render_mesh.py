@@ -203,8 +203,28 @@ def render_surfaces(meshes: Sequence[Tuple[np.ndarray, np.ndarray,
     return img
 
 
+def draw_force_bar(img: np.ndarray, force_n: float,
+                   safe_n: float = 3.0, max_n: float = 5.0) -> np.ndarray:
+    """Robot contact-force bar on the left edge (reference
+    data/visualization/robot_force_visualizer.py: green below the safe
+    threshold, yellow to the limit, red beyond)."""
+    img = img.copy()
+    H = img.shape[0]
+    x0, w = 4, 7
+    top, bot = int(H * 0.1), int(H * 0.9)
+    img[top:bot, x0:x0 + w] = (40, 44, 52)
+    frac = min(max(force_n / max_n, 0.0), 1.0)
+    colour = ((60, 200, 90) if force_n < safe_n else
+              (230, 200, 60) if force_n < max_n else (230, 70, 60))
+    fill_top = bot - int((bot - top) * frac)
+    img[fill_top:bot, x0:x0 + w] = colour
+    ticky = bot - int((bot - top) * min(safe_n / max_n, 1.0))
+    img[max(ticky - 1, 0):ticky + 1, x0 - 2:x0 + w + 2] = (220, 220, 220)
+    return img
+
+
 def render_scene(surfaces, markers=None, probe_pose=None, streamlines=None,
-                 coil_poses=None, **kw) -> np.ndarray:
+                 coil_poses=None, robot_force=None, **kw) -> np.ndarray:
     """Navigation-scene composition: surfaces + marker glyph spheres +
     a probe arrow + coil figure-8 glyphs + tract streamlines (reference
     viewer_volume.py navigation scene; the actor_factory sphere/arrow
@@ -234,7 +254,10 @@ def render_scene(surfaces, markers=None, probe_pose=None, streamlines=None,
             v, f = _ribbon(np.asarray(pts, np.float32))
             if len(f):
                 meshes.append((v, f, tuple(colour)[:3]))
-    return render_surfaces(meshes, **kw)
+    img = render_surfaces(meshes, **kw)
+    if robot_force is not None:
+        img = draw_force_bar(img, float(robot_force))
+    return img
 
 
 def _ribbon(pts: np.ndarray, width: float = 0.6):

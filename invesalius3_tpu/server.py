@@ -347,11 +347,16 @@ def make_handler(state: AppState):
                         target.colour = mapped["colors"]
                         surfs = [target if s.index == target.index else s
                                  for s in surfs]
+                    robot_force = None
+                    if nav is not None and nav.robots.all():
+                        robot_force = max(
+                            r.force for r in nav.robots.all())
                     img = render_mesh.render_scene(
                         surfs,
                         markers=markers,
                         probe_pose=probe,
                         coil_poses=coil_poses,
+                        robot_force=robot_force,
                         azimuth=float(q.get("azimuth", 30)),
                         elevation=float(q.get("elevation", 20)),
                         size=int(q.get("size", 256)),

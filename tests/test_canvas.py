@@ -264,3 +264,18 @@ def test_render_scene_vertex_colours():
     reds = img[..., 0][lit].astype(int)
     greens = img[..., 1][lit].astype(int)
     assert (reds > greens).mean() > 0.9
+
+
+def test_robot_force_bar():
+    """Force bar overlay (reference robot_force_visualizer.py): green
+    below the safe threshold, red beyond the limit."""
+    from invesalius3_tpu.ops import render_mesh
+
+    base = np.full((96, 96, 3), (17, 19, 24), np.uint8)
+    low = render_mesh.draw_force_bar(base, 1.0)
+    hot = render_mesh.draw_force_bar(base, 6.0)
+    assert (low[:, 4:11] == (60, 200, 90)).all(axis=-1).any()
+    assert (hot[:, 4:11] == (230, 70, 60)).all(axis=-1).any()
+    # higher force fills more of the bar
+    assert ((hot == (230, 70, 60)).all(axis=-1).sum()
+            > (low == (60, 200, 90)).all(axis=-1).sum())

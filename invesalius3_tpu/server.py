@@ -94,11 +94,14 @@ class AppState:
         self.lock = threading.Lock()  # serializes state-changing POSTs
 
         self.last_scene = None  # latest navigation.update_scene payload
+        self.last_efield = None  # latest navigation.efield payload
 
         @events.wants_topic
         def tap(topic=None, **kw):
             if topic == "navigation.update_scene":
                 self.last_scene = kw
+            elif topic == "navigation.efield":
+                self.last_efield = kw
             self.record_event(topic, _jsonable_shallow(kw))
 
         self._tap = tap  # keep a reference (bus stores it)
@@ -332,6 +335,26 @@ def make_handler(state: AppState):
                         coil_poses = [coreg.matrix_to_pose(m)
                                       for m in scene["coils_img"].values()]
                     surfs = list(state.surfaces.values())
+                    if (int(q.get("efield", 0)) and surfs
+                            and state.last_efield is not None):
+                        # e-field magnitude texture on the ROI surface
+                        # (reference task_efield.py + e_field.py colouring)
+                        import copy as _copy
+
+                        en = np.asarray(state.last_efield["enorms"], float)
+                        target = next((s for s in surfs if s.is_shown),
+                                      surfs[0])
+                        n = min(len(en), len(target.vertices))
+                        t = np.zeros(len(target.vertices), np.float32)
+                        span = max(float(en.max()) - float(en.min()), 1e-9)
+                        t[:n] = (en[:n] - float(en.min())) / span
+                        colours = np.stack(  # blue -> red heat ramp
+                            [t, 0.25 + 0.5 * t * (1 - t) * 4, 1.0 - t],
+                            axis=1).astype(np.float32)
+                        target = _copy.copy(target)
+                        target.colour = colours
+                        surfs = [target if s.index == target.index else s
+                                 for s in surfs]
                     if int(q.get("mep", 0)) and nav is not None and surfs:
                         # MEP heat map over the first visible surface
                         # (reference mep_visualizer.py brain texturing)

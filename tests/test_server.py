@@ -512,3 +512,19 @@ def test_render_scene_mep_overlay(server):
     assert code == 200 and code2 == 200 and mep[:4] == b"\x89PNG"
     assert mep != plain  # the heat map changed surface colouring
     _post(server, "/api/nav/disconnect", {})
+
+
+def test_render_scene_efield_overlay(server):
+    """GET /api/render_scene?efield=1 textures the ROI surface with the
+    latest e-norm field published on the bus (reference task_efield.py)."""
+    _post(server, "/api/threshold", {"tmin": -32768, "tmax": 32767})
+    _post(server, "/api/surface", {"algorithm": "Default"})
+    # publish a fake e-field like VisualizeEFieldThread would
+    nverts = json.loads(_get(server, "/api/surfaces")[2])[-1]["vertices"]
+    server.state.slice.bus.send_message(
+        "navigation.efield",
+        enorms=np.linspace(0, 120, nverts), focal_factor=1.0)
+    code, _, plain = _get(server, "/api/render_scene?size=96")
+    code2, _, ef = _get(server, "/api/render_scene?size=96&efield=1")
+    assert code == 200 and code2 == 200 and ef[:4] == b"\x89PNG"
+    assert ef != plain

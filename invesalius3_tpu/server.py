@@ -39,6 +39,9 @@ surface the viewers consumed:
   POST /api/measures {"kind",...}          add linear/angular measurement
   POST /api/measures/remove {"index"}
   POST /api/brush {"strokes","radius_mm"}  paint/erase a brush stroke
+  POST /api/segment/dl {"model","threshold"}   start a DL segmentation
+        job (brain/trachea/mandible/implant); /status polls progress and
+        lands the mask; /cancel stops it (reference DL seg dialogs)
   POST /api/surface {"algorithm",...}      create surface from the mask
   POST /api/surface/import {"path",...}    import a mesh file (+hole fill)
   GET  /api/surfaces                       surface list (props + metrics)
@@ -795,6 +798,54 @@ def make_handler(state: AppState):
                         "index": surf.index, "triangles": int(len(surf.faces)),
                         "volume_mm3": surf.volume, "area_mm2": surf.area,
                     })
+                elif self.path == "/api/segment/dl":
+                    # DL segmentation job (reference
+                    # deep_learning_seg_dialog.py: model picker +
+                    # probability threshold + progress/cancel)
+                    from invesalius3_tpu.models import segment as seg
+
+                    kinds = {"brain": seg.BrainSegmenter,
+                             "trachea": seg.TracheaSegmenter,
+                             "mandible": seg.MandibleSegmenter,
+                             "implant": seg.ImplantSegmenter}
+                    kind = body.get("model", "brain")
+                    segmenter = kinds[kind](
+                        allow_random_init=bool(
+                            body.get("allow_random_init", False)))
+                    job = seg.SegmentJob(
+                        segmenter, np.asarray(slc.matrix),
+                        probability_threshold=float(
+                            body.get("threshold", 0.5)),
+                        batch_size=int(body.get("batch_size", 4)))
+                    job.model_kind = kind
+                    job.mask_added = False
+                    job.start()
+                    state._dl_job = job
+                    self._json({"started": True, "model": kind})
+                elif self.path == "/api/segment/dl/status":
+                    job = getattr(state, "_dl_job", None)
+                    if job is None:
+                        self._json({"error": tr("no job")}, 404)
+                        return
+                    done = (job.mask is not None or job.exception is not None
+                            or not job.is_alive())
+                    out = {"progress": job.progress, "done": bool(done),
+                           "error": repr(job.exception)
+                           if job.exception else None}
+                    if done and job.mask is not None and not job.mask_added:
+                        m = slc.create_new_mask(
+                            name=f"{job.model_kind} (DL)",
+                            apply_threshold=False)
+                        m.data = (np.asarray(job.mask) > 0).astype(
+                            np.uint8) * 255
+                        job.mask_added = True
+                        out["mask_index"] = m.index
+                    self._json(out)
+                elif self.path == "/api/segment/dl/cancel":
+                    job = getattr(state, "_dl_job", None)
+                    if job is not None:
+                        job.stop()
+                    self._json({"ok": True})
                 elif self.path == "/api/surface/remove":
                     del state.surfaces[int(body["index"])]
                     state.record_event("surface.removed",

@@ -528,3 +528,30 @@ def test_render_scene_efield_overlay(server):
     code2, _, ef = _get(server, "/api/render_scene?size=96&efield=1")
     assert code == 200 and code2 == 200 and ef[:4] == b"\x89PNG"
     assert ef != plain
+
+
+def test_dl_segmentation_job_endpoints(server):
+    """DL segmentation over HTTP: start -> poll progress -> mask lands
+    (reference deep_learning_seg_dialog.py + SegmentProcess comm array).
+    Random-init weights (env has no checkpoint): output is noise, but the
+    job/progress/mask plumbing is the contract under test."""
+    import time as _time
+
+    code, r = _post(server, "/api/segment/dl",
+                    {"model": "brain", "threshold": 0.5,
+                     "allow_random_init": True, "batch_size": 2})
+    assert code == 200 and r["started"] and r["model"] == "brain"
+    for _ in range(600):
+        code, st = _post(server, "/api/segment/dl/status", {})
+        assert code == 200
+        if st["done"]:
+            break
+        _time.sleep(0.2)
+    assert st["done"] and st["error"] is None
+    assert st["progress"] == 1.0
+    assert "mask_index" in st
+    masks = json.loads(_get(server, "/api/masks")[2])
+    assert any(m["index"] == st["mask_index"] for m in masks)
+    # second status poll does not re-add the mask
+    _, st2 = _post(server, "/api/segment/dl/status", {})
+    assert "mask_index" not in st2

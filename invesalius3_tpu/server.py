@@ -54,6 +54,10 @@ surface the viewers consumed:
   GET  /api/render_scene?azimuth=...       surface-actor 3D scene (PNG)
   GET  /api/dicom/scan?dir= | /api/dicom/thumb  import-UI series preview
   GET  /api/i18n                           locales + current catalog
+  POST /api/i18n {"language"}              switch UI language at runtime
+  POST /api/pacs/{echo,find,move}          PACS verify / C-FIND query /
+                                           C-MOVE retrieve + import
+                                           (reference import_network_panel)
   GET/POST /api/config                     Session preferences
   POST /api/overlay {"path","colormap"}    fMRI color overlay (+ /clear)
   GET  /api/nav/status | /api/nav/markers  navigation state
@@ -146,6 +150,17 @@ def _jsonable_shallow(kw: dict) -> dict:
         else:
             out[k] = repr(v)[:120]
     return out
+
+
+def _pacs_client(body: dict):
+    """DicomNet from a request body (reference import_network_panel.py
+    host/port/AE-title fields)."""
+    from invesalius3_tpu.net.dicom_net import DicomNet
+
+    return DicomNet(
+        body["host"], int(body.get("port", 104)),
+        aetitle_call=body.get("aetitle_call", "ANYSCP"),
+        aetitle=body.get("aetitle", "INVESALIUS"))
 
 
 def _png_bytes(rgb: np.ndarray) -> bytes:
@@ -846,6 +861,70 @@ def make_handler(state: AppState):
                     if job is not None:
                         job.stop()
                     self._json({"ok": True})
+                elif self.path == "/api/pacs/echo":
+                    # PACS verification (reference import_network_panel.py
+                    # "check status" -> dicom.py RunCEcho)
+                    net = _pacs_client(body)
+                    self._json({"ok": bool(net.RunCEcho(
+                        timeout=float(body.get("timeout", 5.0))))})
+                elif self.path == "/api/pacs/find":
+                    # study query (reference import_network_panel.py
+                    # OnButtonSearch -> dicom.py RunCFind)
+                    net = _pacs_client(body)
+                    results = net.RunCFind(
+                        patient_name=body.get("patient_name", "*"),
+                        level=body.get("level", "STUDY"),
+                        timeout=float(body.get("timeout", 10.0)))
+                    self._json([
+                        {k: (v if isinstance(v, (str, int, float)) else repr(v))
+                         for k, v in r.items()} for r in results])
+                elif self.path == "/api/pacs/move":
+                    # retrieve a study into a local folder, then import it
+                    # (reference import_network_panel.py OnUpload ->
+                    # dicom.py RunCMove -> Controller import flow)
+                    from pathlib import Path as _P
+
+                    net = _pacs_client(body)
+                    dest = _P(body["dest"])
+                    dest.mkdir(parents=True, exist_ok=True)
+                    files = net.RunCMove(
+                        body["study_uid"], dest,
+                        listen_port=int(body.get("listen_port", 0)),
+                        timeout=float(body.get("timeout", 30.0)))
+                    out = {"files": [str(f) for f in files]}
+                    if body.get("import", True) and files:
+                        from invesalius3_tpu.core.volume import Volume
+                        from invesalius3_tpu.io import dicom as dcm
+
+                        state._dicom_cache = None
+                        groups = state.dicom_groups(str(dest))
+                        g = max(groups, key=lambda g: len(g.files))
+                        data, spacing, affine = dcm.group_to_volume(g)
+                        slc.load_new_volume(Volume.from_numpy(
+                            data, spacing=spacing, affine=affine,
+                            modality=g.files[0].get("Modality", "CT")))
+                        state.surfaces = {}
+                        state.crop_box = None
+                        out["shape"] = list(slc.volume.shape)
+                    self._json(out)
+                elif self.path == "/api/i18n":
+                    # switch UI language at runtime (reference
+                    # language_dialog.py + session SetLanguage)
+                    from invesalius3_tpu.core.session import Session
+                    from invesalius3_tpu.utils import i18n as i18n_mod
+
+                    lang = body["language"]
+                    if lang not in i18n_mod.get_locales():
+                        raise ValueError(f"unknown locale {lang!r}")
+                    i18n_mod.install_language(lang)
+                    import os as _os
+
+                    _os.environ["INV3_LANGUAGE"] = lang
+                    sess = getattr(state, "_session", None) or Session()
+                    state._session = sess
+                    sess.set_config("language", lang)
+                    self._json({"current": lang,
+                                "catalog": current_catalog(lang)})
                 elif self.path == "/api/surface/remove":
                     del state.surfaces[int(body["index"])]
                     state.record_event("surface.removed",

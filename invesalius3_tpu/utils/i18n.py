@@ -147,9 +147,10 @@ def current_language() -> str:
     if lang:
         return lang
     try:
-        return (locale_mod.getlocale()[0] or "en").split("_")[0]
+        lang = (locale_mod.getlocale()[0] or "en").split("_")[0]
     except ValueError:
         return "en"
+    return "en" if lang in ("C", "POSIX") else lang
 
 
 def current_catalog(language: str = "") -> dict:

@@ -99,8 +99,12 @@ function refreshSlices(orients) {
 
 function refresh3D() {
   const mode = $("#mode3d").value;
-  const base = mode === "surfaces" ? "/api/render_scene?" :
+  let base = mode === "surfaces" ? "/api/render_scene?" :
     `/api/render?preset=${encodeURIComponent(state.raycastPreset)}&`;
+  if (mode === "surfaces") {   // MEP / e-field surface texturing toggles
+    if ($("#ov-mep").checked) base += "mep=1&";
+    if ($("#ov-efield").checked) base += "efield=1&";
+  }
   $("#img3d").src = `${base}azimuth=${state.azimuth}` +
     `&elevation=${state.elevation}&size=256&t=${state.bump++}`;
   $("#angles").textContent =
@@ -511,6 +515,192 @@ function attach3D() {
 
 // --- wiring -----------------------------------------------------------------
 
+// --- DL segmentation panel (reference deep_learning_seg_dialog.py) ----------
+
+function initDLSegmentation() {
+  let poll = null;
+  const stopPoll = () => { if (poll) { clearInterval(poll); poll = null; } };
+  $("#dl-start").onclick = async () => {
+    await api("/api/segment/dl", {
+      model: $("#dl-model").value, threshold: +$("#dl-thr").value,
+      allow_random_init: true,
+    });
+    setStatus(`DL ${$("#dl-model").value} segmentation running…`);
+    stopPoll();
+    poll = setInterval(async () => {
+      const st = await api("/api/segment/dl/status", {});
+      $("#dl-progress").value = Math.round(100 * (st.progress || 0));
+      if (st.done) {
+        stopPoll();
+        setStatus(st.error ? `DL failed: ${st.error}`
+          : `DL mask #${st.mask_index} created`);
+        refreshSlices(); refreshLists();
+      }
+    }, 700);
+  };
+  $("#dl-cancel").onclick = async () => {
+    await api("/api/segment/dl/cancel", {});
+    stopPoll();
+    setStatus("DL segmentation cancelled");
+  };
+}
+
+// --- navigation panel (reference task_navigator.py workflow) ----------------
+
+function initNavigation() {
+  let scenePoll = null;
+  const refreshNav = async () => {
+    const st = await api("/api/nav/status");
+    $("#nav-info").textContent =
+      (st.tracker_connected ? "tracker ✓ " : "tracker ✗ ") +
+      (st.image_fiducials_set ? "img-fid ✓ " : "") +
+      (st.tracker_fiducials_set ? "trk-fid ✓ " : "") +
+      (st.fre != null ? `FRE ${st.fre.toFixed(2)}mm ` : "") +
+      (st.navigating ? "NAVIGATING" : "");
+    const sel = $("#nav-tracker");
+    if (!sel.options.length && st.trackers) {
+      st.trackers.forEach((t) => {
+        const o = document.createElement("option");
+        o.textContent = t;
+        if (t === "debug_random") o.selected = true;
+        sel.appendChild(o);
+      });
+    }
+    const markers = await api("/api/nav/markers");
+    const ul = $("#nav-marker-list");
+    ul.innerHTML = "";
+    markers.forEach((m) => {
+      const li = document.createElement("li");
+      li.textContent = `#${m.id} ${m.label || m.type} ` +
+        `(${m.position.slice(0, 3).map((v) => v.toFixed(1))})`;
+      const del = document.createElement("button");
+      del.textContent = "x";
+      del.onclick = () => api("/api/nav/markers/remove", { id: m.id })
+        .then(refreshNav);
+      li.appendChild(del);
+      ul.appendChild(li);
+    });
+    return st;
+  };
+  $("#nav-connect").onclick = () =>
+    api("/api/nav/connect", { tracker_id: $("#nav-tracker").value })
+      .then(refreshNav);
+  $("#nav-disconnect").onclick = () =>
+    api("/api/nav/disconnect", {}).then(refreshNav);
+  $("#nav-fid-image").onclick = () => {
+    if (!state.cross) { setStatus("click a slice to set the crosshair first"); return; }
+    api("/api/nav/fiducial/image", {
+      index: +$("#nav-fid").value, position: voxelToWorld(state.cross),
+    }).then(refreshNav);
+  };
+  $("#nav-fid-tracker").onclick = () =>
+    api("/api/nav/fiducial/tracker", { index: +$("#nav-fid").value })
+      .then(refreshNav);
+  $("#nav-register").onclick = async () => {
+    const r = await api("/api/nav/register", {});
+    setStatus(`registered: FRE ${r.fre.toFixed(2)} mm`);
+    refreshNav();
+  };
+  $("#nav-start").onclick = async () => {
+    await api("/api/nav/start", {});
+    refreshNav();
+    if (!scenePoll) {   // live 3D scene while navigating
+      scenePoll = setInterval(() => {
+        if ($("#mode3d").value === "surfaces") refresh3D();
+        refreshNav().catch(() => {});
+      }, 1500);
+    }
+  };
+  $("#nav-stop").onclick = async () => {
+    await api("/api/nav/stop", {});
+    if (scenePoll) { clearInterval(scenePoll); scenePoll = null; }
+    refreshNav();
+  };
+  $("#nav-marker-add").onclick = () => {
+    if (!state.cross) { setStatus("click a slice to set the crosshair first"); return; }
+    api("/api/nav/markers", {
+      position: voxelToWorld(state.cross), label: "web",
+    }).then(refreshNav);
+  };
+  refreshNav().catch(() => {});
+}
+
+// --- PACS panel (reference gui/import_network_panel.py) ----------------------
+
+function initPacs() {
+  const conn = () => ({
+    host: $("#pacs-host").value, port: +$("#pacs-port").value,
+    aetitle_call: $("#pacs-aet").value,
+  });
+  $("#pacs-echo").onclick = async () => {
+    const r = await api("/api/pacs/echo", conn());
+    setStatus(r.ok ? "PACS echo ok" : "PACS echo FAILED");
+  };
+  $("#pacs-find").onclick = async () => {
+    const results = await api("/api/pacs/find",
+      { ...conn(), patient_name: $("#pacs-patient").value });
+    const ul = $("#pacs-list");
+    ul.innerHTML = "";
+    results.forEach((st) => {
+      const li = document.createElement("li");
+      li.textContent = `${st.PatientName || "?"} ${st.StudyDescription || ""} `;
+      const b = document.createElement("button");
+      b.textContent = "retrieve";
+      b.onclick = async () => {
+        const dest = $("#pacs-dest").value;
+        if (!dest) { setStatus("enter a retrieve dir"); return; }
+        setStatus("retrieving study…");
+        const r = await api("/api/pacs/move",
+          { ...conn(), study_uid: st.StudyInstanceUID, dest });
+        setStatus(`retrieved ${r.files.length} instances`);
+        if (r.shape) location.reload();
+      };
+      li.appendChild(b);
+      ul.appendChild(li);
+    });
+    setStatus(`${results.length} studies`);
+  };
+}
+
+// --- preferences panel (reference gui/preferences.py + language_dialog.py) --
+
+async function initPreferences() {
+  const i18n = await api("/api/i18n");
+  const sel = $("#pref-language");
+  i18n.locales.forEach((loc) => {
+    const o = document.createElement("option");
+    o.textContent = loc;
+    if (loc === i18n.current) o.selected = true;
+    sel.appendChild(o);
+  });
+  sel.onchange = () => api("/api/i18n", { language: sel.value })
+    .then(() => setStatus(`language: ${sel.value}`));
+
+  const cfg = await api("/api/config");
+  const box = $("#pref-config");
+  Object.entries(cfg.config).forEach(([key, value]) => {
+    if (typeof value === "object" && value !== null) return;
+    const row = document.createElement("label");
+    row.style.display = "block";
+    row.textContent = key + " ";
+    let input;
+    if (typeof value === "boolean") {
+      input = document.createElement("input");
+      input.type = "checkbox";
+      input.checked = value;
+      input.onchange = () => api("/api/config", { [key]: input.checked });
+    } else {
+      input = document.createElement("input");
+      input.value = value;
+      input.style.width = "8em";
+      input.onchange = () => api("/api/config", {
+        [key]: typeof value === "number" ? +input.value : input.value });
+    }
+    row.appendChild(input);
+    box.appendChild(row);
+  });
+}
+
 async function init() {
   const st = await api("/api/status");
   state.shape = st.volume_shape || [1, 1, 1];
@@ -668,8 +858,15 @@ async function init() {
   $("#clear-overlay").onclick = () =>
     api("/api/overlay/clear", {}).then(() => refreshSlices());
 
+  initDLSegmentation();
+  initNavigation();
+  initPacs();
+  initPreferences().catch(() => {});
+
   $$(".pane[data-orient]").forEach(attachPane);
   attach3D();
+  $("#ov-mep").onchange = refresh3D;
+  $("#ov-efield").onchange = refresh3D;
   refreshSlices();
   refresh3D();
   refreshLists();

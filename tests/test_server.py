@@ -555,3 +555,31 @@ def test_dl_segmentation_job_endpoints(server):
     # second status poll does not re-add the mask
     _, st2 = _post(server, "/api/segment/dl/status", {})
     assert "mask_index" not in st2
+
+
+def test_pacs_echo_endpoint_unreachable(server):
+    """PACS verify endpoint surfaces the DicomNet result (reference
+    import_network_panel.py "check status"); nothing listens on port 1."""
+    code, r = _post(server, "/api/pacs/echo",
+                    {"host": "127.0.0.1", "port": 1, "timeout": 0.5})
+    assert code == 200 and r == {"ok": False}
+
+
+def test_i18n_language_switch(server):
+    """POST /api/i18n switches the runtime catalog and persists the choice
+    (reference language_dialog.py + session SetLanguage)."""
+    code, before = _get(server, "/api/i18n")[0], json.loads(
+        _get(server, "/api/i18n")[2])
+    assert "pt_BR" in before["locales"]
+    _, r = _post(server, "/api/i18n", {"language": "pt_BR"})
+    assert r["current"] == "pt_BR" and isinstance(r["catalog"], dict)
+    after = json.loads(_get(server, "/api/i18n")[2])
+    assert after["current"] == "pt_BR"
+    # unknown locale is a clean JSON error, not a server crash
+    try:
+        _post(server, "/api/i18n", {"language": "xx_XX"})
+        assert False, "expected HTTPError"
+    except Exception as exc:  # urllib raises HTTPError
+        assert getattr(exc, "code", None) == 500
+    _, back = _post(server, "/api/i18n", {"language": before["current"]})
+    assert back["current"] == before["current"]

@@ -120,11 +120,14 @@ def main() -> None:
             mesh_io.write_stl(out, verts, faces)
             return verts, faces, out
         # 3. fused device pipeline: marching -> ca smoothing -> streamed
-        # STL (no host mesh at all; transfer/pack/write overlap)
+        # STL (no host mesh at all; transfer/pack/write overlap).  The face
+        # table is final at marching time, so its relay transfer starts
+        # immediately and runs under the smoothing compute.
         dm = marching.mask_to_surface_device(mask, spacing=(0.5, 0.5, 0.5))
+        fs = mesh_io.DeviceFaceStream(dm)
         out3v = mesh_ops.ca_smoothing_device(dm, 0.7, 3.0, 0.5, 10)
         mesh_io.write_stl_from_device(
-            out, dataclasses.replace(dm, verts3v=out3v))
+            out, dataclasses.replace(dm, verts3v=out3v), face_stream=fs)
         return dm.n_verts, dm.n_tris, out
 
     # warmup: compile everything on the same shapes

@@ -566,58 +566,92 @@ WRITERS[".bin"] = write_neuronav_bin
 READERS[".bin"] = read_neuronav_bin
 
 
-def write_stl_from_device(path, dm, name: str = "invesalius3_tpu") -> None:
+class DeviceFaceStream:
+    """Background device→host stream of the packed uint24 face table.
+
+    The face topology is final the moment marching finishes — smoothing
+    only moves vertices — so the relay transfer of the face table (78% of
+    the export bytes at 512³ meshes) can run concurrently with the
+    smoothing passes instead of serializing after them.  Construct this
+    right after marching and hand it to ``write_stl_from_device``; chunks
+    accumulate host-side while the device computes.  Reference flow:
+    surface export (reference data/surface.py:1647 vtkSTLWriter after
+    surface_process.py smoothing)."""
+
+    def __init__(self, dm, chunk: int = 1 << 20):
+        import queue as _q
+        import threading
+
+        from invesalius3_tpu.ops import marching
+
+        packed_dev = marching._pack_uint24(dm.faces3t)  # (9, T_pad) u8
+        self.n_tris = int(dm.n_tris)
+        T_pad = int(packed_dev.shape[1])
+        self.chunk = min(chunk, T_pad)  # T_pad is 1/8-pow2: chunk divides it
+        # unbounded: the whole table is <= ~100 MB host-side and the point
+        # is to drain the relay while the device is busy smoothing
+        self._q: _q.Queue = _q.Queue()
+        self._th = threading.Thread(
+            target=self._run, args=(packed_dev,), daemon=True,
+            name="face-stream")
+        self._th.start()
+
+    def _run(self, packed_dev):
+        import numpy as np
+
+        try:
+            for i in range(0, self.n_tris, self.chunk):
+                chunk = np.asarray(packed_dev[:, i : i + self.chunk])
+                self._q.put((chunk, min(self.chunk, self.n_tris - i)))
+            self._q.put(None)
+        except Exception as e:  # surface the transfer error on the consumer
+            self._q.put(e)
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                self._th.join()
+                return
+            if isinstance(item, Exception):
+                raise item
+            yield item
+
+
+def write_stl_from_device(path, dm, name: str = "invesalius3_tpu",
+                          face_stream: "DeviceFaceStream | None" = None
+                          ) -> None:
     """Stream a DeviceMesh straight to a binary STL: fixed-size packed-face
     chunks transfer from the device on a producer thread while the main
     thread packs records natively and writes — the relay transfer, the
     record pack, and the disk write overlap instead of serializing
     (mesh_to_host + write_stl cost ~43 s at 7.3M triangles on this host;
-    this path needs no host mesh at all).  Reference flow: surface export
+    this path needs no host mesh at all).  Pass a ``DeviceFaceStream``
+    started right after marching to additionally overlap the face-table
+    transfer with the smoothing compute.  Reference flow: surface export
     (reference data/surface.py:1647 vtkSTLWriter)."""
-    import queue as _q
-    import threading
-
-    import jax
     import numpy as np
 
     from invesalius3_tpu import native
     from invesalius3_tpu.ops import marching
 
     if not native.available():  # fall back to the two-step host path
+        if face_stream is not None:
+            for _ in face_stream:  # drain so the thread exits
+                pass
         verts, faces = marching.mesh_to_host(dm)
         write_stl(path, verts, faces, name=name)
         return
 
+    if face_stream is None:
+        face_stream = DeviceFaceStream(dm)
     verts = native.verts3v_to_n3(
         np.asarray(marching._verts_f16(dm.verts3v)), dm.n_verts)
-    packed_dev = marching._pack_uint24(dm.faces3t)  # (9, T_pad) on device
-    T_pad = int(packed_dev.shape[1])
-    CH = min(1 << 20, T_pad)  # T_pad is a power of two: CH divides it
 
-    out_q: _q.Queue = _q.Queue(maxsize=2)
-
-    def producer():
-        try:
-            for i in range(0, dm.n_tris, CH):
-                chunk = np.asarray(packed_dev[:, i : i + CH])  # static shapes
-                out_q.put((chunk, min(CH, dm.n_tris - i)))
-            out_q.put(None)
-        except Exception as e:  # surface the transfer error on the consumer
-            out_q.put(e)
-
-    th = threading.Thread(target=producer, daemon=True)
-    th.start()
     with open(path, "wb") as f:
         header = (name.encode()[:80]).ljust(80, b"\0")
         f.write(header)
         f.write(struct.pack("<I", dm.n_tris))
-        while True:
-            item = out_q.get()
-            if item is None:
-                break
-            if isinstance(item, Exception):
-                raise item
-            chunk, n = item
+        for chunk, n in face_stream:
             faces = native.faces_u24_to_n3(chunk, n)
             f.write(native.stl_pack(verts, faces))
-    th.join()

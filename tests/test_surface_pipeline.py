@@ -311,6 +311,31 @@ def test_write_stl_from_device_matches_host_path(tmp_path):
                                   np.sort(v2.round(3), axis=0))
 
 
+def test_write_stl_from_device_prefetched_face_stream(tmp_path):
+    """A DeviceFaceStream started before smoothing (bench.py overlap path)
+    yields a byte-identical STL to the unprefetched writer, including with
+    a chunk smaller than the face count."""
+    import dataclasses
+
+    from invesalius3_tpu.io import mesh_io
+    from invesalius3_tpu.ops import mesh as mesh_ops
+    from invesalius3_tpu import native
+
+    if not native.available():
+        import pytest
+        pytest.skip("no native meshpack")
+    mask = _sphere_mask(16, 6.0)
+    dm = marching.mask_to_surface_device(mask, spacing=(0.5, 0.5, 1.0))
+    fs = mesh_io.DeviceFaceStream(dm, chunk=64)  # many chunks
+    out3v = mesh_ops.ca_smoothing_device(dm, 0.7, 3.0, 0.5, 2)
+    dm2 = dataclasses.replace(dm, verts3v=out3v)
+    p1 = tmp_path / "prefetch.stl"
+    p2 = tmp_path / "plain.stl"
+    mesh_io.write_stl_from_device(p1, dm2, face_stream=fs)
+    mesh_io.write_stl_from_device(p2, dm2)
+    assert p1.read_bytes() == p2.read_bytes()
+
+
 # ---------------------------------------------------------------------------
 # Hole filling + mesh import flow (reference surface_process.py:397-415
 # vtkFillHolesFilter(HoleSize=300); surface.py:619 OnImportSurfaceFile)

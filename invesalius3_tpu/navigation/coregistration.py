@@ -131,11 +131,17 @@ class CoordinateCorregistrate(threading.Thread):
     to queues (reference coregistration.py:332-470)."""
 
     def __init__(self, tracker, data: CoregistrationData,
-                 coord_queue: LIFOQueue, poll_hz: float = 120.0):
+                 coord_queue: LIFOQueue, poll_hz: float = 120.0,
+                 extra_queues: tuple = ()):
         super().__init__(daemon=True)
         self.tracker = tracker
         self.data = data
         self.coord_queue = coord_queue
+        # side consumers (tracts, e-field, serial trigger) each get their
+        # own drop-stale queue so a slow worker never back-pressures the
+        # 120 Hz loop (reference coregistration.py:397-470 pushes the same
+        # pose to coord/tracts/efield/serial queues)
+        self.extra_queues = tuple(extra_queues)
         self.period = 1.0 / poll_hz
         self._stop_event = threading.Event()
 
@@ -160,7 +166,10 @@ class CoordinateCorregistrate(threading.Thread):
     def run(self):
         while not self._stop_event.is_set():
             t0 = time.monotonic()
-            self.coord_queue.put_latest(self.compute_once())
+            item = self.compute_once()
+            self.coord_queue.put_latest(item)
+            for q in self.extra_queues:
+                q.put_latest(item)
             dt = time.monotonic() - t0
             if dt < self.period:
                 time.sleep(self.period - dt)

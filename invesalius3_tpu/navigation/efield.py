@@ -85,8 +85,11 @@ class VisualizeEFieldThread(threading.Thread):
                 continue
             norms = self.compute_once(item)
             if norms is not None:
-                self.bus.send_message("navigation.efield", enorms=norms,
-                                      max_id=int(np.argmax(norms)))
+                self.bus.send_message(
+                    "navigation.efield", enorms=norms,
+                    max_id=int(np.argmax(norms)),
+                    roi_ids=(None if self.roi_ids is None
+                             else np.asarray(self.roi_ids)))
 
     def stop(self):
         self._stop_event.set()

@@ -129,6 +129,14 @@ class Navigation:
         self._updater: Optional[UpdateNavigationScene] = None
         self.coord_queue = LIFOQueue(maxsize=1)
         self.is_navigating = False
+        # optional side workers spawned with the pipeline (reference
+        # navigation.py:589 StartNavigation spawns coreg -> [serial,
+        # tracts, e-field]): kwargs for ComputeTractsThread /
+        # VisualizeEFieldThread, set before start_navigation
+        self.tract_params: Optional[dict] = None
+        self.efield_params: Optional[dict] = None
+        self._tract_thread = None
+        self._efield_thread = None
 
     # -- registration ---------------------------------------------------------
     def estimate_tracker_to_image_transform(self) -> float:
@@ -157,10 +165,32 @@ class Navigation:
             m_icp=self.icp.m_icp if self.icp.use_icp else None,
             use_dynamic_reference=self.use_dynamic_reference,
         )
-        self._coreg = CoordinateCorregistrate(self.tracker, data, self.coord_queue, poll_hz)
+        extra_queues = []
+        if self.tract_params is not None:
+            from invesalius3_tpu.navigation.tractography import (
+                ComputeTractsThread)
+
+            q = LIFOQueue(maxsize=1)
+            self._tract_thread = ComputeTractsThread(
+                q, bus=self.bus, **self.tract_params)
+            extra_queues.append(q)
+        if self.efield_params is not None:
+            from invesalius3_tpu.navigation.efield import VisualizeEFieldThread
+
+            q = LIFOQueue(maxsize=1)
+            self._efield_thread = VisualizeEFieldThread(
+                q, bus=self.bus, **self.efield_params)
+            extra_queues.append(q)
+        self._coreg = CoordinateCorregistrate(
+            self.tracker, data, self.coord_queue, poll_hz,
+            extra_queues=tuple(extra_queues))
         self._updater = UpdateNavigationScene(self.coord_queue, self.bus)
         self._coreg.start()
         self._updater.start()
+        if self._tract_thread is not None:
+            self._tract_thread.start()
+        if self._efield_thread is not None:
+            self._efield_thread.start()
         self.is_navigating = True
         self.bus.send_message("navigation.started")
 
@@ -171,6 +201,10 @@ class Navigation:
         if self._updater:
             self._updater.stop()
             self._updater = None
+        for th in (self._tract_thread, self._efield_thread):
+            if th is not None:
+                th.stop()
+        self._tract_thread = self._efield_thread = None
         self.is_navigating = False
         self.bus.send_message("navigation.stopped")
 

@@ -275,8 +275,13 @@ class ComputeTractsThread(threading.Thread):
                  stop_mask: np.ndarray = None, n_tracts_total: int = 64,
                  step_size: float = 0.5, n_steps: int = 120, bus=None,
                  fod_sh: np.ndarray = None, min_fod_amp: float = 0.01,
-                 max_angle: float = 0.4, seed: int = 0):
+                 max_angle: float = 0.4, seed: int = 0,
+                 world_to_vox=None):
         super().__init__(daemon=True)
+        # optional world-mm (x,y,z) -> voxel (z,y,x) converter applied to
+        # incoming probe poses (Volume.world_to_voxel when fields are in
+        # image voxel space; reference tractography.py:661 grid_offset)
+        self.world_to_vox = world_to_vox
         if direction_field is None and fod_sh is None:
             raise ValueError("need direction_field (deterministic) or "
                              "fod_sh (probabilistic)")
@@ -319,8 +324,10 @@ class ComputeTractsThread(threading.Thread):
                 item = self.pose_queue.get(timeout=0.1)
             except queue.Empty:
                 continue
-            pos = item["probe_pose_img"][:3]
-            paths, valid = self.compute_once(np.asarray(pos))
+            pos = np.asarray(item["probe_pose_img"][:3], float)
+            if self.world_to_vox is not None:
+                pos = np.asarray(self.world_to_vox(pos), float)
+            paths, valid = self.compute_once(pos)
             self.bus.send_message("navigation.tracts", paths=paths, valid=valid)
 
     def stop(self):

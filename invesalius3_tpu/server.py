@@ -61,6 +61,11 @@ surface the viewers consumed:
   GET/POST /api/config                     Session preferences
   POST /api/overlay {"path","colormap"}    fMRI color overlay (+ /clear)
   GET  /api/nav/status | /api/nav/markers  navigation state
+  POST /api/nav/tracts {"enable",...}      live tractography worker config
+                                           (FOD/direction-field NIfTI or
+                                           demo field; task_tractography)
+  POST /api/nav/efield {"enable",...}      e-field worker over a surface
+                                           ROI (debug solver; task_efield)
   POST /api/nav/{connect,disconnect,fiducial/tracker,fiducial/image,
         register,start,stop,markers,markers/remove}
   GET  /api/events                         recent bus events (polling)
@@ -102,6 +107,7 @@ class AppState:
 
         self.last_scene = None  # latest navigation.update_scene payload
         self.last_efield = None  # latest navigation.efield payload
+        self.last_tracts = None  # latest navigation.tracts payload
 
         @events.wants_topic
         def tap(topic=None, **kw):
@@ -109,6 +115,8 @@ class AppState:
                 self.last_scene = kw
             elif topic == "navigation.efield":
                 self.last_efield = kw
+            elif topic == "navigation.tracts":
+                self.last_tracts = kw
             self.record_event(topic, _jsonable_shallow(kw))
 
         self._tap = tap  # keep a reference (bus stores it)
@@ -150,6 +158,18 @@ def _jsonable_shallow(kw: dict) -> dict:
         else:
             out[k] = repr(v)[:120]
     return out
+
+
+def _world_to_vox_from_affine(affine):
+    """world mm (x,y,z) -> voxel (z,y,x) for a NIfTI grid (the tract
+    field's own affine, which may differ from the image grid)."""
+    inv = np.linalg.inv(np.asarray(affine, float))
+
+    def conv(xyz):
+        h = np.append(np.asarray(xyz, float), 1.0)
+        return (inv @ h)[:3][::-1]
+
+    return conv
 
 
 def _pacs_client(body: dict):
@@ -323,6 +343,8 @@ def make_handler(state: AppState):
                         "fre": nav.navigation.fre,
                         "navigating": nav.navigation.is_navigating,
                         "n_markers": len(nav.markers.markers),
+                        "tracts_enabled": nav.navigation.tract_params is not None,
+                        "efield_enabled": nav.navigation.efield_params is not None,
                     })
                 elif url.path == "/api/nav/markers":
                     self._json([{
@@ -362,10 +384,18 @@ def make_handler(state: AppState):
                         en = np.asarray(state.last_efield["enorms"], float)
                         target = next((s for s in surfs if s.is_shown),
                                       surfs[0])
-                        n = min(len(en), len(target.vertices))
                         t = np.zeros(len(target.vertices), np.float32)
                         span = max(float(en.max()) - float(en.min()), 1e-9)
-                        t[:n] = (en[:n] - float(en.min())) / span
+                        roi_ids = state.last_efield.get("roi_ids")
+                        if roi_ids is not None:
+                            # enorms computed on a strided ROI subset of
+                            # this surface's vertices
+                            ids = np.asarray(roi_ids)
+                            keep = ids < len(t)
+                            t[ids[keep]] = (en[keep] - float(en.min())) / span
+                        else:
+                            n = min(len(en), len(target.vertices))
+                            t[:n] = (en[:n] - float(en.min())) / span
                         colours = np.stack(  # blue -> red heat ramp
                             [t, 0.25 + 0.5 * t * (1 - t) * 4, 1.0 - t],
                             axis=1).astype(np.float32)
@@ -392,11 +422,24 @@ def make_handler(state: AppState):
                     if nav is not None and nav.robots.all():
                         robot_force = max(
                             r.force for r in nav.robots.all())
+                    streamlines = None
+                    if state.last_tracts is not None:
+                        # tract ribbons from the live ComputeTractsThread
+                        # (reference tractography.py vtkTube multiblocks)
+                        paths = np.asarray(state.last_tracts["paths"])
+                        valid = np.asarray(state.last_tracts["valid"])
+                        streamlines = []
+                        for ti in range(min(paths.shape[1], 32)):
+                            pts_vox = paths[valid[:, ti], ti]  # (S, zyx)
+                            if len(pts_vox) >= 2:
+                                streamlines.append(
+                                    slc.volume.voxel_to_world(pts_vox))
                     img = render_mesh.render_scene(
                         surfs,
                         markers=markers,
                         probe_pose=probe,
                         coil_poses=coil_poses,
+                        streamlines=streamlines,
                         robot_force=robot_force,
                         azimuth=float(q.get("azimuth", 30)),
                         elevation=float(q.get("elevation", 20)),
@@ -776,6 +819,78 @@ def make_handler(state: AppState):
                 elif self.path == "/api/nav/stop":
                     state.nav.navigation.stop_navigation()
                     self._json({"navigating": False})
+                elif self.path == "/api/nav/tracts":
+                    # configure live tractography for the next navigation
+                    # run (reference task_tractography.py: Trekker FOD +
+                    # ACT mask load, n_tracts; spawned by StartNavigation)
+                    navg = state.nav.navigation
+                    if not body.get("enable", True):
+                        navg.tract_params = None
+                        state.last_tracts = None
+                        self._json({"tracts_enabled": False})
+                    else:
+                        params = {
+                            "n_tracts_total": int(body.get("n_tracts", 32)),
+                            "step_size": float(body.get("step_size", 0.5)),
+                            "n_steps": int(body.get("n_steps", 80)),
+                            "max_angle": float(body.get("max_angle", 0.4)),
+                        }
+                        if body.get("fod_path") or body.get("field_path"):
+                            from invesalius3_tpu.io import nifti
+
+                            img = nifti.read_nifti(
+                                body.get("fod_path") or body["field_path"])
+                            key = ("fod_sh" if body.get("fod_path")
+                                   else "direction_field")
+                            params[key] = np.asarray(img.data)
+                            mask = nifti.read_nifti(body["mask_path"]).data \
+                                if body.get("mask_path") else None
+                            params["stop_mask"] = (
+                                np.asarray(mask) > 0 if mask is not None
+                                else np.ones(img.data.shape[:3], bool))
+                            params["world_to_vox"] = \
+                                _world_to_vox_from_affine(img.affine)
+                        else:
+                            # demo field: straight superior-inferior
+                            # streamlines on a coarse grid over the volume
+                            shape = slc.volume.shape
+                            f = max(1, (max(shape) + 63) // 64)
+                            cs = tuple(max(2, s // f) for s in shape)
+                            field = np.zeros(cs + (3,), np.float32)
+                            field[..., 0] = 1.0  # unit +z principal dir
+                            params["direction_field"] = field
+                            params["stop_mask"] = np.ones(cs, bool)
+                            vol = slc.volume
+                            params["world_to_vox"] = (
+                                lambda p, _v=vol, _f=f:
+                                np.asarray(_v.world_to_voxel(p)) / _f)
+                        navg.tract_params = params
+                        self._json({"tracts_enabled": True,
+                                    "n_tracts": params["n_tracts_total"]})
+                elif self.path == "/api/nav/efield":
+                    # configure the e-field worker: debug solver over an
+                    # existing surface's vertices as the ROI (reference
+                    # task_efield.py + e_field.py; the real solver hangs
+                    # off NeuronavigationApi)
+                    navg = state.nav.navigation
+                    if not body.get("enable", True):
+                        navg.efield_params = None
+                        state.last_efield = None
+                        self._json({"efield_enabled": False})
+                    else:
+                        surf = state.surfaces[int(body.get(
+                            "surface_index", min(state.surfaces, default=0)))]
+                        verts = np.asarray(surf.vertices, np.float32)
+                        stride = max(1, len(verts) // int(
+                            body.get("max_roi_vertices", 20000)))
+                        roi_idx = np.arange(0, len(verts), stride)
+                        navg.efield_params = {
+                            "roi_vertices": verts[roi_idx],
+                            "roi_ids": roi_idx,
+                            "debug": True,
+                        }
+                        self._json({"efield_enabled": True,
+                                    "roi_vertices": len(roi_idx)})
                 elif self.path == "/api/nav/markers":
                     from invesalius3_tpu.navigation.markers import (
                         Marker, MarkerType)

@@ -622,6 +622,18 @@ function initNavigation() {
       position: voxelToWorld(state.cross), label: "web",
     }).then(refreshNav);
   };
+  // live tractography / e-field workers (reference task_tractography.py,
+  // task_efield.py) — demo field / first-surface ROI; applied at next start
+  $("#nav-tracts").onchange = (e) =>
+    api("/api/nav/tracts", { enable: e.target.checked })
+      .then((r) => setStatus(r.tracts_enabled
+        ? `tracts on (${r.n_tracts} seeds)` : "tracts off"));
+  $("#nav-efield").onchange = (e) =>
+    api("/api/nav/efield", { enable: e.target.checked })
+      .then((r) => setStatus(r.efield_enabled
+        ? `e-field on (${r.roi_vertices} ROI verts)` : "e-field off"))
+      .catch(() => { e.target.checked = false;
+        setStatus("e-field needs a surface — create one first"); });
   refreshNav().catch(() => {});
 }
 

@@ -101,6 +101,53 @@ def test_full_navigation_session():
     nav.tracker.disconnect()
 
 
+def test_navigation_spawns_tract_and_efield_workers():
+    """start_navigation fans the coreg pose out to optional tract/e-field
+    side workers (reference navigation.py:589 StartNavigation spawns
+    coreg -> [serial, tracts, e-field] -> UpdateNavigationScene)."""
+    bus = events.Publisher()
+    nav = Navigation(bus=bus)
+    assert nav.tracker.connect(TRACKER_DEBUG_APPROACH, poll_hz=500)
+    time.sleep(0.05)
+    for i in range(3):
+        nav.tracker.set_tracker_fiducial(i)
+        time.sleep(0.02)
+    for i in range(3):
+        nav.image.set(i, nav.tracker.tracker_fiducials[i, :3])
+    nav.estimate_tracker_to_image_transform()
+
+    shape = (8, 8, 8)
+    field = np.zeros(shape + (3,), np.float32)
+    field[..., 0] = 1.0  # straight +z streamlines
+    nav.tract_params = {
+        "direction_field": field,
+        "stop_mask": np.ones(shape, bool),
+        "n_tracts_total": 4, "n_steps": 5,
+        # clamp the probe pose into the tiny grid
+        "world_to_vox": lambda p: np.clip(np.asarray(p)[::-1], 1, 6),
+    }
+    nav.efield_params = {
+        "roi_vertices": np.random.default_rng(0).uniform(0, 8, (16, 3)),
+        "roi_ids": np.arange(16),
+        "debug": True,
+    }
+    tracts, efields = [], []
+    bus.subscribe(lambda **kw: tracts.append(kw), "navigation.tracts")
+    bus.subscribe(lambda **kw: efields.append(kw), "navigation.efield")
+    nav.start_navigation(poll_hz=200)
+    deadline = time.monotonic() + 20.0  # first call compiles the trackers
+    while time.monotonic() < deadline and not (tracts and efields):
+        time.sleep(0.05)
+    nav.stop_navigation()
+    nav.tracker.disconnect()
+    assert tracts and efields
+    paths = np.asarray(tracts[0]["paths"])
+    assert paths.shape[1] == 4 and paths.shape[2] == 3
+    assert np.asarray(efields[0]["enorms"]).shape == (16,)
+    np.testing.assert_array_equal(np.asarray(efields[0]["roi_ids"]),
+                                  np.arange(16))
+
+
 def test_markers_control_roundtrip(tmp_path):
     mc = MarkersControl(bus=events.Publisher())
     m1 = mc.add(Marker(marker_type=MarkerType.FIDUCIAL, position=(1, 2, 3), label="LE"))

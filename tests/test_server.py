@@ -342,6 +342,55 @@ def test_navigation_endpoints(server):
     _post(server, "/api/nav/disconnect", {})
 
 
+def test_nav_tracts_and_efield_workers(server):
+    """Tract + e-field workers configured over HTTP run inside the
+    navigation pipeline and land results on the bus / scene (reference
+    task_tractography.py + task_efield.py spawned by StartNavigation)."""
+    import time as _t
+
+    # e-field needs a surface ROI
+    _post(server, "/api/threshold", {"tmin": 1000, "tmax": 2000})
+    _post(server, "/api/surface", {"name": "roi"})
+    code, r = _post(server, "/api/nav/tracts", {"enable": True, "n_tracts": 4,
+                                                "n_steps": 5})
+    assert code == 200 and r["tracts_enabled"] and r["n_tracts"] == 4
+    code, r = _post(server, "/api/nav/efield", {"enable": True})
+    assert code == 200 and r["efield_enabled"] and r["roi_vertices"] > 0
+    st = json.loads(_get(server, "/api/nav/status")[2])
+    assert st["tracts_enabled"] and st["efield_enabled"]
+
+    _post(server, "/api/nav/connect", {"tracker_id": "debug_random",
+                                       "poll_hz": 500})
+    _t.sleep(0.05)
+    for i in range(3):
+        _post(server, "/api/nav/fiducial/tracker", {"index": i})
+        _t.sleep(0.02)
+        _post(server, "/api/nav/fiducial/image",
+              {"index": i, "position": [float(i * 10), 0.0, 5.0]})
+    _post(server, "/api/nav/register", {})
+    _post(server, "/api/nav/start", {"poll_hz": 100})
+    deadline = _t.monotonic() + 30.0  # first pose compiles both kernels
+    seen = set()
+    while _t.monotonic() < deadline and seen < {"navigation.tracts",
+                                                "navigation.efield"}:
+        evs = json.loads(_get(server, "/api/events")[2])
+        seen = {e["topic"] for e in evs} & {"navigation.tracts",
+                                            "navigation.efield"}
+        _t.sleep(0.1)
+    assert seen == {"navigation.tracts", "navigation.efield"}
+    # scene render composes tract ribbons + e-field texture without error
+    code, ctype, png = _get(server,
+                            "/api/render_scene?efield=1&size=64")
+    assert code == 200 and ctype == "image/png"
+    _post(server, "/api/nav/stop", {})
+    _post(server, "/api/nav/disconnect", {})
+    # disable clears config + cached payloads
+    _post(server, "/api/nav/tracts", {"enable": False})
+    _post(server, "/api/nav/efield", {"enable": False})
+    st = json.loads(_get(server, "/api/nav/status")[2])
+    assert not st["tracts_enabled"] and not st["efield_enabled"]
+
+
 def test_overlay_endpoint(server, tmp_path):
     from invesalius3_tpu.io import nifti
 

@@ -66,6 +66,7 @@ surface the viewers consumed:
                                            demo field; task_tractography)
   POST /api/nav/efield {"enable",...}      e-field worker over a surface
                                            ROI (debug solver; task_efield)
+  POST /api/nav/record {"enable","path"}   tracker-coordinate CSV recording
   POST /api/nav/{connect,disconnect,fiducial/tracker,fiducial/image,
         register,start,stop,markers,markers/remove}
   GET  /api/events                         recent bus events (polling)
@@ -891,6 +892,30 @@ def make_handler(state: AppState):
                         }
                         self._json({"efield_enabled": True,
                                     "roi_vertices": len(roi_idx)})
+                elif self.path == "/api/nav/record":
+                    # tracker-coordinate CSV recording (reference
+                    # record_coords.py + its task_navigator checkbox)
+                    rec = getattr(state, "_recorder", None)
+                    if body.get("enable", True):
+                        if rec is not None:
+                            raise ValueError("already recording")
+                        from invesalius3_tpu.navigation.record_coords import (
+                            RecordCoords)
+
+                        rec = RecordCoords(
+                            state.nav.tracker, body["path"],
+                            poll_hz=float(body.get("poll_hz", 20.0)))
+                        rec.start()
+                        state._recorder = rec
+                        self._json({"recording": True, "path": str(rec.path)})
+                    else:
+                        if rec is not None:
+                            rec.stop()
+                            rec.join(timeout=5.0)
+                            state._recorder = None
+                        self._json({"recording": False,
+                                    "path": None if rec is None
+                                    else str(rec.path)})
                 elif self.path == "/api/nav/markers":
                     from invesalius3_tpu.navigation.markers import (
                         Marker, MarkerType)

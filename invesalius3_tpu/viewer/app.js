@@ -634,6 +634,12 @@ function initNavigation() {
         ? `e-field on (${r.roi_vertices} ROI verts)` : "e-field off"))
       .catch(() => { e.target.checked = false;
         setStatus("e-field needs a surface — create one first"); });
+  $("#nav-record").onchange = (e) =>
+    api("/api/nav/record", e.target.checked
+      ? { enable: true, path: `/tmp/coords_${Date.now()}.csv` }
+      : { enable: false })
+      .then((r) => setStatus(r.recording
+        ? `recording to ${r.path}` : `recording stopped (${r.path})`));
   refreshNav().catch(() => {});
 }
 

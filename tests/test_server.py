@@ -391,6 +391,26 @@ def test_nav_tracts_and_efield_workers(server):
     assert not st["tracts_enabled"] and not st["efield_enabled"]
 
 
+def test_nav_record_coords(server, tmp_path):
+    """Tracker-coordinate CSV recording over HTTP (reference
+    record_coords.py checkbox in task_navigator)."""
+    import time as _t
+
+    _post(server, "/api/nav/connect", {"tracker_id": "debug_random",
+                                       "poll_hz": 500})
+    path = str(tmp_path / "coords.csv")
+    code, r = _post(server, "/api/nav/record",
+                    {"enable": True, "path": path, "poll_hz": 100})
+    assert code == 200 and r["recording"] and r["path"] == path
+    _t.sleep(0.3)
+    code, r = _post(server, "/api/nav/record", {"enable": False})
+    assert code == 200 and not r["recording"]
+    lines = open(path).read().strip().splitlines()
+    assert lines[0].startswith("timestamp,sensor")
+    assert len(lines) > 3  # several samples x 3 sensors
+    _post(server, "/api/nav/disconnect", {})
+
+
 def test_overlay_endpoint(server, tmp_path):
     from invesalius3_tpu.io import nifti
 

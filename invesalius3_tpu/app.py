@@ -63,6 +63,10 @@ def parse_command_line(argv=None) -> argparse.Namespace:
                    help="mirror the event bus to host:port (reference --remote-host)")
     p.add_argument("--use-pedal", dest="use_pedal", action="store_true",
                    help="enable MIDI pedal input (reference --use-pedal)")
+    p.add_argument("--debug-efield", dest="debug_efield", action="store_true",
+                   help="use the synthetic e-field solver instead of the "
+                        "external NeuronavigationApi one (reference "
+                        "app.py:445 --debug-efield)")
     p.add_argument("--cranioplasty", nargs=2, metavar=("INPUT", "OUTPUT"),
                    help="run cranioplasty implant segmentation on a volume "
                         "and export the implant surface (reference "
@@ -130,6 +134,8 @@ def main(argv=None) -> int:
 
     session = Session()
     session.mark_running()
+    if args.debug_efield:  # reference app.py:661 session SetConfig
+        session.set_config("debug_efield", True)
     remote = None
     if args.remote_host:
         from invesalius3_tpu.net.remote_control import RemoteControl

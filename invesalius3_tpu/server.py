@@ -51,6 +51,7 @@ surface the viewers consumed:
   GET  /api/surface/{index}.{ext}          download (stl/ply/obj/vtp/x3d/
                                            3mf/wrl/iv/bin)
   POST /api/project/save | /api/project/open   .inv3 persistence
+  POST /api/project/props {"name","modality"}  project properties
   GET  /api/render_scene?azimuth=...       surface-actor 3D scene (PNG)
   GET  /api/dicom/scan?dir= | /api/dicom/thumb  import-UI series preview
   GET  /api/i18n                           locales + current catalog
@@ -725,6 +726,18 @@ def make_handler(state: AppState):
                     state.crop_box = None
                     self._json({"shape": list(vol.shape),
                                 "spacing": list(vol.spacing)})
+                elif self.path == "/api/project/props":
+                    # name/modality editing (reference
+                    # gui/project_properties.py dialog)
+                    if "name" in body:
+                        state.project_name = str(body["name"])
+                    if "modality" in body:
+                        import dataclasses as _dc
+
+                        slc.volume = _dc.replace(  # Volume is frozen
+                            slc.volume, modality=str(body["modality"]))
+                    self._json({"name": getattr(state, "project_name", ""),
+                                "modality": slc.volume.modality})
                 elif self.path == "/api/project/save":
                     # assemble the live session into a .inv3 (reference
                     # control.py SaveProject / project.py SavePlistProject)
@@ -732,7 +745,9 @@ def make_handler(state: AppState):
                     from invesalius3_tpu.core.session import Session
 
                     proj = Project()
-                    proj.name = body.get("name") or "web_project"
+                    proj.name = (body.get("name")
+                                 or getattr(state, "project_name", "")
+                                 or "web_project")
                     proj.volume = slc.volume
                     proj.modality = slc.volume.modality
                     proj.window = slc.window_width
@@ -759,6 +774,7 @@ def make_handler(state: AppState):
                     from invesalius3_tpu.core.surface import Surface
 
                     proj = Project.open(body["path"])
+                    state.project_name = proj.name
                     slc.load_new_volume(proj.volume)
                     slc.set_window(proj.window, proj.level)
                     slc.masks = dict(proj.mask_dict)

@@ -862,6 +862,13 @@ async function init() {
     setStatus(`saved ${r.path} (${r.masks} masks, ${r.surfaces} surfaces, ` +
       `${r.measures} measures)`);
   };
+  // project properties (reference gui/project_properties.py)
+  $("#project-name").onchange = () =>
+    api("/api/project/props", { name: $("#project-name").value })
+      .then((r) => setStatus(`project: ${r.name} [${r.modality}]`));
+  $("#project-modality").onchange = () =>
+    api("/api/project/props", { modality: $("#project-modality").value })
+      .then((r) => setStatus(`project: ${r.name} [${r.modality}]`));
   $("#project-open").onclick = async () => {
     const path = $("#project-path").value;
     if (!path) { setStatus("enter a .inv3 path"); return; }

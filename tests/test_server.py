@@ -391,6 +391,16 @@ def test_nav_tracts_and_efield_workers(server):
     assert not st["tracts_enabled"] and not st["efield_enabled"]
 
 
+def test_project_props(server):
+    """Project name/modality editing (reference project_properties.py)."""
+    code, r = _post(server, "/api/project/props",
+                    {"name": "case7", "modality": "MR"})
+    assert code == 200 and r == {"name": "case7", "modality": "MR"}
+    _, r = _post(server, "/api/project/props", {})  # read-back, no change
+    assert r == {"name": "case7", "modality": "MR"}
+    _post(server, "/api/project/props", {"modality": "CT"})
+
+
 def test_nav_record_coords(server, tmp_path):
     """Tracker-coordinate CSV recording over HTTP (reference
     record_coords.py checkbox in task_navigator)."""

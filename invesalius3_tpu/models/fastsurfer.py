@@ -412,12 +412,17 @@ class FastSurferPipeline:
             for view, m in self.models.items()
         }
 
-    def _run_plane(self, volume: np.ndarray, axis: int, view: str) -> jnp.ndarray:
+    def _run_plane(self, volume: np.ndarray, axis: int, view: str,
+                   progress=None, base: float = 0.0,
+                   span: float = 1.0) -> jnp.ndarray:
         batch = thick_slices(volume, axis)
         outs = []
-        for i in range(0, batch.shape[0], self.batch_size):
+        n = batch.shape[0]
+        for i in range(0, n, self.batch_size):
             outs.append(self._apply[view](self.variables[view],
                                           batch[i: i + self.batch_size]))
+            if progress is not None:
+                progress(base + span * min(1.0, (i + self.batch_size) / n))
         logits = jnp.concatenate(outs, axis=0)  # (N, H, W, C_view)
         if view == "sagittal" and self.sagittal_merged:
             logits = apply_sagittal_mapping(logits)
@@ -425,14 +430,19 @@ class FastSurferPipeline:
 
     def run(self, t1_volume: np.ndarray, conform_input: bool = True,
             conform_size: int = CONFORM_SIZE,
-            return_freesurfer_ids: bool = False) -> np.ndarray:
+            return_freesurfer_ids: bool = False, progress=None) -> np.ndarray:
         """int32 label volume: argmax of the weighted three-view logits;
-        optionally mapped from class index to FreeSurfer label id."""
+        optionally mapped from class index to FreeSurfer label id.
+        ``progress`` (0..1 callback) mirrors reference pipeline.py's
+        progress_callback seam (segment.py:663)."""
         vol = (conform(t1_volume, conform_size) if conform_input
                else np.asarray(t1_volume, np.float32))
         agg = None
-        for view, axis in (("axial", 0), ("coronal", 1), ("sagittal", 2)):
-            logits = self._run_plane(vol, axis, view) * self.VIEW_WEIGHTS[view]
+        for vi, (view, axis) in enumerate(
+                (("axial", 0), ("coronal", 1), ("sagittal", 2))):
+            logits = self._run_plane(
+                vol, axis, view, progress=progress,
+                base=vi / 3.0, span=1.0 / 3.0) * self.VIEW_WEIGHTS[view]
             agg = logits if agg is None else agg + logits
         labels = jnp.argmax(agg, axis=-1).astype(jnp.int32)
         if return_freesurfer_ids:

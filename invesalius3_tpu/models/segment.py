@@ -346,9 +346,107 @@ class ImplantSegmenter:
         return np.asarray(prob), mask
 
 
+class SubpartSegmenter:
+    """FastSurfer brain parcellation as a DL job backend (reference
+    SubpartSegmentProcess segment.py:544 + apply_segment_threshold :734):
+    conform -> 3-view CNN -> FreeSurfer-id labelmap resampled back to the
+    image grid (nearest, like the reference's resample_from_to order=0).
+
+    ``segment`` returns (labelmap int32-as-float, whole-brain mask);
+    ``labelmap`` rides in the probability slot so callers can split
+    per-structure masks with :func:`structure_masks`."""
+
+    WEIGHT_NAMES = ("fastsurfer_axial", "fastsurfer_coronal",
+                    "fastsurfer_sagittal")
+
+    def __init__(self, variables=None, allow_random_init: bool = False,
+                 filters: int = 64, conform_size: Optional[int] = None):
+        from invesalius3_tpu.models import fastsurfer as fs
+
+        self._fs = fs
+        self.filters = filters
+        self.conform_size = conform_size or fs.CONFORM_SIZE
+        if variables is None:
+            variables = self._resolve(allow_random_init)
+        self.variables = variables  # {} -> random init (tests/smoke)
+
+    def _resolve(self, allow_random_init: bool):
+        """Per-view checkpoints (torch .pt or ONNX, reference model_info
+        segment.py:576-613); all three or nothing."""
+        try:
+            from invesalius3_tpu.net.download import get_weight_file
+
+            out = {}
+            for name, view in zip(self.WEIGHT_NAMES,
+                                  ("axial", "coronal", "sagittal")):
+                path = str(get_weight_file(name))
+                loader = (self._fs.load_onnx_checkpoint
+                          if path.endswith(".onnx")
+                          else self._fs.load_torch_checkpoint)
+                out[view] = loader(path)
+            return out
+        except Exception as e:
+            if allow_random_init:
+                warnings.warn(
+                    f"FastSurfer subpart running with RANDOM weights ({e}); "
+                    f"output is noise, not a parcellation",
+                    RuntimeWarning, stacklevel=3)
+                return {}
+            raise WeightsUnavailableError(
+                f"no FastSurfer checkpoints ({self.WEIGHT_NAMES}): {e}"
+            ) from e
+
+    def segment(self, image, probability_threshold: float = 0.5,
+                batch_size: int = 8, progress_cb=None
+                ) -> Tuple[np.ndarray, np.ndarray]:
+        import jax.numpy as jnp
+
+        from invesalius3_tpu.ops.resize import resize_volume
+
+        img = np.asarray(image)
+        pipe = self._fs.FastSurferPipeline(
+            variables=self.variables or {}, batch_size=batch_size,
+            filters=self.filters)
+        labels = pipe.run(img, conform_size=self.conform_size,
+                          return_freesurfer_ids=True, progress=progress_cb)
+        if labels.shape != img.shape:  # back to the image grid
+            labels = np.asarray(resize_volume(
+                jnp.asarray(labels), img.shape, order=0)).astype(np.int32)
+        mask = ((labels > 0) * 255).astype(np.uint8)  # whole-brain fallback
+        return labels.astype(np.int32), mask
+
+
+def structure_masks(labelmap: np.ndarray, categories) -> list:
+    """Per-structure binary masks for the selected LUT categories
+    (reference apply_segment_threshold :744-917 pick_regions).  Returns
+    [(name, mask uint8, label_id)]; empty structures are skipped like the
+    reference."""
+    from invesalius3_tpu.models.fastsurfer import LUT_ROWS
+
+    out = []
+    for cat in categories:
+        c = str(cat).lower().replace("-", "_").replace(" ", "_")
+        for lid, name, category in LUT_ROWS:
+            if lid == 0:
+                continue
+            if c == "cortical":
+                match = name.startswith("ctx-")
+            elif c == "subcortical":
+                match = not name.startswith("ctx-")
+            else:
+                match = category.lower() == c
+            if not match:
+                continue
+            m = (labelmap == lid).astype(np.uint8) * 255
+            if m.any():
+                out.append((name.replace("-", "_"), m, lid))
+    return out
+
+
 SEGMENTERS = {
     "brain_mri_t1": BrainSegmenter,
     "trachea_ct": TracheaSegmenter,
     "mandible_jit_ct": MandibleSegmenter,
     "cranioplasty_implant": ImplantSegmenter,
+    "fastsurfer_subpart": SubpartSegmenter,
 }

@@ -978,22 +978,33 @@ def make_handler(state: AppState):
                     kinds = {"brain": seg.BrainSegmenter,
                              "trachea": seg.TracheaSegmenter,
                              "mandible": seg.MandibleSegmenter,
-                             "implant": seg.ImplantSegmenter}
+                             "implant": seg.ImplantSegmenter,
+                             "subpart": seg.SubpartSegmenter}
                     kind = body.get("model", "brain")
-                    segmenter = kinds[kind](
-                        allow_random_init=bool(
-                            body.get("allow_random_init", False)))
+                    kw = {"allow_random_init": bool(
+                        body.get("allow_random_init", False))}
+                    if kind == "subpart":  # smoke/test-size knobs
+                        if "filters" in body:
+                            kw["filters"] = int(body["filters"])
+                        if "conform_size" in body:
+                            kw["conform_size"] = int(body["conform_size"])
+                    segmenter = kinds[kind](**kw)
                     job = seg.SegmentJob(
                         segmenter, np.asarray(slc.matrix),
                         probability_threshold=float(
                             body.get("threshold", 0.5)),
                         batch_size=int(body.get("batch_size", 4)))
                     job.model_kind = kind
+                    # FastSurfer per-structure mask categories (reference
+                    # SubpartSegmentProcess selected_mask_types)
+                    job.structures = body.get("structures", [])
                     job.mask_added = False
                     job.start()
                     state._dl_job = job
                     self._json({"started": True, "model": kind})
                 elif self.path == "/api/segment/dl/status":
+                    from invesalius3_tpu.models import segment as seg_mod
+
                     job = getattr(state, "_dl_job", None)
                     if job is None:
                         self._json({"error": tr("no job")}, 404)
@@ -1011,6 +1022,19 @@ def make_handler(state: AppState):
                             np.uint8) * 255
                         job.mask_added = True
                         out["mask_index"] = m.index
+                        if (job.model_kind == "subpart"
+                                and getattr(job, "structures", None)):
+                            # one mask per parcellation structure
+                            # (reference apply_segment_threshold :884)
+                            extra = []
+                            for name, bm, _lid in seg_mod.structure_masks(
+                                    job.probability, job.structures):
+                                sm = slc.create_new_mask(
+                                    name=name, apply_threshold=False,
+                                    show=False)
+                                sm.data = bm
+                                extra.append(sm.index)
+                            out["structure_mask_indices"] = extra
                     self._json(out)
                 elif self.path == "/api/segment/dl/cancel":
                     job = getattr(state, "_dl_job", None)

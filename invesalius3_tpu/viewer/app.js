@@ -521,9 +521,11 @@ function initDLSegmentation() {
   let poll = null;
   const stopPoll = () => { if (poll) { clearInterval(poll); poll = null; } };
   $("#dl-start").onclick = async () => {
+    const structures = $("#dl-structures").value
+      .split(",").map((s) => s.trim()).filter(Boolean);
     await api("/api/segment/dl", {
       model: $("#dl-model").value, threshold: +$("#dl-thr").value,
-      allow_random_init: true,
+      allow_random_init: true, structures,
     });
     setStatus(`DL ${$("#dl-model").value} segmentation running…`);
     stopPoll();

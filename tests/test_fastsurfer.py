@@ -251,3 +251,37 @@ def test_quick_qc_report():
     rep2 = run_quick_qc(seg2, voxel_volume=1.0)
     assert not rep2["volume_check_passed"]
     assert rep2["ventricle_bg_intersection_volume_mm3"] > 0
+
+
+def test_subpart_segmenter_and_structure_masks():
+    """SubpartSegmenter lands a whole-brain mask + labelmap on the image
+    grid (reference SubpartSegmentProcess segment.py:544 + resample back);
+    structure_masks splits the labelmap by LUT category
+    (apply_segment_threshold :884)."""
+    from invesalius3_tpu.models import segment as seg
+
+    img = np.random.default_rng(0).normal(size=(20, 24, 28)).astype(np.float32)
+    s = seg.SubpartSegmenter(allow_random_init=True, filters=4,
+                             conform_size=16)
+    progress = []
+    labels, mask = s.segment(img, batch_size=4,
+                             progress_cb=progress.append)
+    assert labels.shape == img.shape == mask.shape
+    assert labels.dtype == np.int32 and mask.dtype == np.uint8
+    assert progress and abs(progress[-1] - 1.0) < 1e-6
+    np.testing.assert_array_equal(mask > 0, labels > 0)
+
+    # structure splitting on a synthetic labelmap
+    lm = np.zeros((8, 8, 8), np.int32)
+    lm[1:3] = 4      # Left-Lateral-Ventricle (Ventricles)
+    lm[4:6] = 8      # Left-Cerebellum-Cortex (Cerebellum)
+    lm[6:7] = 1002   # ctx-lh-caudalanteriorcingulate (cortical)
+    vent = seg.structure_masks(lm, ["ventricles"])
+    assert [v[2] for v in vent] == [4]
+    assert vent[0][1].sum() == (lm == 4).sum() * 255
+    cortical = seg.structure_masks(lm, ["cortical"])
+    assert [v[2] for v in cortical] == [1002]
+    assert cortical[0][0].startswith("ctx_")
+    both = seg.structure_masks(lm, ["ventricles", "cerebellum"])
+    assert {v[2] for v in both} == {4, 8}
+    assert seg.structure_masks(lm, ["brain_stem"]) == []  # empty skipped

@@ -636,6 +636,36 @@ def test_dl_segmentation_job_endpoints(server):
     assert "mask_index" not in st2
 
 
+def test_dl_subpart_job_lands_structure_masks(server):
+    """FastSurfer parcellation over HTTP: whole-brain mask + per-category
+    structure masks (reference SubpartSegmentProcess + the DL dialog)."""
+    import time as _t
+
+    n_before = json.loads(_get(server, "/api/masks")[2])
+    code, r = _post(server, "/api/segment/dl",
+                    {"model": "subpart", "allow_random_init": True,
+                     "filters": 4, "conform_size": 16, "batch_size": 4,
+                     "structures": ["ventricles", "cerebellum"]})
+    assert code == 200 and r["model"] == "subpart"
+    deadline = _t.monotonic() + 120.0
+    st = {}
+    while _t.monotonic() < deadline:
+        _, st = _post(server, "/api/segment/dl/status", {})
+        if st["done"]:
+            break
+        _t.sleep(0.5)
+    assert st["done"] and st["error"] is None
+    assert "mask_index" in st  # whole-brain mask landed
+    # random weights: structure masks may or may not be non-empty, but the
+    # key must be present and each returned index must exist
+    masks = json.loads(_get(server, "/api/masks")[2])
+    names = {m["index"]: m["name"] for m in masks}
+    assert st["mask_index"] in names
+    for idx in st.get("structure_mask_indices", []):
+        assert idx in names
+    assert len(masks) > len(n_before)
+
+
 def test_pacs_echo_endpoint_unreachable(server):
     """PACS verify endpoint surfaces the DicomNet result (reference
     import_network_panel.py "check status"); nothing listens on port 1."""

@@ -147,7 +147,7 @@ def test_segmenter_family():
     prob, mask = seg.segment(img)
     assert prob.shape == img.shape and set(np.unique(mask)) <= {0, 255}
     assert set(SEGMENTERS) == {"brain_mri_t1", "trachea_ct", "mandible_jit_ct",
-                               "cranioplasty_implant"}
+                               "cranioplasty_implant", "fastsurfer_subpart"}
     t = TracheaSegmenter(patch_size=48, allow_random_init=True)
     assert t.use_ww_wl and t.wl == -500.0
 

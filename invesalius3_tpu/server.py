@@ -34,6 +34,8 @@ surface the viewers consumed:
   POST /api/crop {"limits":[zi,zf,yi,yf,xi,xf]}  crop current mask
   POST /api/mask/select {"index"}          switch current mask
   POST /api/mask/undo | /api/mask/redo     edition history
+  POST /api/mask/{remove,duplicate,props}  data-notebook row ops
+  POST /api/mask/fill_holes {"max_size"}   automatic hole fill
   POST /api/filter {"type","value",...}    new filtered image version
   POST /api/image_versions/select {"label"}
   POST /api/measures {"kind",...}          add linear/angular measurement
@@ -554,6 +556,40 @@ def make_handler(state: AppState):
                 elif self.path == "/api/mask/select":
                     slc.select_mask(int(body["index"]))
                     self._json({"index": slc.current_mask.index})
+                elif self.path == "/api/mask/remove":
+                    # data-notebook row ops (reference data_notebook.py
+                    # mask page: remove/duplicate/colour/name)
+                    slc.remove_mask(int(body["index"]))
+                    self._json({"ok": True,
+                                "current": None if slc.current_mask is None
+                                else slc.current_mask.index})
+                elif self.path == "/api/mask/duplicate":
+                    src = slc.masks[int(body["index"])]
+                    m = src.duplicate(
+                        existing_names=[x.name for x in slc.masks.values()])
+                    slc.masks[m.index] = m
+                    self._json({"index": m.index, "name": m.name})
+                elif self.path == "/api/mask/props":
+                    m = slc.masks[int(body["index"])]
+                    if "name" in body:
+                        m.name = str(body["name"])
+                    if "colour" in body:
+                        m.colour = tuple(float(c) for c in body["colour"])
+                    if "visible" in body:
+                        m.is_shown = bool(body["visible"])
+                    self._json({"index": m.index, "name": m.name,
+                                "colour": list(m.colour)})
+                elif self.path == "/api/mask/fill_holes":
+                    # automatic hole fill (reference mask.py:519
+                    # fill_holes_auto, the "Fill holes automatically" tool)
+                    m = slc.current_mask
+                    if m is None:
+                        raise ValueError("no current mask")
+                    before = int(np.asarray(m.visible_array()).sum())
+                    m.fill_holes_auto(int(body.get("max_size", 1000)),
+                                      conn=int(body.get("connectivity", 6)))
+                    after = int(np.asarray(m.visible_array()).sum())
+                    self._json({"filled_voxels": after - before})
                 elif self.path == "/api/mask/undo":
                     ok = slc.current_mask.undo() if slc.current_mask else False
                     self._json({"ok": bool(ok)})

@@ -246,6 +246,19 @@ async function refreshLists() {
       `<span>[${m.threshold_range}]</span>`;
     li.onclick = () => api("/api/mask/select", { index: m.index })
       .then(() => { refreshSlices(); refreshLists(); });
+    // data-notebook row ops (reference data_notebook.py mask page)
+    const dup = document.createElement("button");
+    dup.textContent = "⧉";
+    dup.title = "duplicate";
+    dup.onclick = (e) => { e.stopPropagation();
+      api("/api/mask/duplicate", { index: m.index }).then(refreshLists); };
+    const del = document.createElement("button");
+    del.textContent = "x";
+    del.onclick = (e) => { e.stopPropagation();
+      api("/api/mask/remove", { index: m.index })
+        .then(() => { refreshSlices(); refreshLists(); }); };
+    li.appendChild(dup);
+    li.appendChild(del);
     ml.appendChild(li);
   });
 
@@ -795,6 +808,10 @@ async function init() {
     refreshSlices(); refreshLists();
   };
   $("#undo").onclick = () => api("/api/mask/undo").then(() => refreshSlices());
+  $("#fill-holes").onclick = () =>
+    api("/api/mask/fill_holes", { max_size: 1000 })
+      .then((r) => { setStatus(`filled ${r.filled_voxels} voxels`);
+        refreshSlices(); });
   $("#redo").onclick = () => api("/api/mask/redo").then(() => refreshSlices());
   $("#do-bool").onclick = async () => {
     const r = await api("/api/boolean", { op: +$("#bool-op").value,

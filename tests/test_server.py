@@ -391,6 +391,29 @@ def test_nav_tracts_and_efield_workers(server):
     assert not st["tracts_enabled"] and not st["efield_enabled"]
 
 
+def test_mask_row_ops_and_fill_holes(server):
+    """Data-notebook mask row ops + automatic hole fill over HTTP
+    (reference data_notebook.py mask page, mask.py:519 fill_holes_auto)."""
+    _, r = _post(server, "/api/threshold", {"tmin": 1000, "tmax": 2000})
+    idx = r["index"]
+    # punch a hole through the mask via a brush erase, then auto-fill
+    _, r2 = _post(server, "/api/mask/fill_holes", {"max_size": 10000})
+    assert r2["filled_voxels"] >= 0
+    # duplicate -> rename/recolour -> remove
+    _, d = _post(server, "/api/mask/duplicate", {"index": idx})
+    assert d["index"] != idx and "copy" in d["name"]
+    _, p = _post(server, "/api/mask/props",
+                 {"index": d["index"], "name": "renamed",
+                  "colour": [0.1, 0.2, 0.3]})
+    assert p["name"] == "renamed" and p["colour"] == [0.1, 0.2, 0.3]
+    masks = json.loads(_get(server, "/api/masks")[2])
+    assert any(m["name"] == "renamed" for m in masks)
+    _, rm = _post(server, "/api/mask/remove", {"index": d["index"]})
+    assert rm["ok"]
+    masks2 = json.loads(_get(server, "/api/masks")[2])
+    assert not any(m["index"] == d["index"] for m in masks2)
+
+
 def test_project_props(server):
     """Project name/modality editing (reference project_properties.py)."""
     code, r = _post(server, "/api/project/props",

@@ -487,11 +487,12 @@ def _max_group_size(group_of_sorted: jax.Array, sorted_valid: jax.Array):
 
 
 @partial(jax.jit, static_argnames=("T", "n_verts_pad", "max_deg", "out_deg",
-                                   "return_raw"))
+                                   "return_raw", "use_gather"))
 def _adjacency_from_sorted_corners(inverse, order, group_of_sorted,
                                    sorted_valid, T: int, n_verts_pad: int,
                                    max_deg: int, out_deg: int = None,
-                                   return_raw: bool = False):
+                                   return_raw: bool = False,
+                                   use_gather: bool = False):
     """Deduplicated (max_deg, V) neighbor table + degrees, built from the
     vertex-dedup sort the marching stage already paid for.
 
@@ -521,14 +522,36 @@ def _adjacency_from_sorted_corners(inverse, order, group_of_sorted,
     ok = sorted_valid & (2 * pos + 1 < D2)
     g = jnp.where(ok, group_of_sorted, V)  # dummy column for masked writes
     sentinel = jnp.int32(V)  # sorts after every real vertex id
-    # 1-D flattened scatter (a 2-D scatter with two index vectors lowers
-    # to a serial loop on TPU); row-major (D2, V+1)
-    flat = jnp.full((D2 * (V + 1),), sentinel, jnp.int32)
-    lin1 = jnp.where(ok, (2 * pos) * (V + 1) + g, D2 * (V + 1) - 1)
-    lin2 = jnp.where(ok, (2 * pos + 1) * (V + 1) + g, D2 * (V + 1) - 1)
-    flat = flat.at[lin1].set(jnp.where(ok, nb1, sentinel))
-    flat = flat.at[lin2].set(jnp.where(ok, nb2, sentinel))
-    table = flat.reshape(D2, V + 1)[:, :V]
+    deg = jnp.zeros((V + 1,), jnp.int32).at[g].max(pos + 1)[:V]
+    if use_gather:
+        # gather formulation (MEASURED SLOWER — kept as a documented
+        # negative result): corner validity is per-GROUP (invalid slots
+        # share key -1 and sort into one orphan group at the front, see
+        # marching._dedup_vertices), so each real vertex's run is fully
+        # valid and table[d, v] == nb_inter[2*start_of[v] + d] for
+        # d < 2*deg[v].  On the v5e at 512^3 (V=3.1M, D2=32) this D2*V
+        # gather costs 3.75 s vs 1.19 s for the two 22M scatter-sets:
+        # the ~6 ns/index model holds for SMALL index sets, but a 99M
+        # index vector + 400 MB output makes the gather bandwidth-bound
+        # on its index/output traffic, while scatter-set traffic scales
+        # with the 22M source elements.
+        nb_inter = jnp.stack([nb1, nb2], axis=1).reshape(2 * M)
+        nb_inter = jnp.concatenate([nb_inter,
+                                    jnp.full((1,), sentinel, jnp.int32)])
+        d = jnp.arange(D2, dtype=jnp.int32)[:, None]  # (D2, 1)
+        base = 2 * start_of[:V][None, :]  # (1, V)
+        take = d < 2 * deg[None, :]
+        flat_idx = jnp.where(take, base + d, 2 * M).reshape(-1)
+        table = nb_inter[flat_idx].reshape(D2, V)
+    else:
+        # 1-D flattened scatter (a 2-D scatter with two index vectors
+        # lowers to a serial loop on TPU); row-major (D2, V+1)
+        flat = jnp.full((D2 * (V + 1),), sentinel, jnp.int32)
+        lin1 = jnp.where(ok, (2 * pos) * (V + 1) + g, D2 * (V + 1) - 1)
+        lin2 = jnp.where(ok, (2 * pos + 1) * (V + 1) + g, D2 * (V + 1) - 1)
+        flat = flat.at[lin1].set(jnp.where(ok, nb1, sentinel))
+        flat = flat.at[lin2].set(jnp.where(ok, nb2, sentinel))
+        table = flat.reshape(D2, V + 1)[:, :V]
     # sort the tiny D2 axis with an explicit bitonic network of
     # jnp.minimum/maximum passes — pure elementwise, runs at HBM speed
     # (XLA's general sort HLO is orders of magnitude slower here)
@@ -536,7 +559,6 @@ def _adjacency_from_sorted_corners(inverse, order, group_of_sorted,
     dedup = table[0::2]  # duplicates pair up; sentinels pad the tail
     if out_deg is not None:  # trim pow2 padding rows: smoothing gathers
         dedup = dedup[:out_deg]  # scale with the REAL max degree
-    deg = jnp.zeros((V + 1,), jnp.int32).at[g].max(pos + 1)[:V]
     if return_raw:
         # undeduped entries (2 per incident corner): what shard-boundary
         # ring vertices need — their local fans are OPEN, so the
@@ -574,13 +596,16 @@ def adjacency_from_device_mesh(dm) -> Tuple[jax.Array, jax.Array]:
     D is the real max degree bucketed to 4 (the pow2 padding the bitonic
     network needs is trimmed before return — every downstream smoothing
     gather pays per row)."""
+    import os
+
     mg = int(_max_group_size(dm.group_of_sorted, dm.sorted_valid))
     max_deg = max(8, 1 << (mg - 1).bit_length())  # pow2: bitonic + cache
     out_deg = min(max_deg, ((mg + 3) // 4) * 4)
     T = dm.faces3t.shape[1]
     return _adjacency_from_sorted_corners(
         dm.inverse, dm.order, dm.group_of_sorted, dm.sorted_valid,
-        T, dm.verts3v.shape[1], max_deg, out_deg)
+        T, dm.verts3v.shape[1], max_deg, out_deg,
+        use_gather=os.environ.get("INV3_ADJ_GATHER", "0") == "1")
 
 
 # ---------------------------------------------------------------------------

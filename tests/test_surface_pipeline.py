@@ -217,6 +217,29 @@ def test_laplacian_smooth_contracts():
 # ---------------------------------------------------------------------------
 # fused device pipeline: adjacency-from-dedup-sort, grid propagate
 # ---------------------------------------------------------------------------
+def test_adjacency_gather_formulation_identical():
+    """The gather table build (INV3_ADJ_GATHER) is bit-identical to the
+    scatter build, including with padding slots (an orphan group 0)."""
+    from invesalius3_tpu.ops import marching, mesh as mesh_ops
+
+    for mask in (_sphere_mask(24, 9.0), _cube_mask()):
+        dm = marching.mask_to_surface_device(mask)
+        mg = int(mesh_ops._max_group_size(dm.group_of_sorted,
+                                          dm.sorted_valid))
+        max_deg = max(8, 1 << (mg - 1).bit_length())
+        T = dm.faces3t.shape[1]
+        args = (dm.inverse, dm.order, dm.group_of_sorted, dm.sorted_valid)
+        n_s, d_s, t_s = mesh_ops._adjacency_from_sorted_corners(
+            *args, T, dm.verts3v.shape[1], max_deg, return_raw=True,
+            use_gather=False)
+        n_g, d_g, t_g = mesh_ops._adjacency_from_sorted_corners(
+            *args, T, dm.verts3v.shape[1], max_deg, return_raw=True,
+            use_gather=True)
+        np.testing.assert_array_equal(np.asarray(d_s), np.asarray(d_g))
+        np.testing.assert_array_equal(np.asarray(t_s), np.asarray(t_g))
+        np.testing.assert_array_equal(np.asarray(n_s), np.asarray(n_g))
+
+
 def test_adjacency_from_device_mesh_matches_lexsort():
     from invesalius3_tpu.ops import marching, mesh as mesh_ops
 

@@ -70,6 +70,9 @@ surface the viewers consumed:
   POST /api/nav/efield {"enable",...}      e-field worker over a surface
                                            ROI (debug solver; task_efield)
   POST /api/nav/record {"enable","path"}   tracker-coordinate CSV recording
+  GET  /api/nav/robots                     robot registry state
+  POST /api/nav/robot/{connect,objective,target,free_drive}
+                                           robot panel (task_navigator)
   POST /api/nav/{connect,disconnect,fiducial/tracker,fiducial/image,
         register,start,stop,markers,markers/remove}
   GET  /api/events                         recent bus events (polling)
@@ -350,6 +353,14 @@ def make_handler(state: AppState):
                         "tracts_enabled": nav.navigation.tract_params is not None,
                         "efield_enabled": nav.navigation.efield_params is not None,
                     })
+                elif url.path == "/api/nav/robots":
+                    self._json([{
+                        "robot_id": r.robot_id, "ip": r.ip,
+                        "connected": r.connected,
+                        "objective": r.objective.name,
+                        "force": r.force,
+                        "has_target": r.target_tracker is not None,
+                    } for r in state.nav.robots.all()])
                 elif url.path == "/api/nav/markers":
                     self._json([{
                         "id": m.marker_id, "type": str(m.marker_type),
@@ -944,6 +955,41 @@ def make_handler(state: AppState):
                         }
                         self._json({"efield_enabled": True,
                                     "roi_vertices": len(roi_idx)})
+                elif self.path == "/api/nav/robot/connect":
+                    # robot panel (reference task_navigator.py robot rows +
+                    # navigation/robot.py): connect by IP
+                    r = state.nav.robots.get(body.get("robot_id", "robot0"))
+                    r.connect(body["ip"])
+                    self._json({"robot_id": r.robot_id, "connected": True})
+                elif self.path == "/api/nav/robot/objective":
+                    from invesalius3_tpu.navigation.robot import (
+                        RobotObjective)
+
+                    r = state.nav.robots.get(body.get("robot_id", "robot0"))
+                    r.set_objective(RobotObjective[body["objective"]])
+                    self._json({"robot_id": r.robot_id,
+                                "objective": r.objective.name})
+                elif self.path == "/api/nav/robot/target":
+                    # image-space target -> tracker space -> robot
+                    # (reference robot.py:254 SendTargetToRobot); the target
+                    # is a marker's pose or an explicit 6-dof pose
+                    r = state.nav.robots.get(body.get("robot_id", "robot0"))
+                    if "marker_id" in body:
+                        mk = next(m for m in state.nav.markers.markers
+                                  if m.marker_id == int(body["marker_id"]))
+                        pose = np.asarray(list(mk.position)
+                                          + list(mk.orientation), float)
+                    else:
+                        pose = np.asarray(body["pose"], float)
+                    m_trk = r.send_target(state.nav.navigation, pose)
+                    self._json({"robot_id": r.robot_id,
+                                "target_tracker": [list(map(float, row))
+                                                   for row in m_trk]})
+                elif self.path == "/api/nav/robot/free_drive":
+                    r = state.nav.robots.get(body.get("robot_id", "robot0"))
+                    r.set_free_drive(bool(body.get("enabled", True)))
+                    self._json({"robot_id": r.robot_id,
+                                "free_drive": bool(body.get("enabled", True))})
                 elif self.path == "/api/nav/record":
                     # tracker-coordinate CSV recording (reference
                     # record_coords.py + its task_navigator checkbox)

@@ -649,6 +649,24 @@ function initNavigation() {
         ? `e-field on (${r.roi_vertices} ROI verts)` : "e-field off"))
       .catch(() => { e.target.checked = false;
         setStatus("e-field needs a surface — create one first"); });
+  // robot panel (reference task_navigator.py robot rows)
+  $("#robot-connect").onclick = async () => {
+    const ip = $("#robot-ip").value;
+    if (!ip) { setStatus("enter the robot IP"); return; }
+    const r = await api("/api/nav/robot/connect", { ip });
+    setStatus(`robot ${r.robot_id} connected to ${ip}`);
+  };
+  $("#robot-track").onclick = async () => {
+    const markers = await api("/api/nav/markers");
+    if (!markers.length) { setStatus("add a marker first"); return; }
+    await api("/api/nav/robot/objective", { objective: "TRACK_TARGET" });
+    const r = await api("/api/nav/robot/target",
+      { marker_id: markers[markers.length - 1].id });
+    setStatus(`robot tracking marker #${markers[markers.length - 1].id}`);
+  };
+  $("#robot-free").onchange = (e) =>
+    api("/api/nav/robot/free_drive", { enabled: e.target.checked })
+      .then(() => setStatus(`free drive ${e.target.checked ? "on" : "off"}`));
   $("#nav-record").onchange = (e) =>
     api("/api/nav/record", e.target.checked
       ? { enable: true, path: `/tmp/coords_${Date.now()}.csv` }

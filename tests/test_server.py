@@ -424,6 +424,43 @@ def test_project_props(server):
     _post(server, "/api/project/props", {"modality": "CT"})
 
 
+def test_nav_robot_endpoints(server):
+    """Robot panel workflow over HTTP (reference task_navigator.py robot
+    rows + navigation/robot.py): connect -> objective -> marker target ->
+    free drive."""
+    import time as _t
+
+    _post(server, "/api/nav/connect", {"tracker_id": "debug_random",
+                                       "poll_hz": 500})
+    _t.sleep(0.05)
+    for i in range(3):
+        _post(server, "/api/nav/fiducial/tracker", {"index": i})
+        _t.sleep(0.02)
+        _post(server, "/api/nav/fiducial/image",
+              {"index": i, "position": [float(i * 10), 0.0, 5.0]})
+    _post(server, "/api/nav/register", {})
+
+    code, r = _post(server, "/api/nav/robot/connect",
+                    {"ip": "192.168.0.5"})
+    assert code == 200 and r["connected"]
+    _, r = _post(server, "/api/nav/robot/objective",
+                 {"objective": "TRACK_TARGET"})
+    assert r["objective"] == "TRACK_TARGET"
+    _, mk = _post(server, "/api/nav/markers",
+                  {"position": [5.0, 6.0, 7.0], "label": "tgt"})
+    _, r = _post(server, "/api/nav/robot/target", {"marker_id": mk["id"]})
+    m = np.asarray(r["target_tracker"])
+    assert m.shape == (4, 4) and np.isfinite(m).all()
+    _, r = _post(server, "/api/nav/robot/free_drive", {"enabled": True})
+    assert r["free_drive"]
+    robots = json.loads(_get(server, "/api/nav/robots")[2])
+    assert robots and robots[0]["connected"] \
+        and robots[0]["objective"] == "TRACK_TARGET" \
+        and robots[0]["has_target"]
+    _post(server, "/api/nav/markers/remove", {"id": mk["id"]})
+    _post(server, "/api/nav/disconnect", {})
+
+
 def test_nav_record_coords(server, tmp_path):
     """Tracker-coordinate CSV recording over HTTP (reference
     record_coords.py checkbox in task_navigator)."""

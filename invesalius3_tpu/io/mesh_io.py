@@ -566,6 +566,24 @@ WRITERS[".bin"] = write_neuronav_bin
 READERS[".bin"] = read_neuronav_bin
 
 
+def jnp_chunk_max(faces3t, K: int, CH: int):
+    """Per-face-chunk max referenced vertex id (K,) — the vertex-window
+    bound each streamed STL chunk waits for."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnums=(1, 2))
+    def f(ft, k, ch):
+        pad = k * ch - ft.shape[1]
+        if pad > 0:
+            ft = jnp.pad(ft, ((0, 0), (0, pad)))
+        return jnp.max(ft.reshape(3, k, ch), axis=(0, 2))
+
+    return f(faces3t, K, CH)
+
+
 class DeviceFaceStream:
     """Background device→host stream of the packed uint24 face table.
 
@@ -587,7 +605,8 @@ class DeviceFaceStream:
         packed_dev = marching._pack_uint24(dm.faces3t)  # (9, T_pad) u8
         self.n_tris = int(dm.n_tris)
         T_pad = int(packed_dev.shape[1])
-        self.chunk = min(chunk, T_pad)  # T_pad is 1/8-pow2: chunk divides it
+        self.chunk = min(chunk, T_pad)  # last chunk may be short (jax
+        # slicing clamps); consumers size windows via jnp_chunk_max
         # unbounded: the whole table is <= ~100 MB host-side and the point
         # is to drain the relay while the device is busy smoothing
         self._q: _q.Queue = _q.Queue()
@@ -643,15 +662,68 @@ def write_stl_from_device(path, dm, name: str = "invesalius3_tpu",
         write_stl(path, verts, faces, name=name)
         return
 
+    import threading
+
     if face_stream is None:
         face_stream = DeviceFaceStream(dm)
-    verts = native.verts3v_to_n3(
-        np.asarray(marching._verts_f16(dm.verts3v)), dm.n_verts)
+
+    # Smoothed-verts transfer in pieces on a producer thread: face chunk k
+    # only references vertices up to a (precomputed) max index, and both
+    # face position and vertex rank follow the lattice z-order, so early
+    # chunks pack + write while later vert pieces are still in flight —
+    # the verts D2H overlaps the single-core pack/write instead of
+    # serializing ahead of it.
+    V_pad = int(dm.verts3v.shape[1])
+    VCH = max(1, V_pad // 8)
+    verts = np.empty((dm.n_verts, 3), np.float32)
+    state = {"received": 0, "error": None}
+    cond = threading.Condition()
+    rows16 = marching._verts_f16(dm.verts3v)  # dispatch cast once
+
+    # per-chunk max referenced vertex id, one tiny device program
+    T_pad = int(dm.faces3t.shape[1])
+    CH = face_stream.chunk
+    K = (T_pad + CH - 1) // CH
+    chunk_max = np.asarray(
+        jnp_chunk_max(dm.faces3t, K, CH)) if K > 1 else \
+        np.asarray([dm.n_verts - 1])
+
+    def verts_producer():
+        try:
+            for a in range(0, V_pad, VCH):
+                take = min(a + VCH, dm.n_verts) - a
+                if take <= 0:
+                    break
+                piece = np.asarray(rows16[:, a : a + VCH])  # static shapes
+                verts[a : a + take] = native.verts3v_to_n3(piece, take)
+                with cond:
+                    state["received"] = a + take
+                    cond.notify_all()
+        except Exception as e:
+            state["error"] = e
+        finally:
+            with cond:
+                state["received"] = dm.n_verts
+                cond.notify_all()
+
+    vth = threading.Thread(target=verts_producer, daemon=True,
+                           name="verts-stream")
+    vth.start()
 
     with open(path, "wb") as f:
         header = (name.encode()[:80]).ljust(80, b"\0")
         f.write(header)
         f.write(struct.pack("<I", dm.n_tris))
-        for chunk, n in face_stream:
+        for k, (chunk, n) in enumerate(face_stream):
+            # padding columns may hold junk ids: clamp to the real count
+            need = min(int(chunk_max[k]) + 1, dm.n_verts)
+            with cond:
+                while state["received"] < need and state["error"] is None:
+                    cond.wait(timeout=1.0)
+            if state["error"] is not None:
+                raise state["error"]
             faces = native.faces_u24_to_n3(chunk, n)
             f.write(native.stl_pack(verts, faces))
+    vth.join()
+    if state["error"] is not None:
+        raise state["error"]

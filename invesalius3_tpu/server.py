@@ -70,6 +70,8 @@ surface the viewers consumed:
   POST /api/nav/efield {"enable",...}      e-field worker over a surface
                                            ROI (debug solver; task_efield)
   POST /api/nav/record {"enable","path"}   tracker-coordinate CSV recording
+  POST /api/nav/icp {"surface_index",...}  ICP refinement from live probe
+                                           samples against a surface
   GET  /api/nav/robots                     robot registry state
   POST /api/nav/robot/{connect,objective,target,free_drive}
                                            robot panel (task_navigator)
@@ -955,6 +957,44 @@ def make_handler(state: AppState):
                         }
                         self._json({"efield_enabled": True,
                                     "roi_vertices": len(roi_idx)})
+                elif self.path == "/api/nav/icp":
+                    # surface-based registration refinement (reference
+                    # iterativeclosestpoint.py + the refine dialog: touch
+                    # scalp points with the probe, ICP against the head
+                    # surface)
+                    navg = state.nav.navigation
+                    if not body.get("enable", True):
+                        navg.icp.use_icp = False
+                        self._json({"use_icp": False})
+                    else:
+                        import time as _time
+
+                        from invesalius3_tpu.navigation.coregistration \
+                            import corregistrate_probe
+
+                        if navg.m_change is None:
+                            raise ValueError("run fiducial registration first")
+                        surf = state.surfaces[int(body.get(
+                            "surface_index",
+                            min(state.surfaces, default=0)))]
+                        verts = np.asarray(surf.vertices, np.float32)
+                        stride = max(1, len(verts) // 10000)
+                        n = int(body.get("n_samples", 20))
+                        hz = float(body.get("poll_hz", 60.0))
+                        pts = []
+                        for _ in range(n):  # probe-touch samples
+                            coords, _fl = state.nav.tracker.get_coordinates()
+                            ref = (coords[1]
+                                   if navg.use_dynamic_reference else None)
+                            m = corregistrate_probe(
+                                navg.m_change, coords[0], ref, None)
+                            pts.append(np.asarray(m[:3, 3], float))
+                            _time.sleep(1.0 / hz)
+                        err = navg.icp.register(verts[::stride],
+                                                np.asarray(pts))
+                        self._json({"use_icp": True,
+                                    "icp_error_mm": float(err),
+                                    "n_samples": n})
                 elif self.path == "/api/nav/robot/connect":
                     # robot panel (reference task_navigator.py robot rows +
                     # navigation/robot.py): connect by IP

@@ -616,6 +616,13 @@ function initNavigation() {
     setStatus(`registered: FRE ${r.fre.toFixed(2)} mm`);
     refreshNav();
   };
+  $("#nav-icp").onclick = async () => {
+    setStatus("ICP refining (sampling probe)…");
+    const r = await api("/api/nav/icp", { n_samples: 20 })
+      .catch(() => null);
+    setStatus(r ? `ICP refined: ${r.icp_error_mm.toFixed(2)} mm`
+      : "ICP needs registration + a surface");
+  };
   $("#nav-start").onclick = async () => {
     await api("/api/nav/start", {});
     refreshNav();

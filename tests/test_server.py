@@ -424,6 +424,31 @@ def test_project_props(server):
     _post(server, "/api/project/props", {"modality": "CT"})
 
 
+def test_nav_icp_refinement(server):
+    """ICP refinement over HTTP: live probe samples against a surface
+    (reference iterativeclosestpoint.py + refine dialog)."""
+    import time as _t
+
+    _post(server, "/api/threshold", {"tmin": 1000, "tmax": 2000})
+    _post(server, "/api/surface", {"name": "head"})
+    _post(server, "/api/nav/connect", {"tracker_id": "debug_random",
+                                       "poll_hz": 500})
+    _t.sleep(0.05)
+    for i in range(3):
+        _post(server, "/api/nav/fiducial/tracker", {"index": i})
+        _t.sleep(0.02)
+        _post(server, "/api/nav/fiducial/image",
+              {"index": i, "position": [float(i * 10), 0.0, 5.0]})
+    _post(server, "/api/nav/register", {})
+    code, r = _post(server, "/api/nav/icp",
+                    {"n_samples": 5, "poll_hz": 200})
+    assert code == 200 and r["use_icp"] and r["n_samples"] == 5
+    assert np.isfinite(r["icp_error_mm"])
+    _, r = _post(server, "/api/nav/icp", {"enable": False})
+    assert not r["use_icp"]
+    _post(server, "/api/nav/disconnect", {})
+
+
 def test_nav_robot_endpoints(server):
     """Robot panel workflow over HTTP (reference task_navigator.py robot
     rows + navigation/robot.py): connect -> objective -> marker target ->

@@ -72,6 +72,8 @@ surface the viewers consumed:
   POST /api/nav/record {"enable","path"}   tracker-coordinate CSV recording
   POST /api/nav/icp {"surface_index",...}  ICP refinement from live probe
                                            samples against a surface
+  POST /api/nav/mtms/{load,target,sequence}  mTMS parameter table, offset
+                                           mapping + pulse sequencing
   GET  /api/nav/robots                     robot registry state
   POST /api/nav/robot/{connect,objective,target,free_drive}
                                            robot panel (task_navigator)
@@ -957,6 +959,46 @@ def make_handler(state: AppState):
                         }
                         self._json({"efield_enabled": True,
                                     "roi_vertices": len(roi_idx)})
+                elif self.path == "/api/nav/mtms/load":
+                    # multichannel-TMS parameter table (reference mtms.py
+                    # pulse-parameter file + task panel)
+                    from invesalius3_tpu.navigation.mtms import MTMS
+
+                    mt = getattr(state, "_mtms", None) or MTMS(
+                        bus=slc.bus, intensity=float(
+                            body.get("intensity", 20.0)))
+                    state._mtms = mt
+                    n = mt.load_parameter_file(body["path"])
+                    self._json({"n_keys": n})
+                elif self.path == "/api/nav/mtms/target":
+                    # map one brain target to a grid offset and fire a
+                    # (dry-run) pulse (reference mtms.py UpdateTarget)
+                    mt = getattr(state, "_mtms", None)
+                    if mt is None:
+                        raise ValueError("load a parameter file first")
+                    coil = body["coil_pose"]
+                    tgt = body["brain_target"]
+                    offset = mt.get_offset(coil, tgt)
+                    fired = mt.update_target(coil, tgt)
+                    self._json({"fired": bool(fired),
+                                "offset": [int(x) for x in offset]})
+                elif self.path == "/api/nav/mtms/sequence":
+                    # randomized multi-target sequence + CSV log
+                    # (reference UpdateTargetSequence + SaveSequence)
+                    import random as _random
+
+                    mt = getattr(state, "_mtms", None)
+                    if mt is None:
+                        raise ValueError("load a parameter file first")
+                    ok = mt.update_target_sequence(
+                        body["coil_pose"], body["brain_targets"],
+                        number_of_stim=int(body.get("number_of_stim", 1)),
+                        rng=_random.Random(int(body.get("seed", 0))),
+                        sleep=lambda s: None)  # no wall-clock waits over HTTP
+                    out = {"ok": bool(ok), "pulses": len(mt.sequence_log)}
+                    if ok and body.get("save_dir"):
+                        out["log"] = str(mt.save_sequence(body["save_dir"]))
+                    self._json(out)
                 elif self.path == "/api/nav/icp":
                     # surface-based registration refinement (reference
                     # iterativeclosestpoint.py + the refine dialog: touch

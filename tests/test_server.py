@@ -424,6 +424,34 @@ def test_project_props(server):
     _post(server, "/api/project/props", {"modality": "CT"})
 
 
+def test_nav_mtms_endpoints(server, tmp_path):
+    """mTMS over HTTP: parameter-table load, offset mapping + dry-run
+    pulse, randomized sequence with CSV log (reference mtms.py +
+    task panel)."""
+    pp = tmp_path / "pp.txt"
+    lines = [f"# header {i}" for i in range(18)]
+    for x in range(-3, 4):
+        for y in range(-3, 4):
+            lines.append(f"{x}_{y}_0\tcap1\tcap2")
+    pp.write_text("\n".join(lines) + "\n")
+
+    code, r = _post(server, "/api/nav/mtms/load", {"path": str(pp)})
+    assert code == 200 and r["n_keys"] == 49
+    coil = [10.0, 20.0, 30.0, 0.0, 0.0, 0.0]
+    _, r = _post(server, "/api/nav/mtms/target",
+                 {"coil_pose": coil,
+                  "brain_target": [11.0, 22.0, 30.0, 0.0, 0.0, 0.0]})
+    assert r["fired"] and len(r["offset"]) == 3
+    _, r = _post(server, "/api/nav/mtms/sequence",
+                 {"coil_pose": coil,
+                  "brain_targets": [[11.0, 21.0, 30.0, 0.0, 0.0, 0.0],
+                                    [9.0, 19.0, 30.0, 0.0, 0.0, 0.0]],
+                  "number_of_stim": 2, "save_dir": str(tmp_path)})
+    assert r["ok"] and r["pulses"] >= 5  # 1 target pulse + 2x2 sequence
+    log = r["log"]
+    assert log.endswith(".csv") and "mTMS_target" in open(log).read()
+
+
 def test_nav_icp_refinement(server):
     """ICP refinement over HTTP: live probe samples against a surface
     (reference iterativeclosestpoint.py + refine dialog)."""

@@ -171,6 +171,37 @@ def main(argv=None) -> int:
                 print(tr("exported {path}").format(path=args.export_surface),
                       file=sys.stderr)
             return 0
+        if args.import_all and args.dicom_dir:
+            # one surface export per DICOM series, suffixed by the group
+            # title (reference app.py:490-497 --import-all loop)
+            from invesalius3_tpu.io import dicom
+
+            groups = dicom.load_dicom_dir(args.dicom_dir)
+            if not groups:
+                raise SystemExit(tr("no DICOM series found in {dir}").format(
+                    dir=args.dicom_dir))
+            for g in groups:
+                data, spacing, affine = dicom.group_to_volume(g)
+                vol = Volume.from_numpy(
+                    data, spacing=spacing, affine=affine,
+                    modality=g.files[0].get("Modality", "CT"))
+                gslc = Slice(vol)
+                if args.threshold:
+                    tmin, tmax = parse_threshold(args.threshold, vol.modality)
+                    gslc.create_new_mask(threshold_range=(tmin, tmax))
+                else:
+                    gslc.create_new_mask()
+                if args.export_surface:
+                    surf = gslc.create_surface_from_mask(
+                        quality=args.quality, algorithm=args.algorithm)
+                    base = Path(args.export_surface)
+                    title = (g.preview_info()["series_uid"][-8:]
+                             if hasattr(g, "preview_info") else "series")
+                    out = base.with_name(f"{base.stem}_{title}{base.suffix}")
+                    surf.export(str(out))
+                    print(tr("exported {path}").format(path=out),
+                          file=sys.stderr)
+            return 0
         volume = import_data(args)
         print(tr("volume: {shape} {dtype} spacing={spacing}").format(
             shape=volume.shape, dtype=volume.dtype, spacing=volume.spacing),

@@ -215,6 +215,44 @@ def test_cli_end_to_end(tmp_path):
     assert len(loaded.mask_dict) == 1
 
 
+def test_cli_import_all_exports_every_series(tmp_path):
+    """--import-all exports one surface per DICOM series, suffixed by the
+    series (reference app.py:490-497 loop over all groups)."""
+    from invesalius3_tpu import app
+    from invesalius3_tpu.io import dicom
+
+    ddir = tmp_path / "dicom"
+    ddir.mkdir()
+    for suid in ("1.2.3", "1.2.4"):
+        for i in range(8):
+            px = np.full((24, 24), -1000, np.int16)
+            if 2 <= i < 6:
+                px[8:16, 8:16] = 1500
+            dicom.write_dicom(
+                ddir / f"{suid}_{i:02d}.dcm", px,
+                {
+                    "PatientID": "P", "Modality": "CT",
+                    "SeriesInstanceUID": suid, "StudyInstanceUID": "1.2",
+                    "InstanceNumber": i + 1,
+                    "ImagePositionPatient": [0, 0, float(i)],
+                    "ImageOrientationPatient": [1, 0, 0, 0, 1, 0],
+                    "PixelSpacing": [1.0, 1.0],
+                    "RescaleSlope": 1.0, "RescaleIntercept": 0.0,
+                },
+            )
+    import os
+
+    os.environ["XDG_CONFIG_HOME"] = str(tmp_path / "xdg")
+    out = tmp_path / "all.stl"
+    rc = app.main(["-i", str(ddir), "--import-all", "-t", "226,3071",
+                   "-e", str(out)])
+    assert rc == 0
+    stls = sorted(tmp_path.glob("all_*.stl"))
+    assert len(stls) == 2  # one per series
+    for p in stls:
+        assert p.stat().st_size > 84  # non-empty binary STL
+
+
 def test_project_from_matrix(tmp_path):
     """Plugin/scripting entry point (reference control.py:1033): project
     from a numpy array with range-derived window, .inv3 round trip."""

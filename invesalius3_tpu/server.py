@@ -74,6 +74,9 @@ surface the viewers consumed:
                                            samples against a surface
   POST /api/nav/mtms/{load,target,sequence}  mTMS parameter table, offset
                                            mapping + pulse sequencing
+  POST /api/pedal {"pressed"}              programmatic pedal; while
+                                           navigating, a press drops a
+                                           marker at the probe position
   GET  /api/nav/robots                     robot registry state
   POST /api/nav/robot/{connect,objective,target,free_drive}
                                            robot panel (task_navigator)
@@ -959,6 +962,37 @@ def make_handler(state: AppState):
                         }
                         self._json({"efield_enabled": True,
                                     "roi_vertices": len(roi_idx)})
+                elif self.path == "/api/pedal":
+                    # programmatic pedal press (reference
+                    # pedal_connection.py; the pedal's navigation use is
+                    # marking the current probe position / confirming a
+                    # capture).  While navigating, a press drops a marker
+                    # at the latest coregistered probe position.
+                    from invesalius3_tpu.net.pedal_connection import (
+                        ProgrammaticPedal)
+
+                    pedal = getattr(state, "_pedal", None)
+                    if pedal is None:
+                        pedal = state._pedal = ProgrammaticPedal()
+                    pressed = bool(body.get("pressed", True))
+                    if pressed:
+                        pedal.press()
+                    else:
+                        pedal.release()
+                    slc.bus.send_message("pedal.state", pressed=pressed)
+                    out = {"pressed": pressed}
+                    if (pressed and state.nav.navigation.is_navigating
+                            and state.last_scene is not None):
+                        from invesalius3_tpu.navigation.markers import (
+                            Marker, MarkerType)
+
+                        pos = tuple(float(x) for x in
+                                    state.last_scene["probe_pose_img"][:3])
+                        m = state.nav.markers.add(Marker(
+                            marker_type=MarkerType.LANDMARK,
+                            position=pos, label="pedal"))
+                        out["marker_id"] = m.marker_id
+                    self._json(out)
                 elif self.path == "/api/nav/mtms/load":
                     # multichannel-TMS parameter table (reference mtms.py
                     # pulse-parameter file + task panel)

@@ -424,6 +424,37 @@ def test_project_props(server):
     _post(server, "/api/project/props", {"modality": "CT"})
 
 
+def test_pedal_marks_probe_position(server):
+    """Programmatic pedal over HTTP: press during navigation drops a
+    marker at the coregistered probe position (reference
+    pedal_connection.py + task_navigator pedal seam)."""
+    import time as _t
+
+    _post(server, "/api/nav/connect", {"tracker_id": "debug_random",
+                                       "poll_hz": 500})
+    _t.sleep(0.05)
+    for i in range(3):
+        _post(server, "/api/nav/fiducial/tracker", {"index": i})
+        _t.sleep(0.02)
+        _post(server, "/api/nav/fiducial/image",
+              {"index": i, "position": [float(i * 10), 0.0, 5.0]})
+    _post(server, "/api/nav/register", {})
+    _post(server, "/api/nav/start", {"poll_hz": 200})
+    deadline = _t.monotonic() + 5.0
+    r = {}
+    while _t.monotonic() < deadline and "marker_id" not in r:
+        _t.sleep(0.1)  # wait for the first scene pose
+        _, r = _post(server, "/api/pedal", {"pressed": True})
+    assert r["pressed"] and "marker_id" in r
+    _, r2 = _post(server, "/api/pedal", {"pressed": False})
+    assert not r2["pressed"] and "marker_id" not in r2
+    markers = json.loads(_get(server, "/api/nav/markers")[2])
+    assert any(m["label"] == "pedal" for m in markers)
+    _post(server, "/api/nav/stop", {})
+    _post(server, "/api/nav/markers/remove", {"id": r["marker_id"]})
+    _post(server, "/api/nav/disconnect", {})
+
+
 def test_nav_mtms_endpoints(server, tmp_path):
     """mTMS over HTTP: parameter-table load, offset mapping + dry-run
     pulse, randomized sequence with CSV log (reference mtms.py +

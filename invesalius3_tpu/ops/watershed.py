@@ -178,7 +178,10 @@ def watershed(
     if algorithm == "Watershed":
         img = morphological_gradient(img, mg_size)
     if multigrid_levels is None:
-        multigrid_levels = 3 if min(image.shape) >= 192 else 0
+        # 512^3 sweep (levels x inner_rounds, identical labels): 2 levels
+        # 2.12 s / 3 levels 2.29 s / 4 levels 2.43 s warm — deeper
+        # coarsening adds refine calls without cutting fine-level rounds
+        multigrid_levels = 2 if min(image.shape) >= 192 else 0
     if multigrid_levels > 0:
         return watershed_ift_multigrid(img, markers, connectivity,
                                        multigrid_levels)

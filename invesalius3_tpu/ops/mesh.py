@@ -507,11 +507,27 @@ def _adjacency_from_sorted_corners(inverse, order, group_of_sorted,
     M = order.shape[0]
     V = n_verts_pad
     arange = jnp.arange(M, dtype=jnp.int32)
-    # groups are contiguous in sorted order: each group's start index is a
-    # scatter-min of positions (no associative_scan — see _max_group_size)
-    start_of = jnp.full((V + 1,), M, jnp.int32).at[
-        jnp.minimum(group_of_sorted, V)].min(arange)
-    pos = arange - start_of[jnp.minimum(group_of_sorted, V)]
+    # groups are contiguous in sorted order: group start/end positions via
+    # two M-element sorts instead of colliding scatter-min/max into (V+1,)
+    # buffers (rule 12: 22M sorts cost ~0.08 s, the scatters ~0.25 s each).
+    # Group g's start lands at output position g by keying starts with
+    # their group id and everything else with M + arange.
+    gos = group_of_sorted
+    new_group = jnp.concatenate([
+        jnp.ones((1,), jnp.bool_), gos[1:] != gos[:-1]])
+    last_group = jnp.concatenate([
+        gos[1:] != gos[:-1], jnp.ones((1,), jnp.bool_)])
+    _, starts = jax.lax.sort_key_val(
+        jnp.where(new_group, gos, M + arange), arange)
+    _, ends = jax.lax.sort_key_val(
+        jnp.where(last_group, gos, M + arange), arange)
+    if V > M:  # tiny meshes: V_pad has a 1024 floor
+        fill = jnp.full((V - M,), M, jnp.int32)
+        starts = jnp.concatenate([starts, fill])
+        ends = jnp.concatenate([ends, fill])
+    start_v = starts[:V]  # junk for g >= n_groups, masked below
+    end_v = ends[:V]
+    pos = arange - start_v[gos]
 
     tri = order % T
     corner = order // T
@@ -522,7 +538,15 @@ def _adjacency_from_sorted_corners(inverse, order, group_of_sorted,
     ok = sorted_valid & (2 * pos + 1 < D2)
     g = jnp.where(ok, group_of_sorted, V)  # dummy column for masked writes
     sentinel = jnp.int32(V)  # sorts after every real vertex id
-    deg = jnp.zeros((V + 1,), jnp.int32).at[g].max(pos + 1)[:V]
+    # degree = run length, zeroed for the invalid orphan group (validity
+    # is per-group: invalid slots share key -1, one group at the front)
+    # and for padding groups beyond n_groups
+    n_groups = gos[-1] + 1
+    garange = jnp.arange(V, dtype=jnp.int32)
+    valid_at_start = sorted_valid[jnp.minimum(start_v, M - 1)]
+    deg = jnp.where(
+        (garange < n_groups) & valid_at_start,
+        jnp.minimum(end_v - start_v + 1, max_deg), 0)
     if use_gather:
         # gather formulation (MEASURED SLOWER — kept as a documented
         # negative result): corner validity is per-GROUP (invalid slots
@@ -539,18 +563,22 @@ def _adjacency_from_sorted_corners(inverse, order, group_of_sorted,
         nb_inter = jnp.concatenate([nb_inter,
                                     jnp.full((1,), sentinel, jnp.int32)])
         d = jnp.arange(D2, dtype=jnp.int32)[:, None]  # (D2, 1)
-        base = 2 * start_of[:V][None, :]  # (1, V)
+        base = 2 * start_v[None, :]  # (1, V)
         take = d < 2 * deg[None, :]
         flat_idx = jnp.where(take, base + d, 2 * M).reshape(-1)
         table = nb_inter[flat_idx].reshape(D2, V)
     else:
-        # 1-D flattened scatter (a 2-D scatter with two index vectors
-        # lowers to a serial loop on TPU); row-major (D2, V+1)
+        # ONE 1-D flattened scatter of both face-partners (a 2-D scatter
+        # with two index vectors lowers to a serial loop on TPU, and one
+        # 2M-element scatter beats two M-element ones); row-major
+        # (D2, V+1)
         flat = jnp.full((D2 * (V + 1),), sentinel, jnp.int32)
         lin1 = jnp.where(ok, (2 * pos) * (V + 1) + g, D2 * (V + 1) - 1)
         lin2 = jnp.where(ok, (2 * pos + 1) * (V + 1) + g, D2 * (V + 1) - 1)
-        flat = flat.at[lin1].set(jnp.where(ok, nb1, sentinel))
-        flat = flat.at[lin2].set(jnp.where(ok, nb2, sentinel))
+        lin = jnp.concatenate([lin1, lin2])
+        val = jnp.where(jnp.concatenate([ok, ok]),
+                        jnp.concatenate([nb1, nb2]), sentinel)
+        flat = flat.at[lin].set(val)
         table = flat.reshape(D2, V + 1)[:, :V]
     # sort the tiny D2 axis with an explicit bitonic network of
     # jnp.minimum/maximum passes — pure elementwise, runs at HBM speed

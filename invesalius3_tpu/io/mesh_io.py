@@ -566,22 +566,31 @@ WRITERS[".bin"] = write_neuronav_bin
 READERS[".bin"] = read_neuronav_bin
 
 
+_chunk_max_jit = None
+
+
 def jnp_chunk_max(faces3t, K: int, CH: int):
     """Per-face-chunk max referenced vertex id (K,) — the vertex-window
-    bound each streamed STL chunk waits for."""
-    from functools import partial
+    bound each streamed STL chunk waits for.  The jitted helper lives at
+    module level so repeated exports hit the jit cache instead of
+    retracing (CLAUDE.md rule 3; this backend has no persistent compile
+    cache)."""
+    global _chunk_max_jit
+    if _chunk_max_jit is None:
+        from functools import partial
 
-    import jax
-    import jax.numpy as jnp
+        import jax
+        import jax.numpy as jnp
 
-    @partial(jax.jit, static_argnums=(1, 2))
-    def f(ft, k, ch):
-        pad = k * ch - ft.shape[1]
-        if pad > 0:
-            ft = jnp.pad(ft, ((0, 0), (0, pad)))
-        return jnp.max(ft.reshape(3, k, ch), axis=(0, 2))
+        @partial(jax.jit, static_argnums=(1, 2))
+        def f(ft, k, ch):
+            pad = k * ch - ft.shape[1]
+            if pad > 0:
+                ft = jnp.pad(ft, ((0, 0), (0, pad)))
+            return jnp.max(ft.reshape(3, k, ch), axis=(0, 2))
 
-    return f(faces3t, K, CH)
+        _chunk_max_jit = f
+    return _chunk_max_jit(faces3t, K, CH)
 
 
 class DeviceFaceStream:

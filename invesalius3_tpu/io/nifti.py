@@ -123,8 +123,12 @@ def _read_header_nifti2(raw: bytes) -> dict:
     return h
 
 
-def read_nifti(path) -> NiftiImage:
-    """Read a NIfTI-1/2 or Analyze volume into canonical RAS+ (Z, Y, X)."""
+def read_nifti(path, keep_4d: bool = False) -> NiftiImage:
+    """Read a NIfTI-1/2 or Analyze volume into canonical RAS+ (Z, Y, X).
+
+    With ``keep_4d`` a 4-D file (FOD spherical harmonics, direction
+    fields, fMRI series) returns (Z, Y, X, C) in file-native orientation
+    instead of the first component volume."""
     path = Path(path)
     img_path: Optional[Path] = None
     name = path.name
@@ -160,11 +164,14 @@ def read_nifti(path) -> NiftiImage:
         if dtype is None:
             raise ValueError(f"unsupported NIfTI datatype code {hdr['datatype']}")
         n_vox = int(np.prod(shape_xyz))
+        nt = int(hdr["dim"][4]) if ndim >= 4 else 1
+        want4d = keep_4d and nt > 1
+        n_read = n_vox * (nt if want4d else 1)
 
         is_onefile = hdr.get("magic", b"")[:3] in (b"n+1", b"n+2")
         if is_onefile and img_path is None:
             f.seek(int(hdr["vox_offset"]))
-            buf = f.read(n_vox * np.dtype(dtype).itemsize)
+            buf = f.read(n_read * np.dtype(dtype).itemsize)
         else:
             buf = None
 
@@ -173,11 +180,18 @@ def read_nifti(path) -> NiftiImage:
         ipath = img_path or path.with_suffix(".img")
         with _open_maybe_gz(ipath) as f:
             f.seek(int(hdr.get("vox_offset", 0)))
-            buf = f.read(n_vox * np.dtype(dtype).itemsize)
+            buf = f.read(n_read * np.dtype(dtype).itemsize)
 
-    data = np.frombuffer(buf, dtype=dtype, count=n_vox)
-    # NIfTI stores x fastest: data[x, y, z] in Fortran order
-    data = data.reshape(shape_xyz[::-1])  # now (z, y, x)
+    data = np.frombuffer(buf, dtype=dtype, count=n_read)
+    # NIfTI stores x fastest: data[x, y, z(, t)] in Fortran order
+    if want4d:
+        # (Z, Y, X, C) component-last; kept in FILE-NATIVE orientation (no
+        # canonical reorientation — consumers like the tractography fields
+        # map world->voxel with this same file's affine, so orientation is
+        # self-consistent)
+        data = np.moveaxis(data.reshape((nt,) + shape_xyz[::-1]), 0, -1)
+    else:
+        data = data.reshape(shape_xyz[::-1])  # now (z, y, x)
 
     # affine: prefer sform, then qform, then pixdim scaling
     if hdr.get("sform_code", 0) > 0:
@@ -193,8 +207,11 @@ def read_nifti(path) -> NiftiImage:
         s = slope if slope != 0.0 else 1.0
         data = data.astype(np.float32) * s + inter
 
-    data, affine = _to_closest_canonical(data, np.asarray(affine, np.float64))
-    return NiftiImage(np.ascontiguousarray(data), affine, hdr)
+    if not want4d:
+        data, affine = _to_closest_canonical(data,
+                                             np.asarray(affine, np.float64))
+    return NiftiImage(np.ascontiguousarray(data),
+                      np.asarray(affine, np.float64), hdr)
 
 
 def _to_closest_canonical(data_zyx: np.ndarray, affine: np.ndarray):
@@ -253,8 +270,15 @@ def write_nifti(path, data_zyx: np.ndarray, affine: Optional[np.ndarray] = None,
 
     hdr = bytearray(352)
     struct.pack_into("<i", hdr, 0, 348)
-    dims = data.shape[::-1]  # (x, y, z)
-    struct.pack_into("<8h", hdr, 40, 3, dims[0], dims[1], dims[2], 1, 1, 1, 1)
+    if data.ndim == 4:  # (Z, Y, X, C) -> 4-D file, component slowest
+        nt = data.shape[3]
+        dims = (data.shape[2], data.shape[1], data.shape[0])
+        data = np.ascontiguousarray(np.moveaxis(data, -1, 0))
+    else:
+        nt = 1
+        dims = data.shape[::-1]  # (x, y, z)
+    struct.pack_into("<8h", hdr, 40, 4 if nt > 1 else 3,
+                     dims[0], dims[1], dims[2], nt, 1, 1, 1)
     struct.pack_into("<h", hdr, 70, code)
     struct.pack_into("<h", hdr, 72, data.dtype.itemsize * 8)
     sx = float(np.linalg.norm(affine[:3, 0]))

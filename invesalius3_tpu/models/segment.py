@@ -420,7 +420,13 @@ def structure_masks(labelmap: np.ndarray, categories) -> list:
     """Per-structure binary masks for the selected LUT categories
     (reference apply_segment_threshold :744-917 pick_regions).  Returns
     [(name, mask uint8, label_id)]; empty structures are skipped like the
-    reference."""
+    reference.
+
+    "subcortical" selects the LUT's Subcortical gray-matter structures
+    (thalamus, caudate, hippocampus, ...); the reference pick_regions'
+    broader "everything that's not cortical and not background" set
+    (which also sweeps in ventricles/CSF/WM/cerebellum) is available as
+    "non_cortical"."""
     from invesalius3_tpu.models.fastsurfer import LUT_ROWS
 
     out = []
@@ -429,10 +435,10 @@ def structure_masks(labelmap: np.ndarray, categories) -> list:
         for lid, name, category in LUT_ROWS:
             if lid == 0:
                 continue
-            if c == "cortical":
-                match = name.startswith("ctx-")
-            elif c == "subcortical":
+            if c == "non_cortical":
                 match = not name.startswith("ctx-")
+            elif c == "cortical":
+                match = name.startswith("ctx-")
             else:
                 match = category.lower() == c
             if not match:

@@ -204,6 +204,7 @@ class Navigation:
         for th in (self._tract_thread, self._efield_thread):
             if th is not None:
                 th.stop()
+                th.join(timeout=5.0)  # no post-stop publishes
         self._tract_thread = self._efield_thread = None
         self.is_navigating = False
         self.bus.send_message("navigation.stopped")

@@ -186,6 +186,21 @@ def _world_to_vox_from_affine(affine):
     return conv
 
 
+def _vox_to_world_from_affine(affine):
+    """(N, 3) voxel (z,y,x) -> world mm (x,y,z) — the inverse of
+    _world_to_vox_from_affine, used to place tract streamlines (which
+    live on the FIELD's grid, not the image grid) into the scene."""
+    aff = np.asarray(affine, float)
+
+    def conv(zyx):
+        pts = np.asarray(zyx, float)
+        homo = np.concatenate(
+            [pts[..., ::-1], np.ones(pts.shape[:-1] + (1,))], axis=-1)
+        return (homo @ aff.T)[..., :3]
+
+    return conv
+
+
 def _pacs_client(body: dict):
     """DicomNet from a request body (reference import_network_panel.py
     host/port/AE-title fields)."""
@@ -404,8 +419,14 @@ def make_handler(state: AppState):
                         import copy as _copy
 
                         en = np.asarray(state.last_efield["enorms"], float)
-                        target = next((s for s in surfs if s.is_shown),
-                                      surfs[0])
+                        # texture the surface the ROI was built from, not
+                        # whichever happens to be first shown
+                        roi_si = getattr(state, "_efield_surface_index",
+                                         None)
+                        target = next(
+                            (s for s in surfs if s.index == roi_si), None) \
+                            or next((s for s in surfs if s.is_shown),
+                                    surfs[0])
                         t = np.zeros(len(target.vertices), np.float32)
                         span = max(float(en.max()) - float(en.min()), 1e-9)
                         roi_ids = state.last_efield.get("roi_ids")
@@ -447,15 +468,21 @@ def make_handler(state: AppState):
                     streamlines = None
                     if state.last_tracts is not None:
                         # tract ribbons from the live ComputeTractsThread
-                        # (reference tractography.py vtkTube multiblocks)
+                        # (reference tractography.py vtkTube multiblocks).
+                        # Paths are on the tract FIELD's grid, which may be
+                        # coarser than / oriented differently from the
+                        # image grid — use the converter stored when the
+                        # field was configured.
+                        to_world = (getattr(state, "_tract_vox_to_world",
+                                            None)
+                                    or slc.volume.voxel_to_world)
                         paths = np.asarray(state.last_tracts["paths"])
                         valid = np.asarray(state.last_tracts["valid"])
                         streamlines = []
                         for ti in range(min(paths.shape[1], 32)):
                             pts_vox = paths[valid[:, ti], ti]  # (S, zyx)
                             if len(pts_vox) >= 2:
-                                streamlines.append(
-                                    slc.volume.voxel_to_world(pts_vox))
+                                streamlines.append(to_world(pts_vox))
                     img = render_mesh.render_scene(
                         surfs,
                         markers=markers,
@@ -889,6 +916,10 @@ def make_handler(state: AppState):
                     self._json({"navigating": True})
                 elif self.path == "/api/nav/stop":
                     state.nav.navigation.stop_navigation()
+                    # drop live-worker payloads so stopped scenes don't
+                    # keep rendering stale tracts / e-field textures
+                    state.last_tracts = None
+                    state.last_efield = None
                     self._json({"navigating": False})
                 elif self.path == "/api/nav/tracts":
                     # configure live tractography for the next navigation
@@ -898,6 +929,7 @@ def make_handler(state: AppState):
                     if not body.get("enable", True):
                         navg.tract_params = None
                         state.last_tracts = None
+                        state._tract_vox_to_world = None
                         self._json({"tracts_enabled": False})
                     else:
                         params = {
@@ -909,10 +941,18 @@ def make_handler(state: AppState):
                         if body.get("fod_path") or body.get("field_path"):
                             from invesalius3_tpu.io import nifti
 
+                            # keep_4d: FOD SH / direction components ride
+                            # the 4th axis (a plain read returns only the
+                            # first component volume)
                             img = nifti.read_nifti(
-                                body.get("fod_path") or body["field_path"])
+                                body.get("fod_path") or body["field_path"],
+                                keep_4d=True)
                             key = ("fod_sh" if body.get("fod_path")
                                    else "direction_field")
+                            if img.data.ndim != 4:
+                                raise ValueError(
+                                    f"{key} file must be 4-D (Z,Y,X,C); "
+                                    f"got shape {img.data.shape}")
                             params[key] = np.asarray(img.data)
                             mask = nifti.read_nifti(body["mask_path"]).data \
                                 if body.get("mask_path") else None
@@ -921,6 +961,9 @@ def make_handler(state: AppState):
                                 else np.ones(img.data.shape[:3], bool))
                             params["world_to_vox"] = \
                                 _world_to_vox_from_affine(img.affine)
+                            # streamlines come back on the FIELD grid
+                            state._tract_vox_to_world = \
+                                _vox_to_world_from_affine(img.affine)
                         else:
                             # demo field: straight superior-inferior
                             # streamlines on a coarse grid over the volume
@@ -935,6 +978,9 @@ def make_handler(state: AppState):
                             params["world_to_vox"] = (
                                 lambda p, _v=vol, _f=f:
                                 np.asarray(_v.world_to_voxel(p)) / _f)
+                            state._tract_vox_to_world = (
+                                lambda zyx, _v=vol, _f=f:
+                                _v.voxel_to_world(np.asarray(zyx) * _f))
                         navg.tract_params = params
                         self._json({"tracts_enabled": True,
                                     "n_tracts": params["n_tracts_total"]})
@@ -947,10 +993,12 @@ def make_handler(state: AppState):
                     if not body.get("enable", True):
                         navg.efield_params = None
                         state.last_efield = None
+                        state._efield_surface_index = None
                         self._json({"efield_enabled": False})
                     else:
-                        surf = state.surfaces[int(body.get(
-                            "surface_index", min(state.surfaces, default=0)))]
+                        si = int(body.get(
+                            "surface_index", min(state.surfaces, default=0)))
+                        surf = state.surfaces[si]
                         verts = np.asarray(surf.vertices, np.float32)
                         stride = max(1, len(verts) // int(
                             body.get("max_roi_vertices", 20000)))
@@ -960,6 +1008,7 @@ def make_handler(state: AppState):
                             "roi_ids": roi_idx,
                             "debug": True,
                         }
+                        state._efield_surface_index = si
                         self._json({"efield_enabled": True,
                                     "roi_vertices": len(roi_idx)})
                 elif self.path == "/api/pedal":
@@ -1113,9 +1162,14 @@ def make_handler(state: AppState):
                     if body.get("enable", True):
                         if rec is not None:
                             raise ValueError("already recording")
+                        from pathlib import Path as _P
+
                         from invesalius3_tpu.navigation.record_coords import (
                             RecordCoords)
 
+                        # fail HERE, not silently inside the daemon thread
+                        with open(_P(body["path"]), "w"):
+                            pass
                         rec = RecordCoords(
                             state.nav.tracker, body["path"],
                             poll_hz=float(body.get("poll_hz", 20.0)))

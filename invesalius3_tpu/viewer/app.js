@@ -536,11 +536,18 @@ function initDLSegmentation() {
   $("#dl-start").onclick = async () => {
     const structures = $("#dl-structures").value
       .split(",").map((s) => s.trim()).filter(Boolean);
-    await api("/api/segment/dl", {
-      model: $("#dl-model").value, threshold: +$("#dl-thr").value,
-      allow_random_init: true, structures,
-    });
-    setStatus(`DL ${$("#dl-model").value} segmentation running…`);
+    try {
+      await api("/api/segment/dl", {
+        model: $("#dl-model").value, threshold: +$("#dl-thr").value,
+        allow_random_init: $("#dl-random").checked, structures,
+      });
+    } catch (e) {
+      setStatus("DL start failed — no trained weights installed? " +
+        "(tick 'demo' to run with random weights)");
+      return;
+    }
+    setStatus(`DL ${$("#dl-model").value} segmentation running…` +
+      ($("#dl-random").checked ? " [RANDOM weights — demo only]" : ""));
     stopPoll();
     poll = setInterval(async () => {
       const st = await api("/api/segment/dl/status", {});

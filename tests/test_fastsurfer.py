@@ -285,3 +285,8 @@ def test_subpart_segmenter_and_structure_masks():
     both = seg.structure_masks(lm, ["ventricles", "cerebellum"])
     assert {v[2] for v in both} == {4, 8}
     assert seg.structure_masks(lm, ["brain_stem"]) == []  # empty skipped
+    # "subcortical" = the LUT's Subcortical gray-matter rows only (none
+    # present here); "non_cortical" = the reference pick_regions broad set
+    assert seg.structure_masks(lm, ["subcortical"]) == []
+    assert {v[2] for v in seg.structure_masks(lm, ["non_cortical"])} \
+        == {4, 8}

@@ -614,3 +614,21 @@ def test_dicom_j2k_roundtrip(tmp_path, ts_name):
     f = dicom.read_dicom(p)
     got = f.pixel_array()
     np.testing.assert_array_equal(got, px)
+
+
+def test_nifti_4d_roundtrip(tmp_path):
+    """4-D NIfTI (FOD SH / direction fields / fMRI series) round-trips
+    through write_nifti + read_nifti(keep_4d=True); a plain read still
+    returns the first component volume."""
+    from invesalius3_tpu.io import nifti
+
+    rng = np.random.default_rng(0)
+    vol4 = rng.normal(size=(6, 5, 4, 7)).astype(np.float32)  # (Z,Y,X,C)
+    p = tmp_path / "fod.nii.gz"
+    nifti.write_nifti(p, vol4, spacing=(1.0, 2.0, 3.0))
+    img = nifti.read_nifti(p, keep_4d=True)
+    assert img.data.shape == (6, 5, 4, 7)
+    np.testing.assert_allclose(img.data, vol4, rtol=1e-6)
+    img3 = nifti.read_nifti(p)  # first component, canonicalized
+    assert img3.data.shape == (6, 5, 4)
+    np.testing.assert_allclose(img3.data, vol4[..., 0], rtol=1e-6)

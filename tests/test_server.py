@@ -545,6 +545,33 @@ def test_nav_robot_endpoints(server):
     _post(server, "/api/nav/disconnect", {})
 
 
+def test_tract_streamline_grid_mapping(tmp_path):
+    """Demo tract fields coarser than the volume (f>1) must render
+    streamlines through the FIELD-grid -> world converter, not the image
+    grid (regression: ribbons rendered f-times compressed)."""
+    import time as _t
+
+    zz = np.zeros((80, 80, 80), np.int16)
+    slc2 = Slice(Volume.from_numpy(zz, spacing=(1.0, 1.0, 1.0)))
+    srv = ViewerServer(slc2).start()
+    try:
+        _, r = _post(srv, "/api/nav/tracts", {"enable": True,
+                                              "n_tracts": 2, "n_steps": 4})
+        assert r["tracts_enabled"]
+        st = srv.state
+        conv = st._tract_vox_to_world
+        # field is 80//2=40 per axis: coarse voxel (40,40,40) must map to
+        # the volume's world center (80 mm voxel * 1 mm spacing)
+        w = np.asarray(conv(np.array([[40.0, 40.0, 40.0]])))
+        np.testing.assert_allclose(w[0], [80.0, 80.0, 80.0], atol=1e-6)
+        # and the worker's world->vox is its inverse on the same grid
+        back = st.nav.navigation.tract_params["world_to_vox"](w[0])
+        np.testing.assert_allclose(np.asarray(back), [40.0, 40.0, 40.0],
+                                   atol=1e-6)
+    finally:
+        srv.stop()
+
+
 def test_nav_record_coords(server, tmp_path):
     """Tracker-coordinate CSV recording over HTTP (reference
     record_coords.py checkbox in task_navigator)."""

@@ -629,7 +629,7 @@ def make_handler(state: AppState):
                     # fill_holes_auto, the "Fill holes automatically" tool)
                     m = slc.current_mask
                     if m is None:
-                        raise ValueError("no current mask")
+                        raise ValueError(tr("no current mask"))
                     before = int(np.asarray(m.visible_array()).sum())
                     m.fill_holes_auto(int(body.get("max_size", 1000)),
                                       conn=int(body.get("connectivity", 6)))
@@ -1058,7 +1058,7 @@ def make_handler(state: AppState):
                     # (dry-run) pulse (reference mtms.py UpdateTarget)
                     mt = getattr(state, "_mtms", None)
                     if mt is None:
-                        raise ValueError("load a parameter file first")
+                        raise ValueError(tr("load a parameter file first"))
                     coil = body["coil_pose"]
                     tgt = body["brain_target"]
                     offset = mt.get_offset(coil, tgt)
@@ -1072,7 +1072,7 @@ def make_handler(state: AppState):
 
                     mt = getattr(state, "_mtms", None)
                     if mt is None:
-                        raise ValueError("load a parameter file first")
+                        raise ValueError(tr("load a parameter file first"))
                     ok = mt.update_target_sequence(
                         body["coil_pose"], body["brain_targets"],
                         number_of_stim=int(body.get("number_of_stim", 1)),
@@ -1098,7 +1098,7 @@ def make_handler(state: AppState):
                             import corregistrate_probe
 
                         if navg.m_change is None:
-                            raise ValueError("run fiducial registration first")
+                            raise ValueError(tr("run fiducial registration first"))
                         surf = state.surfaces[int(body.get(
                             "surface_index",
                             min(state.surfaces, default=0)))]
@@ -1161,7 +1161,7 @@ def make_handler(state: AppState):
                     rec = getattr(state, "_recorder", None)
                     if body.get("enable", True):
                         if rec is not None:
-                            raise ValueError("already recording")
+                            raise ValueError(tr("already recording"))
                         from pathlib import Path as _P
 
                         from invesalius3_tpu.navigation.record_coords import (
@@ -1347,7 +1347,7 @@ def make_handler(state: AppState):
 
                     lang = body["language"]
                     if lang not in i18n_mod.get_locales():
-                        raise ValueError(f"unknown locale {lang!r}")
+                        raise ValueError(tr("unknown locale {lang}").format(lang=lang))
                     i18n_mod.install_language(lang)
                     import os as _os
 

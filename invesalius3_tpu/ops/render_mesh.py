@@ -47,13 +47,23 @@ def view_matrix(azimuth: float, elevation: float) -> np.ndarray:
     return np.stack([r, u, f]).astype(np.float32)
 
 
+_BAYER4 = np.array([  # ordered-dither thresholds in [0, 1)
+    [0, 8, 2, 10], [12, 4, 14, 6], [3, 11, 1, 9], [15, 7, 13, 5]],
+    np.float32).reshape(-1) / 16.0
+
+
 @partial(jax.jit, static_argnames=("size",))
 def _splat(p0, p1, p2, shade, colour_rgb, size: int):
     """Rasterize triangles given screen-space corners (3, T) each + per-
-    triangle shade (T,) and colour (3, T) in [0,1].  Returns (H, W, 3)
-    uint8 over black."""
+    triangle shade (T,) and colour (3, T) — or (4, T) with a per-triangle
+    alpha 4th row for screen-door transparency (the VTK-era ordered-dither
+    trick: a translucent surface keeps only the pixels whose 4x4 Bayer
+    threshold falls below its alpha, so geometry behind shows through
+    without sorted blending) — in [0,1].  Returns (H, W, 3) uint8 over
+    black."""
     bary = _BARY  # static numpy (S, 2): unrolled sample loop
     S = bary.shape[0]
+    alpha = colour_rgb[3] if colour_rgb.shape[0] == 4 else None
     # packed int32 z-buffer: 12-bit depth above 18-bit rgb666 (jax default
     # is 32-bit ints; 64 levels/channel is plenty for a shaded preview)
     SENTINEL = jnp.int32(0x7FFFFFFF)
@@ -63,6 +73,7 @@ def _splat(p0, p1, p2, shade, colour_rgb, size: int):
     b6 = jnp.clip(colour_rgb[2] * shade * 63.0, 0, 63).astype(jnp.int32)
     rgb = (r6 << 12) | (g6 << 6) | b6  # (T,)
     zmax = jnp.maximum(jnp.max(jnp.stack([p0[2], p1[2], p2[2]])), 1.0)
+    bayer = jnp.asarray(_BAYER4)
     for s in range(S):
         a, b = float(bary[s, 0]), float(bary[s, 1])
         c = 1.0 - a - b
@@ -72,6 +83,9 @@ def _splat(p0, p1, p2, shade, colour_rgb, size: int):
         xi = jnp.round(x).astype(jnp.int32)
         yi = jnp.round(y).astype(jnp.int32)
         ok = (xi >= 0) & (xi < size) & (yi >= 0) & (yi < size)
+        if alpha is not None:
+            # per-PIXEL dither decision (flattened 1-D lookup, rule 14)
+            ok = ok & (alpha > bayer[(yi % 4) * 4 + (xi % 4)])
         zq = jnp.clip(z / zmax * 4095.0, 0, 4095).astype(jnp.int32)
         packed = (zq << 18) | rgb
         lin = jnp.where(ok, yi * size + xi, 0)
@@ -103,8 +117,13 @@ def render_surfaces(meshes: Sequence[Tuple[np.ndarray, np.ndarray,
     all_v = []
     all_f = []
     cols = []
+    alphas = []
     base = 0
-    for verts, faces, colour in meshes:
+    for mesh in meshes:
+        # (verts, faces, colour[, alpha]) — alpha < 1 renders screen-door
+        # translucent (reference surface transparency slider)
+        verts, faces, colour = mesh[:3]
+        alpha = float(mesh[3]) if len(mesh) > 3 else 1.0
         verts = np.asarray(verts, np.float32)
         faces = np.asarray(faces, np.int64)
         if len(faces) > max_triangles:
@@ -122,10 +141,15 @@ def render_surfaces(meshes: Sequence[Tuple[np.ndarray, np.ndarray,
             cols.append(colour[faces].mean(axis=1).T.astype(np.float32))
         else:
             cols.append(np.tile(colour[:, None], (1, len(faces))))
+        alphas.append(np.full((1, len(faces)), alpha, np.float32))
         base += len(verts)
     verts = np.concatenate(all_v)
     faces = np.concatenate(all_f)
-    colour_rgb = jnp.asarray(np.concatenate(cols, axis=1))
+    col_np = np.concatenate(cols, axis=1)
+    alpha_np = np.concatenate(alphas, axis=1)
+    if (alpha_np < 1.0).any():  # alpha rides as a 4th colour row so the
+        col_np = np.concatenate([col_np, alpha_np])  # subdivision below
+    colour_rgb = jnp.asarray(col_np)  # splits it alongside the rgb rows
 
     vm = view_matrix(azimuth, elevation)
     center = (verts.min(0) + verts.max(0)) / 2.0
@@ -230,8 +254,9 @@ def render_scene(surfaces, markers=None, probe_pose=None, streamlines=None,
     viewer_volume.py navigation scene; the actor_factory sphere/arrow
     builders and data/visualization/coil_visualizer.py coil actor become
     generated glyph meshes, tractography tubes become thin ribbons)."""
-    meshes = [(s.vertices, s.faces, s.colour) for s in surfaces
-              if getattr(s, "is_shown", True)]
+    meshes = [(s.vertices, s.faces, s.colour,
+               1.0 - float(getattr(s, "transparency", 0.0)))
+              for s in surfaces if getattr(s, "is_shown", True)]
     if markers:
         for m in markers:
             pos = np.asarray(getattr(m, "position", m)[:3], float)

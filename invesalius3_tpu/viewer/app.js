@@ -309,6 +309,15 @@ async function refreshSurfaces() {
       { index: s.index, visible: !s.visible })
       .then(() => { refreshSurfaces(); refresh3D(); });
     li.appendChild(vis);
+    const tr = document.createElement("input");
+    tr.type = "range";
+    tr.min = 0; tr.max = 0.9; tr.step = 0.1;
+    tr.value = s.transparency || 0;
+    tr.title = "transparency";
+    tr.style.width = "3.5em";
+    tr.onchange = () => api("/api/surface/props",
+      { index: s.index, transparency: +tr.value }).then(refresh3D);
+    li.appendChild(tr);
     [["split", "/api/surface/split", {}],
      ["smooth", "/api/surface/smooth", { iterations: 20 }],
      ["½", "/api/surface/decimate", { reduction: 0.5 }]].forEach(

@@ -279,3 +279,28 @@ def test_robot_force_bar():
     # higher force fills more of the bar
     assert ((hot == (230, 70, 60)).all(axis=-1).sum()
             > (low == (60, 200, 90)).all(axis=-1).sum())
+
+
+def test_render_surfaces_screen_door_transparency():
+    """A translucent front surface lets the occluded mesh show through on
+    the dithered pixels (reference surface transparency slider; here the
+    VTK-era ordered-dither screen door)."""
+    from invesalius3_tpu.ops import render_mesh
+
+    big, fb = render_mesh._icosphere((0.0, 0.0, 0.0), radius=12.0)
+    # forward at az=el=0 is -y (see test_render_surfaces_zbuffer)
+    small, fs = render_mesh._icosphere((0.0, -14.0, 0.0), radius=5.0)
+
+    def green_pixels(alpha):
+        img = render_mesh.render_surfaces(
+            [(big, fb, (1.0, 0.0, 0.0), alpha),
+             (small, fs, (0.0, 1.0, 0.0))],
+            azimuth=0.0, elevation=0.0, size=96)
+        return int(((img[:, :, 1].astype(int) - img[:, :, 0]) > 30).sum())
+
+    opaque = green_pixels(1.0)
+    half = green_pixels(0.5)
+    faint = green_pixels(0.15)
+    assert opaque <= 5  # fully occluded behind the opaque sphere
+    assert half > 40  # screen door opens ~half the pixels
+    assert faint > half  # more transparent -> more show-through

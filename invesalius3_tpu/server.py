@@ -40,6 +40,7 @@ surface the viewers consumed:
   POST /api/image_versions/select {"label"}
   POST /api/measures {"kind",...}          add linear/angular measurement
   POST /api/measures/remove {"index"}
+  POST /api/measures/props {"index","visible","name"}
   POST /api/brush {"strokes","radius_mm"}  paint/erase a brush stroke
   POST /api/segment/dl {"model","threshold"}   start a DL segmentation
         job (brain/trachea/mandible/implant); /status polls progress and
@@ -697,6 +698,15 @@ def make_handler(state: AppState):
                 elif self.path == "/api/measures/remove":
                     state.measures.remove(int(body["index"]))
                     self._json({"ok": True})
+                elif self.path == "/api/measures/props":
+                    # data-notebook measure rows: visibility / rename
+                    # (reference data_notebook.py measures page)
+                    m = state.measures.measures[int(body["index"])]
+                    if "visible" in body:
+                        m.visible = bool(body["visible"])
+                    if "name" in body:
+                        m.name = str(body["name"])
+                    self._json(m.to_dict())
                 elif self.path == "/api/raycast/preset":
                     # bake an edited CLUT (reference clut_raycasting.py
                     # OnChangeCurve -> control.py SaveRaycastingPreset)

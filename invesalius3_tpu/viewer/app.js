@@ -270,6 +270,13 @@ async function refreshLists() {
     const val = typeof m.value === "number" ? m.value.toFixed(2) : m.value;
     li.innerHTML = `<span class="grow">${m.name} (${m.type})</span>` +
       `<span>${val}${m.unit || ""}</span>`;
+    const vis = document.createElement("button");
+    vis.textContent = m.visible === false ? "–" : "👁";
+    vis.title = "toggle overlay visibility";
+    vis.onclick = () => api("/api/measures/props",
+      { index: m.index, visible: m.visible === false })
+      .then(() => { refreshLists(); refreshSlices(); });
+    li.appendChild(vis);
     const del = document.createElement("button");
     del.textContent = "x";
     del.onclick = () => api("/api/measures/remove", { index: m.index })

@@ -414,6 +414,23 @@ def test_mask_row_ops_and_fill_holes(server):
     assert not any(m["index"] == d["index"] for m in masks2)
 
 
+def test_measure_props_visibility(server):
+    """Measure row visibility toggle hides the overlay in rendered slices
+    (reference data_notebook.py measures page + canvas layer)."""
+    _, m = _post(server, "/api/measures",
+                 {"kind": "linear", "p1": [2.0, 2.0, 2.0],
+                  "p2": [20.0, 18.0, 2.0], "location": "AXIAL",
+                  "slice_number": 8})
+    shown = _get(server, "/api/slice/AXIAL/8")[2]
+    _, r = _post(server, "/api/measures/props",
+                 {"index": m["index"], "visible": False,
+                  "name": "hidden measure"})
+    assert r["visible"] is False and r["name"] == "hidden measure"
+    hidden = _get(server, "/api/slice/AXIAL/8")[2]
+    assert shown != hidden  # overlay disappeared from the render
+    _post(server, "/api/measures/remove", {"index": m["index"]})
+
+
 def test_project_props(server):
     """Project name/modality editing (reference project_properties.py)."""
     code, r = _post(server, "/api/project/props",

@@ -69,6 +69,7 @@ def test_render_png(server):
 
 
 def test_surface_create_and_download(server):
+    _post(server, "/api/threshold", {"tmin": 1000, "tmax": 2000})
     code, out = _post(server, "/api/surface", {"algorithm": "Default"})
     assert code == 200 and out["triangles"] > 0
     idx = out["index"]
@@ -786,15 +787,20 @@ def test_render_scene_efield_overlay(server):
     latest e-norm field published on the bus (reference task_efield.py)."""
     _post(server, "/api/threshold", {"tmin": -32768, "tmax": 32767})
     _post(server, "/api/surface", {"algorithm": "Default"})
-    # publish a fake e-field like VisualizeEFieldThread would
-    nverts = json.loads(_get(server, "/api/surfaces")[2])[-1]["vertices"]
+    # publish a fake e-field like VisualizeEFieldThread would, bound to
+    # the surface it was computed for (surfaces left by other tests must
+    # not soak up the texture)
+    last = json.loads(_get(server, "/api/surfaces")[2])[-1]
+    server.state._efield_surface_index = last["index"]
     server.state.slice.bus.send_message(
         "navigation.efield",
-        enorms=np.linspace(0, 120, nverts), focal_factor=1.0)
+        enorms=np.linspace(0, 120, last["vertices"]), focal_factor=1.0)
     code, _, plain = _get(server, "/api/render_scene?size=96")
     code2, _, ef = _get(server, "/api/render_scene?size=96&efield=1")
     assert code == 200 and code2 == 200 and ef[:4] == b"\x89PNG"
     assert ef != plain
+    server.state._efield_surface_index = None
+    server.state.last_efield = None
 
 
 def test_dl_segmentation_job_endpoints(server):

@@ -98,6 +98,114 @@ def _splat(p0, p1, p2, shade, colour_rgb, size: int):
     return img.reshape(size, size, 3)
 
 
+@partial(jax.jit, static_argnames=("size",))
+def _zbuf_face_visibility(p0, p1, p2, size: int):
+    """(T,) bool: the face wins (or depth-ties) at least one pixel of the
+    z-buffer for this view — the offscreen-render visibility test behind
+    the reference's RemoveNonVisibleFaces (polydata_utils.py:363), without
+    a render window."""
+    S = _BARY.shape[0]
+    INF = jnp.int32(4095)
+    zmax = jnp.maximum(jnp.max(jnp.stack([p0[2], p1[2], p2[2]])), 1.0)
+
+    def sample(s):
+        a, b = float(_BARY[s, 0]), float(_BARY[s, 1])
+        c = 1.0 - a - b
+        x = a * p0[0] + b * p1[0] + c * p2[0]
+        y = a * p0[1] + b * p1[1] + c * p2[1]
+        z = a * p0[2] + b * p1[2] + c * p2[2]
+        xi = jnp.round(x).astype(jnp.int32)
+        yi = jnp.round(y).astype(jnp.int32)
+        ok = (xi >= 0) & (xi < size) & (yi >= 0) & (yi < size)
+        zq = jnp.clip(z / zmax * 4094.0, 0, 4094).astype(jnp.int32)
+        lin = jnp.where(ok, yi * size + xi, 0)
+        return lin, zq, ok
+
+    zbuf = jnp.full((size * size,), INF)
+    for s in range(S):
+        lin, zq, ok = sample(s)
+        zbuf = zbuf.at[lin].min(jnp.where(ok, zq, INF))
+    vis = jnp.zeros((p0.shape[1],), jnp.bool_)
+    for s in range(S):
+        lin, zq, ok = sample(s)
+        vis = vis | (ok & (zq <= zbuf[lin] + 1))
+    return vis
+
+
+# six axis-aligned viewpoints (reference polydata_utils.py:365 positions)
+_AXIS_VIEWS = ((90.0, 0.0), (-90.0, 0.0), (0.0, 0.0), (180.0, 0.0),
+               (0.0, 89.0), (0.0, -89.0))
+
+
+def remove_non_visible_faces(verts: np.ndarray, faces: np.ndarray,
+                             views=_AXIS_VIEWS, size: int = 512,
+                             remove_visible: bool = False):
+    """Drop faces never visible from the given viewpoints (reference
+    polydata_utils.py:363 RemoveNonVisibleFaces, used by task_navigator's
+    scalp-surface simplification; remove_visible inverts the keep set).
+    Returns (verts, faces, kept_ratio)."""
+    verts = np.asarray(verts, np.float32)
+    faces = np.asarray(faces, np.int64)
+    center = (verts.min(0) + verts.max(0)) / 2.0
+    vis = np.zeros(len(faces), bool)
+    for az, el in views:
+        vm = view_matrix(az, el)
+        proj = (verts - center) @ vm.T
+        extent = float(np.abs(proj[:, :2]).max()) * 2.1 + 1e-3
+        scale = size / extent
+        screen = np.stack([
+            proj[:, 0] * scale + size / 2.0,
+            size / 2.0 - proj[:, 1] * scale,
+            (proj[:, 2] - proj[:, 2].min()) * scale + 1.0,
+        ], axis=1).astype(np.float32)
+        # hole-free z-buffer needs the renderer's adaptive subdivision
+        # (low-poly shells would otherwise leak interior faces through
+        # the sample lattice); parent ids map sub-face hits back
+        fc = faces
+        parent = np.arange(len(faces))
+        for _ in range(6):
+            e = np.stack([
+                np.linalg.norm(screen[fc[:, 0], :2] - screen[fc[:, 1], :2],
+                               axis=1),
+                np.linalg.norm(screen[fc[:, 1], :2] - screen[fc[:, 2], :2],
+                               axis=1),
+                np.linalg.norm(screen[fc[:, 2], :2] - screen[fc[:, 0], :2],
+                               axis=1),
+            ]).max(axis=0)
+            big = e > 6.0
+            if not big.any() or len(fc) > 2_000_000:
+                break
+            keep, sub = fc[~big], fc[big]
+            nb = len(sub)
+            m01 = len(screen) + np.arange(nb)
+            m12 = m01 + nb
+            m20 = m12 + nb
+            screen = np.concatenate([
+                screen,
+                (screen[sub[:, 0]] + screen[sub[:, 1]]) / 2,
+                (screen[sub[:, 1]] + screen[sub[:, 2]]) / 2,
+                (screen[sub[:, 2]] + screen[sub[:, 0]]) / 2])
+            quads = np.concatenate([
+                np.stack([sub[:, 0], m01, m20], 1),
+                np.stack([m01, sub[:, 1], m12], 1),
+                np.stack([m20, m12, sub[:, 2]], 1)])
+            quads = np.concatenate([quads,
+                                    np.stack([m01, m12, m20], 1)])
+            parent = np.concatenate([parent[~big]] + [parent[big]] * 4)
+            fc = np.concatenate([keep, quads])
+        v3 = jnp.asarray(screen.T)
+        f3 = jnp.asarray(fc.T)
+        vis_sub = np.asarray(_zbuf_face_visibility(
+            v3[:, f3[0]], v3[:, f3[1]], v3[:, f3[2]], size))
+        vis[parent[vis_sub]] = True
+    keep = vis if not remove_visible else ~vis
+    faces2 = faces[keep]
+    used, inverse = np.unique(faces2, return_inverse=True)
+    return (verts[used],
+            inverse.reshape(-1, 3).astype(np.int32),
+            float(keep.mean()) if len(faces) else 1.0)
+
+
 def render_surfaces(meshes: Sequence[Tuple[np.ndarray, np.ndarray,
                                            Tuple[float, float, float]]],
                     azimuth: float = 30.0, elevation: float = 20.0,

@@ -48,7 +48,8 @@ surface the viewers consumed:
   POST /api/surface {"algorithm",...}      create surface from the mask
   POST /api/surface/import {"path",...}    import a mesh file (+hole fill)
   GET  /api/surfaces                       surface list (props + metrics)
-  POST /api/surface/{remove,props,split,smooth,decimate}
+  POST /api/surface/{remove,props,split,smooth,decimate,
+        remove_non_visible}
                                            per-surface ops (reference
                                            task_surface + data_notebook)
   GET  /api/surface/{index}.{ext}          download (stl/ply/obj/vtp/x3d/
@@ -1410,6 +1411,25 @@ def make_handler(state: AppState):
                         relaxation=float(body.get("relaxation", 0.4)))
                     state.surfaces[s.index] = s
                     self._json({"index": s.index, "name": s.name})
+                elif self.path == "/api/surface/remove_non_visible":
+                    # visibility-based face culling (reference
+                    # polydata_utils.py:363 + task_navigator.py:916 scalp
+                    # simplification; frame.py:847 menu action)
+                    from invesalius3_tpu.ops import render_mesh
+
+                    surf = state.surfaces[int(body["index"])]
+                    v, f, ratio = render_mesh.remove_non_visible_faces(
+                        surf.vertices, surf.faces,
+                        remove_visible=bool(body.get(
+                            "remove_visible", False)))
+                    surf.vertices, surf.faces = v, f
+                    surf.compute_properties()
+                    state.record_event("surface.non_visible_removed",
+                                       {"index": surf.index,
+                                        "kept_ratio": ratio})
+                    self._json({"index": surf.index,
+                                "kept_ratio": ratio,
+                                "triangles": len(f)})
                 elif self.path == "/api/surface/decimate":
                     from invesalius3_tpu.core import surface as surface_mod
 

@@ -327,7 +327,8 @@ async function refreshSurfaces() {
     li.appendChild(tr);
     [["split", "/api/surface/split", {}],
      ["smooth", "/api/surface/smooth", { iterations: 20 }],
-     ["½", "/api/surface/decimate", { reduction: 0.5 }]].forEach(
+     ["½", "/api/surface/decimate", { reduction: 0.5 }],
+     ["cull", "/api/surface/remove_non_visible", {}]].forEach(
       ([label, path, extra]) => {
         const b = document.createElement("button");
         b.textContent = label;

@@ -304,3 +304,32 @@ def test_render_surfaces_screen_door_transparency():
     assert opaque <= 5  # fully occluded behind the opaque sphere
     assert half > 40  # screen door opens ~half the pixels
     assert faint > half  # more transparent -> more show-through
+
+
+def test_remove_non_visible_faces():
+    """Visibility culling drops fully-enclosed geometry and keeps a closed
+    surface intact (reference polydata_utils.py:363 RemoveNonVisibleFaces,
+    task_navigator scalp simplification)."""
+    from invesalius3_tpu.ops import render_mesh
+
+    outer, fo = render_mesh._icosphere((0.0, 0.0, 0.0), radius=20.0)
+    inner, fi = render_mesh._icosphere((0.0, 0.0, 0.0), radius=5.0)
+    verts = np.concatenate([outer, inner])
+    faces = np.concatenate([fo, fi + len(outer)])
+
+    v2, f2, ratio = render_mesh.remove_non_visible_faces(verts, faces)
+    # the enclosed inner sphere disappears; the outer shell survives whole
+    assert len(f2) == len(fo)
+    assert abs(ratio - len(fo) / len(faces)) < 1e-6
+    r = np.linalg.norm(v2, axis=1)
+    assert (r > 15).all()  # only outer-sphere vertices remain
+
+    # a single closed surface keeps every face
+    v3, f3, ratio3 = render_mesh.remove_non_visible_faces(outer, fo)
+    assert len(f3) == len(fo) and ratio3 == 1.0
+
+    # remove_visible inverts the keep set: only the hidden sphere remains
+    v4, f4, _ = render_mesh.remove_non_visible_faces(
+        verts, faces, remove_visible=True)
+    assert len(f4) == len(fi)
+    assert (np.linalg.norm(v4, axis=1) < 6).all()

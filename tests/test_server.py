@@ -415,6 +415,21 @@ def test_mask_row_ops_and_fill_holes(server):
     assert not any(m["index"] == d["index"] for m in masks2)
 
 
+def test_surface_remove_non_visible(server):
+    """POST /api/surface/remove_non_visible culls enclosed faces
+    (reference task_navigator.py:916 / polydata_utils.py:363)."""
+    _post(server, "/api/threshold", {"tmin": 1000, "tmax": 2000})
+    _, out = _post(server, "/api/surface", {"algorithm": "Default"})
+    code, r = _post(server, "/api/surface/remove_non_visible",
+                    {"index": out["index"]})
+    assert code == 200 and 0.0 < r["kept_ratio"] <= 1.0
+    assert r["triangles"] <= out["triangles"]
+    surfs = json.loads(_get(server, "/api/surfaces")[2])
+    s = next(x for x in surfs if x["index"] == out["index"])
+    assert s["triangles"] == r["triangles"]
+    _post(server, "/api/surface/remove", {"index": out["index"]})
+
+
 def test_measure_props_visibility(server):
     """Measure row visibility toggle hides the overlay in rendered slices
     (reference data_notebook.py measures page + canvas layer)."""

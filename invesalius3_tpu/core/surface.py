@@ -182,6 +182,25 @@ def create_surface_from_mask(
     return s
 
 
+def merge_surfaces(surfaces) -> Surface:
+    """One mesh from many (reference polydata_utils.py:142 Merge, used by
+    surface.py:1800 when exporting all visible surfaces together)."""
+    import numpy as np
+
+    verts = []
+    faces = []
+    base = 0
+    for s in surfaces:
+        verts.append(np.asarray(s.vertices, np.float32))
+        faces.append(np.asarray(s.faces, np.int64) + base)
+        base += len(s.vertices)
+    out = Surface(vertices=np.concatenate(verts),
+                  faces=np.concatenate(faces).astype(np.int32),
+                  name="merged")
+    out.compute_properties()
+    return out
+
+
 def split_surface(surface: Surface) -> list:
     """One new Surface per connected component, largest first (reference
     surface.py:431 OnSplitSurface)."""

@@ -560,10 +560,23 @@ def make_handler(state: AppState):
                 elif len(parts) == 3 and parts[:2] == ["api", "surface"]:
                     # download in any writer format mesh_io knows:
                     # /api/surface/{index}.{stl|ply|obj|vtp|x3d|3mf|wrl|iv|bin}
+                    # index "all" merges every visible surface into one
+                    # mesh first (reference surface.py:1782 _export_surface
+                    # collects shown surfaces + polydata_utils.py:142 Merge)
                     stem, _, ext = parts[2].partition(".")
-                    surf = state.surfaces[int(stem)]
                     import tempfile, os
 
+                    if stem == "all":
+                        from invesalius3_tpu.core.surface import (
+                            merge_surfaces)
+
+                        shown = [s for s in state.surfaces.values()
+                                 if s.is_shown]
+                        if not shown:
+                            raise ValueError("no visible surfaces")
+                        surf = merge_surfaces(shown)
+                    else:
+                        surf = state.surfaces[int(stem)]
                     fd, tmp = tempfile.mkstemp(suffix="." + (ext or "stl"))
                     os.close(fd)
                     surf.export(tmp)

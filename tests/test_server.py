@@ -415,6 +415,25 @@ def test_mask_row_ops_and_fill_holes(server):
     assert not any(m["index"] == d["index"] for m in masks2)
 
 
+def test_surface_export_all_merged(server):
+    """GET /api/surface/all.stl merges every visible surface before
+    exporting (reference surface.py:1782 + polydata_utils Merge)."""
+    _post(server, "/api/threshold", {"tmin": 1000, "tmax": 2000})
+    _, a = _post(server, "/api/surface", {})
+    _, b = _post(server, "/api/surface", {})
+    code, ctype, data = _get(server, "/api/surface/all.stl")
+    assert code == 200
+    n_tris = int.from_bytes(data[80:84], "little")
+    assert n_tris == a["triangles"] + b["triangles"]
+    # hidden surfaces are excluded
+    _post(server, "/api/surface/props", {"index": b["index"],
+                                         "visible": False})
+    _, _, data2 = _get(server, "/api/surface/all.stl")
+    assert int.from_bytes(data2[80:84], "little") == a["triangles"]
+    for idx in (a["index"], b["index"]):
+        _post(server, "/api/surface/remove", {"index": idx})
+
+
 def test_surface_remove_non_visible(server):
     """POST /api/surface/remove_non_visible culls enclosed faces
     (reference task_navigator.py:916 / polydata_utils.py:363)."""

@@ -751,3 +751,35 @@ def test_camera_tracker_seam():
     assert coords[0, 0] == 1 and coords[1, 2] == 6
     assert flags.tolist() == [True, True, False]
     t.disconnect()
+
+
+def test_remote_event_server_roundtrip():
+    """The dev event server (reference scripts/invesalius_server.py
+    equivalent): records mirrored events and injects events back into the
+    app's bus through a live RemoteControl connection."""
+    from invesalius3_tpu.net.remote_control import RemoteControl
+    from invesalius3_tpu.net.remote_server import RemoteEventServer
+
+    srv = RemoteEventServer().start()
+    bus = events.Publisher()
+    rc = RemoteControl("127.0.0.1", srv.port, bus=bus)
+    assert rc.connect(timeout=5.0)
+    try:
+        got = []
+        bus.subscribe(lambda **kw: got.append(kw), "remote.cmd")
+
+        bus.send_message("markers.added", index=3, value=1.5)
+        deadline = time.monotonic() + 5.0
+        while time.monotonic() < deadline and not srv.received:
+            time.sleep(0.02)
+        assert srv.received and srv.received[0]["topic"] == "markers.added"
+        assert srv.received[0]["data"]["index"] == 3
+
+        assert srv.send("remote.cmd", action="go") == 1
+        deadline = time.monotonic() + 5.0
+        while time.monotonic() < deadline and not got:
+            time.sleep(0.02)
+        assert got and got[0]["action"] == "go"
+    finally:
+        rc.disconnect()
+        srv.stop()

@@ -516,3 +516,28 @@ def test_i18n_translation_applies(monkeypatch):
             "volume: {shape} {dtype} spacing={spacing}"]
     finally:
         i18n.install_language("en")
+
+
+def test_i18n_catalog_coverage():
+    """Every tr("...") literal in the package is translated in every
+    shipped locale (en is the identity fallback) — keeps new user-facing
+    strings from silently falling back to English."""
+    import pathlib
+    import re
+
+    from invesalius3_tpu.utils.i18n import get_locales, parse_po
+    import invesalius3_tpu
+
+    pkg = pathlib.Path(invesalius3_tpu.__file__).parent
+    ids = set()
+    for p in pkg.rglob("*.py"):
+        ids |= set(re.findall(r'tr\(\s*"((?:[^"\\]|\\.)*)"\s*\)',
+                              p.read_text(encoding="utf-8")))
+    assert len(ids) >= 15  # the extraction regex keeps working
+    for lang in get_locales():
+        if lang == "en":
+            continue
+        po = pkg / "locale" / lang / "LC_MESSAGES" / "invesalius3_tpu.po"
+        cat = set(parse_po(po.read_text(encoding="utf-8")))
+        missing = ids - cat
+        assert not missing, f"{lang} missing msgids: {sorted(missing)}"

@@ -421,15 +421,19 @@ def test_surface_export_all_merged(server):
     _post(server, "/api/threshold", {"tmin": 1000, "tmax": 2000})
     _, a = _post(server, "/api/surface", {})
     _, b = _post(server, "/api/surface", {})
+    visible_tris = sum(s["triangles"] for s in
+                       json.loads(_get(server, "/api/surfaces")[2])
+                       if s["visible"])  # incl. other tests' leftovers
     code, ctype, data = _get(server, "/api/surface/all.stl")
     assert code == 200
     n_tris = int.from_bytes(data[80:84], "little")
-    assert n_tris == a["triangles"] + b["triangles"]
+    assert n_tris == visible_tris >= a["triangles"] + b["triangles"]
     # hidden surfaces are excluded
     _post(server, "/api/surface/props", {"index": b["index"],
                                          "visible": False})
     _, _, data2 = _get(server, "/api/surface/all.stl")
-    assert int.from_bytes(data2[80:84], "little") == a["triangles"]
+    assert int.from_bytes(data2[80:84], "little") \
+        == visible_tris - b["triangles"]
     for idx in (a["index"], b["index"]):
         _post(server, "/api/surface/remove", {"index": idx})
 

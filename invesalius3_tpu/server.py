@@ -84,6 +84,8 @@ surface the viewers consumed:
                                            robot panel (task_navigator)
   POST /api/nav/{connect,disconnect,fiducial/tracker,fiducial/image,
         register,start,stop,markers,markers/remove}
+  GET  /api/histogram?bins=                image intensity histogram
+                                           (clut_imagedata widget data)
   GET  /api/events                         recent bus events (polling)
 
 State-changing requests are POSTs serialized by a lock (the reference GUI
@@ -588,6 +590,23 @@ def make_handler(state: AppState):
                     self.send_header("Content-Length", str(len(data)))
                     self.end_headers()
                     self.wfile.write(data)
+                elif url.path == "/api/histogram":
+                    # image intensity histogram (reference
+                    # gui/widgets/clut_imagedata.py draws the WW/WL curve
+                    # over the 16-bit histogram)
+                    import jax.numpy as jnp
+
+                    nbins = int(q.get("bins", 128))
+                    data = slc.matrix
+                    lo = float(jnp.min(data))
+                    hi = float(jnp.max(data))
+                    counts, edges = jnp.histogram(
+                        data.reshape(-1), bins=nbins, range=(lo, hi))
+                    self._json({
+                        "counts": [int(c) for c in np.asarray(counts)],
+                        "edges": [float(e) for e in np.asarray(edges)],
+                        "ww": slc.window_width, "wl": slc.window_level,
+                    })
                 elif url.path == "/api/events":
                     self._json(state.recent_events)
                 else:

@@ -415,6 +415,18 @@ def test_mask_row_ops_and_fill_holes(server):
     assert not any(m["index"] == d["index"] for m in masks2)
 
 
+def test_histogram_endpoint(server):
+    """GET /api/histogram returns the intensity histogram backing the
+    WW/WL curve widget (reference clut_imagedata.py)."""
+    code, _, body = _get(server, "/api/histogram?bins=32")
+    h = json.loads(body)
+    assert code == 200 and len(h["counts"]) == 32 and len(h["edges"]) == 33
+    # fixture volume: air background dominates the lowest bin
+    assert h["counts"][0] == max(h["counts"])
+    assert sum(h["counts"]) == 16 * 24 * 24
+    assert h["ww"] > 0
+
+
 def test_surface_export_all_merged(server):
     """GET /api/surface/all.stl merges every visible surface before
     exporting (reference surface.py:1782 + polydata_utils Merge)."""

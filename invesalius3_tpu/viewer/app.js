@@ -113,10 +113,13 @@ function refresh3D() {
 
 // --- CLUT editor (reference gui/widgets/clut_raycasting.py) -----------------
 
-const clut = { nodes: null, drag: -1 };
+const clut = { nodes: null, drag: -1, hist: null };
 
 async function loadClut(name) {
   clut.nodes = await api(`/api/raycast/nodes?name=${encodeURIComponent(name)}`);
+  if (!clut.hist) {
+    clut.hist = await api("/api/histogram?bins=96").catch(() => null);
+  }
   $("#clut-lo").value = clut.nodes.lo;
   $("#clut-hi").value = clut.nodes.hi;
   $("#clut-name").value = name;
@@ -144,6 +147,22 @@ function drawClut() {
   const { lo, hi } = clut.nodes;
   ctx.fillStyle = "#111";
   ctx.fillRect(0, 0, W, H);
+  // intensity histogram behind the curve (reference clut_raycasting.py
+  // draws the 16-bit histogram under the editable nodes)
+  if (clut.hist) {
+    const { counts, edges } = clut.hist;
+    const maxc = Math.max(...counts.map((c) => Math.log1p(c)));
+    ctx.fillStyle = "#2a3342";
+    counts.forEach((c, i) => {
+      const t0 = (edges[i] - lo) / (hi - lo);
+      const t1 = (edges[i + 1] - lo) / (hi - lo);
+      if (t1 < 0 || t0 > 1) return;
+      const x0 = 4 + Math.max(0, t0) * (W - 8);
+      const x1 = 4 + Math.min(1, t1) * (W - 8);
+      const h = Math.log1p(c) / maxc * (H - 26);
+      ctx.fillRect(x0, H - 22 + 4 - h - 4, Math.max(1, x1 - x0), h);
+    });
+  }
   const grad = ctx.createLinearGradient(4, 0, W - 4, 0);
   clut.nodes.color_nodes.forEach(([v, rgb]) => {
     const t = Math.min(1, Math.max(0, (v - lo) / (hi - lo)));

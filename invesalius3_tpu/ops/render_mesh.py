@@ -355,8 +355,38 @@ def draw_force_bar(img: np.ndarray, force_n: float,
     return img
 
 
+def slice_plane_mesh(slc, orientation: str, index: int, step: int = 4):
+    """(verts (V,3) world mm, faces (F,3), per-vertex colours (V,3)) for
+    the current slice as a textured plane inside the 3D scene (reference
+    viewer_volume.py:4007 SlicePlane).  ``step`` subsamples the slice so
+    the plane stays a few thousand quads."""
+    rgb = np.asarray(slc.get_rendered_slice(orientation, index))
+    rgb = rgb[::step, ::step].astype(np.float32) / 255.0
+    H, W = rgb.shape[:2]
+    rows = np.arange(H) * step
+    cols = np.arange(W) * step
+    rr, cc = np.meshgrid(rows, cols, indexing="ij")
+    zi = np.full(rr.size, float(index))
+    if orientation == "AXIAL":       # rows=y, cols=x
+        zyx = np.stack([zi, rr.ravel(), cc.ravel()], 1)
+    elif orientation == "CORONAL":   # rows=z, cols=x
+        zyx = np.stack([rr.ravel(), zi, cc.ravel()], 1)
+    else:                            # SAGITTAL: rows=z, cols=y
+        zyx = np.stack([rr.ravel(), cc.ravel(), zi], 1)
+    verts = np.asarray(slc.volume.voxel_to_world(zyx), np.float32)
+    idx = np.arange(H * W).reshape(H, W)
+    a = idx[:-1, :-1].ravel()
+    b = idx[:-1, 1:].ravel()
+    c = idx[1:, 1:].ravel()
+    d = idx[1:, :-1].ravel()
+    faces = np.concatenate([np.stack([a, b, c], 1),
+                            np.stack([a, c, d], 1)]).astype(np.int32)
+    return verts, faces, rgb.reshape(-1, 3)
+
+
 def render_scene(surfaces, markers=None, probe_pose=None, streamlines=None,
-                 coil_poses=None, robot_force=None, **kw) -> np.ndarray:
+                 coil_poses=None, robot_force=None, slice_plane=None,
+                 **kw) -> np.ndarray:
     """Navigation-scene composition: surfaces + marker glyph spheres +
     a probe arrow + coil figure-8 glyphs + tract streamlines (reference
     viewer_volume.py navigation scene; the actor_factory sphere/arrow
@@ -365,6 +395,8 @@ def render_scene(surfaces, markers=None, probe_pose=None, streamlines=None,
     meshes = [(s.vertices, s.faces, s.colour,
                1.0 - float(getattr(s, "transparency", 0.0)))
               for s in surfaces if getattr(s, "is_shown", True)]
+    if slice_plane is not None:  # (verts, faces, per-vertex rgb) from
+        meshes.append(slice_plane)  # slice_plane_mesh (SlicePlane :4007)
     if markers:
         for m in markers:
             pos = np.asarray(getattr(m, "position", m)[:3], float)

@@ -487,12 +487,23 @@ def make_handler(state: AppState):
                             pts_vox = paths[valid[:, ti], ti]  # (S, zyx)
                             if len(pts_vox) >= 2:
                                 streamlines.append(to_world(pts_vox))
+                    slice_plane = None
+                    if q.get("slice"):
+                        # ?slice=AXIAL:42 composes that slice as a
+                        # textured plane (reference SlicePlane :4007)
+                        so, _, si = str(q["slice"]).partition(":")
+                        ax = const.ORIENTATION_AXIS[so.upper() or "AXIAL"]
+                        n = slc.volume.shape[ax]
+                        slice_plane = render_mesh.slice_plane_mesh(
+                            slc, so.upper(),
+                            min(max(int(si or n // 2), 0), n - 1))
                     img = render_mesh.render_scene(
                         surfs,
                         markers=markers,
                         probe_pose=probe,
                         coil_poses=coil_poses,
                         streamlines=streamlines,
+                        slice_plane=slice_plane,
                         robot_force=robot_force,
                         azimuth=float(q.get("azimuth", 30)),
                         elevation=float(q.get("elevation", 20)),

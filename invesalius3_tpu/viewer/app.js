@@ -104,6 +104,9 @@ function refresh3D() {
   if (mode === "surfaces") {   // MEP / e-field surface texturing toggles
     if ($("#ov-mep").checked) base += "mep=1&";
     if ($("#ov-efield").checked) base += "efield=1&";
+    if ($("#ov-slice").checked) {  // current axial slice as a plane
+      base += `slice=AXIAL:${state.idx.AXIAL}&`;
+    }
   }
   $("#img3d").src = `${base}azimuth=${state.azimuth}` +
     `&elevation=${state.elevation}&size=256&t=${state.bump++}`;
@@ -978,6 +981,7 @@ async function init() {
   $$(".pane[data-orient]").forEach(attachPane);
   attach3D();
   $("#ov-mep").onchange = refresh3D;
+  $("#ov-slice").onchange = refresh3D;
   $("#ov-efield").onchange = refresh3D;
   refreshSlices();
   refresh3D();

@@ -415,6 +415,19 @@ def test_mask_row_ops_and_fill_holes(server):
     assert not any(m["index"] == d["index"] for m in masks2)
 
 
+def test_render_scene_slice_plane(server):
+    """?slice=ORIENT:index composes the slice as a textured plane in the
+    3D scene (reference viewer_volume.py:4007 SlicePlane)."""
+    code, _, plain = _get(server, "/api/render_scene?size=96")
+    code2, _, with_plane = _get(server,
+                                "/api/render_scene?size=96&slice=AXIAL:8")
+    assert code == 200 and code2 == 200
+    assert with_plane[:4] == b"\x89PNG" and with_plane != plain
+    # sagittal + default index also render
+    code3, _, _ = _get(server, "/api/render_scene?size=64&slice=SAGITTAL:")
+    assert code3 == 200
+
+
 def test_histogram_endpoint(server):
     """GET /api/histogram returns the intensity histogram backing the
     WW/WL curve widget (reference clut_imagedata.py)."""

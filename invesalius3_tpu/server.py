@@ -736,6 +736,17 @@ def make_handler(state: AppState):
                             location=body.get("location", "AXIAL"),
                             slice_number=int(body.get("slice_number", 0)),
                             points=body.get("points", []))
+                    elif kind == "density_polygon":
+                        # polygon ROI density stats (reference
+                        # measures.py:2138 PolygonDensityMeasure)
+                        ax = const.ORIENTATION_AXIS[body.get("location", "AXIAL")]
+                        img2d = np.take(np.asarray(slc.matrix),
+                                        int(body.get("slice_number", 0)), axis=ax)
+                        m = state.measures.add_density_polygon(
+                            img2d, [(float(r), float(c))
+                                    for r, c in body["points_yx"]],
+                            location=body.get("location", "AXIAL"),
+                            slice_number=int(body.get("slice_number", 0)))
                     else:
                         raise ValueError(f"unknown measure kind {kind!r}")
                     self._json(m.to_dict())

@@ -478,6 +478,20 @@ def test_surface_remove_non_visible(server):
     _post(server, "/api/surface/remove", {"index": out["index"]})
 
 
+def test_density_polygon_measure(server):
+    """kind=density_polygon computes ROI stats over the polygon interior
+    (reference measures.py:2138 PolygonDensityMeasure)."""
+    code, m = _post(server, "/api/measures",
+                    {"kind": "density_polygon", "location": "AXIAL",
+                     "slice_number": 8,
+                     "points_yx": [[6, 6], [6, 18], [18, 18], [18, 6]]})
+    assert code == 200 and m["type"] == "density_polygon"
+    # fixture sphere (r<8 at slice 8 = equator) => mix of 1400 and -1000
+    assert -1000 <= m["extra"]["mean"] <= 1400
+    assert m["extra"]["area_px"] > 50
+    _post(server, "/api/measures/remove", {"index": m["index"]})
+
+
 def test_measure_props_visibility(server):
     """Measure row visibility toggle hides the overlay in rendered slices
     (reference data_notebook.py measures page + canvas layer)."""

@@ -133,6 +133,12 @@ def main(argv=None) -> int:
         )
 
     session = Session()
+    backup = session.recover_auto_backup()  # reference splash
+    if backup is not None:  # CheckCrashRecovery (app.py:287-366)
+        print(tr("previous session did not exit cleanly; auto-backup at "
+                 "{path} (open with --import-file or POST "
+                 "/api/session/recover)").format(path=backup),
+              file=sys.stderr)
     session.mark_running()
     if args.debug_efield:  # reference app.py:661 session SetConfig
         session.set_config("debug_efield", True)

@@ -56,6 +56,8 @@ surface the viewers consumed:
                                            3mf/wrl/iv/bin)
   POST /api/project/save | /api/project/open   .inv3 persistence
   POST /api/project/props {"name","modality"}  project properties
+  GET  /api/session | POST /api/session/recover  crash detection +
+                                           auto-backup restore
   GET  /api/render_scene?azimuth=...       surface-actor 3D scene (PNG)
   GET  /api/dicom/scan?dir= | /api/dicom/thumb  import-UI series preview
   GET  /api/i18n                           locales + current catalog
@@ -601,6 +603,21 @@ def make_handler(state: AppState):
                     self.send_header("Content-Length", str(len(data)))
                     self.end_headers()
                     self.wfile.write(data)
+                elif url.path == "/api/session":
+                    # crash detection + auto-backup state (reference
+                    # splash CheckCrashRecovery app.py:287-366)
+                    from invesalius3_tpu.core.session import Session
+
+                    sess = getattr(state, "_session", None) or Session()
+                    state._session = sess
+                    backup = sess.recover_auto_backup()
+                    self._json({
+                        "exited_successfully_last_time":
+                            sess.exited_successfully_last_time(),
+                        "backup_path": None if backup is None
+                        else str(backup),
+                        "recent_projects": sess.recent_projects,
+                    })
                 elif url.path == "/api/histogram":
                     # image intensity histogram (reference
                     # gui/widgets/clut_imagedata.py draws the WW/WL curve
@@ -915,11 +932,25 @@ def make_handler(state: AppState):
                     self._json({"path": path, "masks": len(proj.mask_dict),
                                 "surfaces": len(proj.surface_dict),
                                 "measures": len(proj.measurement_dict)})
-                elif self.path == "/api/project/open":
+                elif self.path in ("/api/project/open",
+                                   "/api/session/recover"):
                     from invesalius3_tpu.core.project import Project
                     from invesalius3_tpu.core.surface import Surface
 
-                    proj = Project.open(body["path"])
+                    if self.path.endswith("recover"):
+                        # open the crash auto-backup (reference splash
+                        # CheckCrashRecovery restore path)
+                        from invesalius3_tpu.core.session import Session
+
+                        sess = getattr(state, "_session", None) or Session()
+                        state._session = sess
+                        backup = sess.recover_auto_backup()
+                        if backup is None:
+                            raise ValueError(tr("no crash backup to recover"))
+                        path_to_open = str(backup)
+                    else:
+                        path_to_open = body["path"]
+                    proj = Project.open(path_to_open)
                     state.project_name = proj.name
                     slc.load_new_volume(proj.volume)
                     slc.set_window(proj.window, proj.level)

@@ -977,6 +977,17 @@ async function init() {
   initNavigation();
   initPacs();
   initPreferences().catch(() => {});
+  // crash recovery prompt (reference splash CheckCrashRecovery)
+  api("/api/session").then((sess) => {
+    if (sess.backup_path) {
+      setStatus(`previous session crashed — backup at ${sess.backup_path}`);
+      const btn = document.createElement("button");
+      btn.textContent = "recover crash backup";
+      btn.onclick = () => api("/api/session/recover", {})
+        .then(() => location.reload());
+      $("#project-path").parentElement.appendChild(btn);
+    }
+  }).catch(() => {});
 
   $$(".pane[data-orient]").forEach(attachPane);
   attach3D();

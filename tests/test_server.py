@@ -428,6 +428,43 @@ def test_render_scene_slice_plane(server):
     assert code3 == 200
 
 
+def test_session_crash_recovery_endpoints(server, tmp_path):
+    """GET /api/session reports crash state; POST /api/session/recover
+    opens the auto-backup (reference splash CheckCrashRecovery)."""
+    from invesalius3_tpu.core.project import Project
+    from invesalius3_tpu.core.session import Session
+    from invesalius3_tpu.core.volume import Volume as Vol
+
+    # stage a crashed session with a backup in an isolated user dir
+    s = Session(user_dir=tmp_path / "cfg")
+    proj = Project()
+    proj.volume = Vol.from_numpy(np.full((4, 4, 4), 7, np.int16))
+    proj.name = "crashcase"
+    s.mark_running()
+    s.create_auto_backup(proj, interval_s=0.1)
+    import time as _t
+
+    _t.sleep(0.4)
+    s.stop_auto_backup()
+    # a NEW session object sees the unclean exit (simulated crash)
+    old = getattr(server.state, "_session", None)
+    orig_vol = server.state.slice.volume
+    server.state._session = Session(user_dir=tmp_path / "cfg")
+    try:
+        st = json.loads(_get(server, "/api/session")[2])
+        assert not st["exited_successfully_last_time"]
+        assert st["backup_path"] and st["backup_path"].endswith(".inv3")
+        code, r = _post(server, "/api/session/recover", {})
+        assert code == 200 and r["name"] == "crashcase"
+        assert r["shape"] == [4, 4, 4]
+    finally:  # restore the shared fixture volume for later tests
+        server.state._session = old
+        server.state.slice.load_new_volume(orig_vol)
+        server.state.slice.masks.clear()
+        server.state.slice.current_mask = None
+        server.state.surfaces = {}
+
+
 def test_histogram_endpoint(server):
     """GET /api/histogram returns the intensity histogram backing the
     WW/WL curve widget (reference clut_imagedata.py)."""

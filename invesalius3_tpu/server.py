@@ -929,6 +929,10 @@ def make_handler(state: AppState):
                     sess = getattr(state, "_session", None) or Session()
                     state._session = sess
                     sess.add_recent_project(path, proj.name)
+                    if sess.get_config("auto_backup", True):
+                        # keep backing up the open project (reference
+                        # session CreateAutoBackup)
+                        sess.create_auto_backup(proj)
                     self._json({"path": path, "masks": len(proj.mask_dict),
                                 "surfaces": len(proj.surface_dict),
                                 "measures": len(proj.measurement_dict)})

@@ -138,9 +138,11 @@ def main() -> None:
     log(f"warmup (incl. compile): {time.perf_counter() - t0:.2f}s — "
         f"{n_verts} verts, {n_tris} tris")
 
-    # timed run
+    # timed run: min of 3 — the relay's transfer throughput varies
+    # several-fold between moments (CLAUDE.md rule 15), and the export
+    # tail is transfer-bound
     times = []
-    for i in range(2):
+    for i in range(3):
         t0 = time.perf_counter()
         pipeline()
         times.append(time.perf_counter() - t0)

@@ -36,6 +36,7 @@ surface the viewers consumed:
   POST /api/mask/undo | /api/mask/redo     edition history
   POST /api/mask/{remove,duplicate,props}  data-notebook row ops
   POST /api/mask/fill_holes {"max_size"}   automatic hole fill
+  POST /api/image/{flip,swap,reorient}     Image-menu transforms
   POST /api/filter {"type","value",...}    new filtered image version
   POST /api/image_versions/select {"label"}
   POST /api/measures {"kind",...}          add linear/angular measurement
@@ -716,6 +717,28 @@ def make_handler(state: AppState):
                     if body.get("apply", True):
                         slc.apply_crop(box)
                     self._json({"limits": list(box.limits)})
+                elif self.path == "/api/image/flip":
+                    # Image menu: flip L-R / A-P / T-B (reference
+                    # slice_.py flip + frame.py menu)
+                    slc.flip_volume(int(body["axis"]))
+                    state.record_event("image.flipped",
+                                       {"axis": int(body["axis"])})
+                    self._json({"ok": True})
+                elif self.path == "/api/image/swap":
+                    a0, a1 = (int(x) for x in body["axes"])
+                    slc.swap_volume_axes(a0, a1)
+                    state.record_event("image.axes_swapped",
+                                       {"axes": [a0, a1]})
+                    self._json({"shape": list(slc.volume.shape)})
+                elif self.path == "/api/image/reorient":
+                    # rotate about the volume center + resample (reference
+                    # reorient dialog + slice_.py:1969)
+                    slc.apply_reorientation(
+                        angles=[float(a) for a in body["angles"]],
+                        interp_method=int(body.get("interp", 2)))
+                    state.record_event("image.reoriented",
+                                       {"angles": body["angles"]})
+                    self._json({"ok": True})
                 elif self.path == "/api/filter":
                     label = slc.apply_image_filter(
                         int(body["type"]), float(body.get("value", 1.0)),

@@ -993,6 +993,12 @@ async function init() {
   attach3D();
   $("#ov-mep").onchange = refresh3D;
   $("#ov-slice").onchange = refresh3D;
+  // Image-menu flips (reference frame.py Image menu)
+  [["#img-flip-z", 0], ["#img-flip-y", 1], ["#img-flip-x", 2]].forEach(
+    ([id, axis]) => {
+      $(id).onclick = () => api("/api/image/flip", { axis })
+        .then(() => { refreshSlices(); refresh3D(); });
+    });
   $("#ov-efield").onchange = refresh3D;
   refreshSlices();
   refresh3D();

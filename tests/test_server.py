@@ -428,6 +428,29 @@ def test_render_scene_slice_plane(server):
     assert code3 == 200
 
 
+def test_image_transform_endpoints():
+    """Image-menu flip / axis swap / reorient over HTTP (reference
+    frame.py menu + slice_.py flip/swap/apply_reorientation)."""
+    ct = np.zeros((8, 12, 16), np.int16)
+    ct[1, 2, 3] = 500  # asymmetric witness voxel
+    slc2 = Slice(Volume.from_numpy(ct, spacing=(1.0, 2.0, 3.0)))
+    srv = ViewerServer(slc2).start()
+    try:
+        code, r = _post(srv, "/api/image/flip", {"axis": 0})
+        assert code == 200
+        assert float(np.asarray(srv.state.slice.matrix)[6, 2, 3]) == 500
+        _, r = _post(srv, "/api/image/swap", {"axes": [0, 2]})
+        assert r["shape"] == [16, 12, 8]
+        assert float(np.asarray(srv.state.slice.matrix)[3, 2, 6]) == 500
+        code, r = _post(srv, "/api/image/reorient",
+                        {"angles": [0.0, 0.0, 0.3]})
+        assert code == 200
+        m = np.asarray(srv.state.slice.matrix)
+        assert m.shape == (16, 12, 8) and m.max() > 0  # resampled in place
+    finally:
+        srv.stop()
+
+
 def test_session_crash_recovery_endpoints(server, tmp_path):
     """GET /api/session reports crash state; POST /api/session/recover
     opens the auto-backup (reference splash CheckCrashRecovery)."""

@@ -35,6 +35,7 @@ surface the viewers consumed:
   POST /api/mask/select {"index"}          switch current mask
   POST /api/mask/undo | /api/mask/redo     edition history
   POST /api/mask/{remove,duplicate,props}  data-notebook row ops
+  POST /api/mask/{import,export} {"path"}  NIfTI label-map round trip
   POST /api/mask/fill_holes {"max_size"}   automatic hole fill
   POST /api/image/{flip,swap,reorient}     Image-menu transforms
   POST /api/filter {"type","value",...}    new filtered image version
@@ -717,6 +718,28 @@ def make_handler(state: AppState):
                     if body.get("apply", True):
                         slc.apply_crop(box)
                     self._json({"limits": list(box.limits)})
+                elif self.path == "/api/mask/import":
+                    # NIfTI label map -> new mask (reference control.py:264
+                    # mask import)
+                    m = slc.import_mask_from_nifti(
+                        body["path"], name=body.get("name", ""))
+                    self._json({"index": m.index, "name": m.name})
+                elif self.path == "/api/mask/export":
+                    # current/indexed mask -> NIfTI label map (reference
+                    # control.py:353 mask export)
+                    from invesalius3_tpu.io import nifti
+
+                    m = (slc.masks[int(body["index"])]
+                         if "index" in body else slc.current_mask)
+                    if m is None:
+                        raise ValueError(tr("no current mask"))
+                    lab = (np.asarray(m.visible_array())
+                           .astype(np.uint8) * 255)
+                    nifti.write_nifti(
+                        body["path"], lab, spacing=slc.spacing,
+                        affine=slc.volume.affine)
+                    self._json({"path": body["path"],
+                                "voxels": int((lab > 0).sum())})
                 elif self.path == "/api/image/flip":
                     # Image menu: flip L-R / A-P / T-B (reference
                     # slice_.py flip + frame.py menu)

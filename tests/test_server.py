@@ -428,6 +428,22 @@ def test_render_scene_slice_plane(server):
     assert code3 == 200
 
 
+def test_mask_nifti_import_export(server, tmp_path):
+    """Mask round-trip through NIfTI label maps over HTTP (reference
+    control.py:264/:353 mask import/export)."""
+    _, r = _post(server, "/api/threshold", {"tmin": 1000, "tmax": 2000})
+    p = str(tmp_path / "mask.nii.gz")
+    code, e = _post(server, "/api/mask/export", {"path": p})
+    assert code == 200 and e["voxels"] > 0
+    code, i = _post(server, "/api/mask/import", {"path": p,
+                                                 "name": "from_nifti"})
+    assert code == 200 and i["name"] == "from_nifti"
+    masks = json.loads(_get(server, "/api/masks")[2])
+    assert any(m["name"] == "from_nifti" for m in masks)
+    _post(server, "/api/mask/remove", {"index": i["index"]})
+    _post(server, "/api/mask/remove", {"index": r["index"]})
+
+
 def test_image_transform_endpoints():
     """Image-menu flip / axis swap / reorient over HTTP (reference
     frame.py menu + slice_.py flip/swap/apply_reorientation)."""

@@ -718,6 +718,21 @@ def make_handler(state: AppState):
                     if body.get("apply", True):
                         slc.apply_crop(box)
                     self._json({"limits": list(box.limits)})
+                elif self.path == "/api/mask/stats":
+                    # mask surface area + voxel density stats (reference
+                    # slice_.py calc_mask_area / control density tools)
+                    m = (slc.masks[int(body["index"])]
+                         if "index" in body else slc.current_mask)
+                    if m is None:
+                        raise ValueError(tr("no current mask"))
+                    mn, mx, mean, std = slc.calc_image_density(m)
+                    self._json({
+                        "index": m.index,
+                        "area_mm2": float(slc.calc_mask_area(m)),
+                        "voxels": int(np.asarray(m.visible_array()).sum()),
+                        "density": {"mean": float(mean), "min": float(mn),
+                                    "max": float(mx), "std": float(std)},
+                    })
                 elif self.path == "/api/mask/import":
                     # NIfTI label map -> new mask (reference control.py:264
                     # mask import)

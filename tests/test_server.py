@@ -428,6 +428,17 @@ def test_render_scene_slice_plane(server):
     assert code3 == 200
 
 
+def test_mask_stats_endpoint(server):
+    """POST /api/mask/stats: surface area + under-mask density stats
+    (reference calc_mask_area / calc_image_density)."""
+    _, r = _post(server, "/api/threshold", {"tmin": 1000, "tmax": 2000})
+    code, s = _post(server, "/api/mask/stats", {})
+    assert code == 200 and s["voxels"] > 0 and s["area_mm2"] > 0
+    assert 1000 <= s["density"]["min"] <= s["density"]["mean"] \
+        <= s["density"]["max"] <= 2000
+    _post(server, "/api/mask/remove", {"index": r["index"]})
+
+
 def test_mask_nifti_import_export(server, tmp_path):
     """Mask round-trip through NIfTI label maps over HTTP (reference
     control.py:264/:353 mask import/export)."""

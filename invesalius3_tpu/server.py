@@ -28,7 +28,9 @@ surface the viewers consumed:
   POST /api/window {"ww","wl"}             set the shared display window
   POST /api/projection {"type","slabs"}    set the shared projection mode
   POST /api/threshold {"tmin","tmax"}      create threshold mask
-  POST /api/floodfill {"seed":[z,y,x],...} region grow into the mask
+  POST /api/floodfill {"seed":[z,y,x],     region grow into the mask
+        "method":"threshold|dynamic|confidence",...}
+  POST /api/mask/stats {"index"?}          mask area + density stats
   POST /api/watershed {"markers":[...]}    watershed segmentation
   POST /api/boolean {"op","index1","index2"}  combine two masks
   POST /api/crop {"limits":[zi,zf,yi,yf,xi,xf]}  crop current mask
@@ -884,14 +886,32 @@ def make_handler(state: AppState):
                     state.record_event("mask.created", {"index": m.index, "voxels": n})
                     self._json({"index": m.index, "voxels": n})
                 elif self.path == "/api/floodfill":
+                    # region grow: threshold / dynamic-range / confidence
+                    # (reference styles.py:3015 FFillSegmentationConfig
+                    # methods)
                     from invesalius3_tpu.ops import floodfill
 
                     import jax.numpy as jnp
 
                     seed = tuple(body["seed"])
-                    seeds = jnp.zeros(slc.matrix.shape, jnp.bool_).at[seed].set(True)
-                    reached = floodfill.floodfill_threshold(
-                        slc.matrix, seeds, body["tmin"], body["tmax"])
+                    method = body.get("method", "threshold")
+                    if method == "dynamic":
+                        reached = floodfill.region_grow_dynamic(
+                            slc.matrix, seed,
+                            float(body.get("dev_min", 25.0)),
+                            float(body.get("dev_max", 25.0)),
+                            use_ww_wl=bool(body.get("use_ww_wl", False)),
+                            ww=slc.window_width, wl=slc.window_level)
+                    elif method == "confidence":
+                        reached = floodfill.region_grow_confidence(
+                            slc.matrix, seed,
+                            mult=float(body.get("mult", 2.5)),
+                            iters=int(body.get("iters", 3)))
+                    else:
+                        seeds = jnp.zeros(slc.matrix.shape,
+                                          jnp.bool_).at[seed].set(True)
+                        reached = floodfill.floodfill_threshold(
+                            slc.matrix, seeds, body["tmin"], body["tmax"])
                     mask = slc.current_mask or slc.create_new_mask(apply_threshold=False)
                     mask.apply(floodfill.apply_fill(
                         mask.data, reached, body.get("fill", 254)))

@@ -428,6 +428,20 @@ def test_render_scene_slice_plane(server):
     assert code3 == 200
 
 
+def test_floodfill_methods(server):
+    """Region-grow methods over HTTP: dynamic range + confidence
+    (reference FFillSegmentationConfig styles.py:2991-3015)."""
+    _post(server, "/api/threshold", {"tmin": 1000, "tmax": 2000})
+    code, r = _post(server, "/api/floodfill",
+                    {"seed": [8, 12, 12], "method": "dynamic",
+                     "dev_min": 300, "dev_max": 300})
+    assert code == 200 and r["voxels"] > 0
+    code, r2 = _post(server, "/api/floodfill",
+                     {"seed": [8, 12, 12], "method": "confidence",
+                      "mult": 2.5, "iters": 2})
+    assert code == 200 and r2["voxels"] > 0
+
+
 def test_mask_stats_endpoint(server):
     """POST /api/mask/stats: surface area + under-mask density stats
     (reference calc_mask_area / calc_image_density)."""

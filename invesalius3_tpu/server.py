@@ -31,6 +31,7 @@ surface the viewers consumed:
   POST /api/floodfill {"seed":[z,y,x],     region grow into the mask
         "method":"threshold|dynamic|confidence",...}
   POST /api/mask/stats {"index"?}          mask area + density stats
+  POST /api/mask/part {"seed","op"}        select/remove connected part
   POST /api/watershed {"markers":[...]}    watershed segmentation
   POST /api/boolean {"op","index1","index2"}  combine two masks
   POST /api/crop {"limits":[zi,zf,yi,yf,xi,xf]}  crop current mask
@@ -720,6 +721,24 @@ def make_handler(state: AppState):
                     if body.get("apply", True):
                         slc.apply_crop(box)
                     self._json({"limits": list(box.limits)})
+                elif self.path == "/api/mask/part":
+                    # select / remove a connected mask part by seed click
+                    # (reference styles.py:2572/2708 Remove/SelectMaskParts)
+                    from invesalius3_tpu.ops import connected, floodfill
+
+                    m = slc.current_mask
+                    if m is None:
+                        raise ValueError(tr("no current mask"))
+                    import jax.numpy as jnp
+
+                    part = connected.select_part(m.data, tuple(body["seed"]))
+                    erased = jnp.uint8(const.MASK_ERASED)
+                    if body.get("op", "select") == "remove":
+                        new = jnp.where(part, erased, m.data)
+                    else:  # keep only the clicked part
+                        new = jnp.where(part, m.data, erased)
+                    m.apply(new)
+                    self._json({"voxels": int(np.asarray(part).sum())})
                 elif self.path == "/api/mask/stats":
                     # mask surface area + voxel density stats (reference
                     # slice_.py calc_mask_area / control density tools)

@@ -428,6 +428,21 @@ def test_render_scene_slice_plane(server):
     assert code3 == 200
 
 
+def test_mask_part_select_remove(server):
+    """Connected-part select/remove by seed click (reference styles.py
+    Select/RemoveMaskParts)."""
+    _, r = _post(server, "/api/threshold", {"tmin": 1000, "tmax": 2000})
+    code, sel = _post(server, "/api/mask/part",
+                      {"seed": [8, 12, 12], "op": "remove"})
+    assert code == 200 and sel["voxels"] > 0
+    _, st = _post(server, "/api/mask/stats", {})
+    assert st["voxels"] == 0  # single sphere component fully removed
+    _, _ = _post(server, "/api/mask/undo", {})
+    _, st2 = _post(server, "/api/mask/stats", {})
+    assert st2["voxels"] == sel["voxels"]  # undo restores the part
+    _post(server, "/api/mask/remove", {"index": r["index"]})
+
+
 def test_floodfill_methods(server):
     """Region-grow methods over HTTP: dynamic range + confidence
     (reference FFillSegmentationConfig styles.py:2991-3015)."""

@@ -32,6 +32,7 @@ surface the viewers consumed:
         "method":"threshold|dynamic|confidence",...}
   POST /api/mask/stats {"index"?}          mask area + density stats
   POST /api/mask/part {"seed","op"}        select/remove connected part
+  POST /api/mask/cut3d {"polygon",...}     3D polygon cut via scene camera
   POST /api/watershed {"markers":[...]}    watershed segmentation
   POST /api/boolean {"op","index1","index2"}  combine two masks
   POST /api/crop {"limits":[zi,zf,yi,yf,xi,xf]}  crop current mask
@@ -721,6 +722,64 @@ def make_handler(state: AppState):
                     if body.get("apply", True):
                         slc.apply_crop(box)
                     self._json({"limits": list(box.limits)})
+                elif self.path == "/api/mask/cut3d":
+                    # screen-space polygon cut of the mask in the 3D scene
+                    # (reference Mask3DEditorState mask3d_editor_state.py:18
+                    # + mask_cut.rs): polygon in render_scene pixel coords
+                    # for the given azimuth/elevation/size
+                    import jax.numpy as jnp
+
+                    from invesalius3_tpu.ops import rasterize, render_mesh
+
+                    m = slc.current_mask
+                    if m is None:
+                        raise ValueError(tr("no current mask"))
+                    size = int(body.get("size", 256))
+                    az = float(body.get("azimuth", 30))
+                    el = float(body.get("elevation", 20))
+                    # the scene frames the visible surfaces; fall back to
+                    # the volume bounds when none exist
+                    surfs = [s for s in state.surfaces.values()
+                             if s.is_shown]
+                    if surfs:
+                        pts = np.concatenate([s.vertices for s in surfs])
+                    else:
+                        Zs, Ys, Xs = slc.volume.shape
+                        szs, sys_, sxs = (slc.spacing[2], slc.spacing[1],
+                                          slc.spacing[0])
+                        pts = np.array([[0, 0, 0],
+                                        [Xs * sxs, Ys * sys_, Zs * szs]],
+                                       np.float32)
+                    center = (pts.min(0) + pts.max(0)) / 2.0
+                    vm = render_mesh.view_matrix(az, el)
+                    proj = (pts - center) @ vm.T
+                    extent = float(np.abs(proj[:, :2]).max()) * 2.1 + 1e-3
+                    scale = size / extent
+                    a = 2.0 * scale / (size - 1)
+                    b = size / (size - 1.0) - 1.0
+                    mproj = np.zeros((4, 4), np.float32)
+                    mproj[0, :3] = a * vm[0]
+                    mproj[0, 3] = -a * float(vm[0] @ center) + b
+                    mproj[1, :3] = -a * vm[1]
+                    mproj[1, 3] = a * float(vm[1] @ center) + b
+                    mproj[3, 3] = 1.0
+                    eye = center - vm[2] * extent
+                    mv = np.eye(4, dtype=np.float32)
+                    mv[:3, :3] = vm
+                    mv[:3, 3] = -(vm @ eye)
+                    poly = rasterize.polygon2mask(
+                        (size, size),
+                        jnp.asarray([[float(c), float(r)]
+                                     for c, r in body["polygon"]])).T
+                    before = int(np.asarray(m.visible_array()).sum())
+                    new = rasterize.mask_cut(
+                        m.data, slc.spacing,
+                        float(body.get("max_depth", 1e9)),
+                        poly, jnp.asarray(mproj), jnp.asarray(mv),
+                        edit_mode=int(body.get("edit_mode", 1)))
+                    m.apply(new)
+                    after = int(np.asarray(m.visible_array()).sum())
+                    self._json({"cut_voxels": before - after})
                 elif self.path == "/api/mask/part":
                     # select / remove a connected mask part by seed click
                     # (reference styles.py:2572/2708 Remove/SelectMaskParts)

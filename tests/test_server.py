@@ -428,6 +428,26 @@ def test_render_scene_slice_plane(server):
     assert code3 == 200
 
 
+def test_mask_cut3d(server):
+    """Screen-space polygon cut of the mask through the 3D scene camera
+    (reference Mask3DEditorState + mask_cut)."""
+    _, r = _post(server, "/api/threshold", {"tmin": 1000, "tmax": 2000})
+    _, st0 = _post(server, "/api/mask/stats", {})
+    # left half of a 128px scene at a frontal view cuts ~half the sphere
+    code, c = _post(server, "/api/mask/cut3d",
+                    {"polygon": [[0, 0], [63, 0], [63, 127], [0, 127]],
+                     "azimuth": 0, "elevation": 0, "size": 128})
+    assert code == 200 and 0 < c["cut_voxels"] < st0["voxels"]
+    frac = c["cut_voxels"] / st0["voxels"]
+    assert 0.25 < frac < 0.75
+    _, st1 = _post(server, "/api/mask/stats", {})
+    assert st1["voxels"] == st0["voxels"] - c["cut_voxels"]
+    _post(server, "/api/mask/undo", {})
+    _, st2 = _post(server, "/api/mask/stats", {})
+    assert st2["voxels"] == st0["voxels"]
+    _post(server, "/api/mask/remove", {"index": r["index"]})
+
+
 def test_mask_part_select_remove(server):
     """Connected-part select/remove by seed click (reference styles.py
     Select/RemoveMaskParts)."""

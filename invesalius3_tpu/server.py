@@ -50,7 +50,9 @@ surface the viewers consumed:
   POST /api/brush {"strokes","radius_mm"}  paint/erase a brush stroke
   POST /api/segment/dl {"model","threshold"}   start a DL segmentation
         job (brain/trachea/mandible/implant); /status polls progress and
-        lands the mask; /cancel stops it (reference DL seg dialogs)
+        lands the mask; /cancel stops it; /threshold rethresholds the
+        cached probability without re-inference (reference DL seg dialogs
+        + segmentation/deep_learning/segment.py:350)
   POST /api/surface {"algorithm",...}      create surface from the mask
   POST /api/surface/import {"path",...}    import a mesh file (+hole fill)
   GET  /api/surfaces                       surface list (props + metrics)
@@ -130,6 +132,10 @@ class AppState:
         self.recent_events = []
         self.measures = MeasurementManager(bus=slc.bus)
         self.lock = threading.Lock()  # serializes state-changing POSTs
+
+        from invesalius3_tpu.utils import logging as ilog
+
+        ilog.ensure_logging(console=False)  # feed the /api/log ring
 
         self.last_scene = None  # latest navigation.update_scene payload
         self.last_efield = None  # latest navigation.efield payload
@@ -367,6 +373,29 @@ def make_handler(state: AppState):
                     state._session = sess
                     self._json({"config": dict(sess.config),
                                 "recent_projects": sess.recent_projects})
+                elif url.path == "/api/log":
+                    # log-viewer surface over the in-memory ring (reference
+                    # enhanced_logging.py:177-212 LogViewerFrame: level
+                    # filter, component filter, search, export)
+                    from invesalius3_tpu.utils import logging as ilog
+
+                    self._json(ilog.query_log(
+                        level=q.get("level"),
+                        component=q.get("component"),
+                        search=q.get("q"),
+                        limit=int(q.get("limit", 500))))
+                elif url.path == "/api/log/export":
+                    from invesalius3_tpu.utils import logging as ilog
+
+                    text = "\n".join(ilog.recent_log_lines()) + "\n"
+                    data = text.encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/plain")
+                    self.send_header("Content-Disposition",
+                                     "attachment; filename=invesalius3_tpu.log")
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
                 elif url.path == "/api/nav/status":
                     nav = state.nav
                     coords, flags = (nav.tracker.get_coordinates()
@@ -1532,6 +1561,7 @@ def make_handler(state: AppState):
                         m.data = (np.asarray(job.mask) > 0).astype(
                             np.uint8) * 255
                         job.mask_added = True
+                        job.mask_index = m.index
                         out["mask_index"] = m.index
                         if (job.model_kind == "subpart"
                                 and getattr(job, "structures", None)):
@@ -1547,6 +1577,33 @@ def make_handler(state: AppState):
                                 extra.append(sm.index)
                             out["structure_mask_indices"] = extra
                     self._json(out)
+                elif self.path == "/api/segment/dl/threshold":
+                    # Interactive rethreshold of the LAST DL job's cached
+                    # probability volume -- no re-inference (reference
+                    # segment.py:350 apply_segment_threshold keeps the
+                    # probability memmap and rethresholds on slider moves).
+                    job = getattr(state, "_dl_job", None)
+                    if job is None or job.probability is None:
+                        self._json({"error": tr("no finished DL job")}, 404)
+                        return
+                    thr = float(body.get("threshold", 0.5))
+                    if getattr(job, "model_kind", "") == "subpart":
+                        # labelmap rides in the probability slot: any
+                        # nonzero structure is foreground, threshold n/a
+                        newmask = (job.probability > 0).astype(np.uint8) * 255
+                    else:
+                        newmask = np.where(
+                            job.probability >= thr, 255, 0).astype(np.uint8)
+                    job.mask = newmask
+                    job.threshold = thr
+                    midx = getattr(job, "mask_index", None)
+                    if midx is not None and midx in slc.masks:
+                        slc.masks[midx].data = newmask
+                    state.record_event("segment.rethreshold",
+                                       {"threshold": thr})
+                    self._json({"ok": True, "threshold": thr,
+                                "mask_index": midx,
+                                "voxels": int((newmask > 0).sum())})
                 elif self.path == "/api/segment/dl/cancel":
                     job = getattr(state, "_dl_job", None)
                     if job is not None:

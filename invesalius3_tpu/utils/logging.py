@@ -32,9 +32,22 @@ class InMemoryHandler(logging.Handler):
     def __init__(self, capacity: int = 2000):
         super().__init__()
         self.records: Deque[str] = deque(maxlen=capacity)
+        # structured view for the log API / viewer panel (reference
+        # LogViewerFrame filter-by-level + search, enhanced_logging.py:212)
+        self.entries: Deque[dict] = deque(maxlen=capacity)
 
     def emit(self, record: logging.LogRecord) -> None:
         self.records.append(self.format(record))
+        comp = record.name
+        if comp.startswith(LOGGER_NAME):
+            comp = comp[len(LOGGER_NAME):].lstrip(".") or "app"
+        self.entries.append({
+            "ts": record.created,
+            "level": record.levelname,
+            "levelno": record.levelno,
+            "component": comp,
+            "message": record.getMessage(),
+        })
 
     def dump(self) -> list:
         return list(self.records)
@@ -68,6 +81,13 @@ def setup_logging(level: int = logging.INFO, log_dir: Optional[Path] = None,
     return logger
 
 
+def ensure_logging(**kw) -> None:
+    """Idempotent setup: install the in-memory ring if absent so the log
+    API always has a source, without clobbering an explicit setup."""
+    if _memory_handler is None:
+        setup_logging(**kw)
+
+
 def get_logger(component: str = "") -> logging.Logger:
     name = f"{LOGGER_NAME}.{component}" if component else LOGGER_NAME
     return logging.getLogger(name)
@@ -75,6 +95,26 @@ def get_logger(component: str = "") -> logging.Logger:
 
 def recent_log_lines() -> list:
     return _memory_handler.dump() if _memory_handler else []
+
+
+def query_log(level: Optional[str] = None, component: Optional[str] = None,
+              search: Optional[str] = None, limit: int = 500) -> list:
+    """Filtered view of the in-memory ring for the log API / viewer panel
+    (reference enhanced_logging.py:177-212 LogViewerFrame: level filter,
+    text search, export)."""
+    if _memory_handler is None:
+        return []
+    entries = list(_memory_handler.entries)
+    if level:
+        min_no = logging.getLevelName(level.upper())
+        if isinstance(min_no, int):
+            entries = [e for e in entries if e["levelno"] >= min_no]
+    if component:
+        entries = [e for e in entries if component in e["component"]]
+    if search:
+        s = search.lower()
+        entries = [e for e in entries if s in e["message"].lower()]
+    return entries[-int(limit):]
 
 
 # ---------------------------------------------------------------------------

@@ -604,6 +604,36 @@ function initDLSegmentation() {
     stopPoll();
     setStatus("DL segmentation cancelled");
   };
+  // slider-speed rethreshold of the cached probability volume — no
+  // re-inference (reference segment.py apply_segment_threshold :350)
+  $("#dl-thr").onchange = async () => {
+    const r = await api("/api/segment/dl/threshold",
+      { threshold: +$("#dl-thr").value }).catch(() => null);
+    if (r) {
+      setStatus(`rethreshold @ ${r.threshold}: ` +
+        `${r.voxels.toLocaleString()} voxels`);
+      refreshSlices();
+    }
+  };
+}
+
+// --- log panel (reference enhanced_logging.py LogViewerFrame) ----------------
+
+async function refreshLog() {
+  const lvl = $("#log-level").value;
+  const q = $("#log-search").value;
+  const entries = await api(`/api/log?level=${lvl}&limit=200` +
+    (q ? `&q=${encodeURIComponent(q)}` : ""));
+  $("#log-lines").textContent = entries.map((e) =>
+    `${new Date(e.ts * 1000).toLocaleTimeString()} ` +
+    `${e.level} ${e.component}: ${e.message}`).join("\n");
+}
+
+function initLog() {
+  $("#log-refresh").onclick = () => refreshLog().catch(() => {});
+  $("#log-search").onchange = () => refreshLog().catch(() => {});
+  $("#log-level").onchange = () => refreshLog().catch(() => {});
+  refreshLog().catch(() => {});
 }
 
 // --- navigation panel (reference task_navigator.py workflow) ----------------
@@ -974,6 +1004,7 @@ async function init() {
     api("/api/overlay/clear", {}).then(() => refreshSlices());
 
   initDLSegmentation();
+  initLog();
   initNavigation();
   initPacs();
   initPreferences().catch(() => {});

@@ -24,6 +24,23 @@ def test_logging_ring_and_span(tmp_path):
     assert (tmp_path / "invesalius3_tpu.log").exists()
 
 
+def test_query_log_filters(tmp_path):
+    """Structured ring query: level/component/search filters (reference
+    enhanced_logging.py:177-212 LogViewerFrame)."""
+    ilog.setup_logging(level=logging.DEBUG, log_dir=tmp_path, console=False)
+    ilog.get_logger("io").debug("reading slices")
+    ilog.get_logger("io").warning("bad header in file_7")
+    ilog.get_logger("perf").info("[PERF] stageX: 0.1s")
+    assert any(e["component"] == "io" and e["level"] == "WARNING"
+               for e in ilog.query_log(level="WARNING"))
+    assert all(e["levelno"] >= logging.WARNING
+               for e in ilog.query_log(level="WARNING"))
+    assert all(e["component"] == "perf" for e in ilog.query_log(component="perf"))
+    hits = ilog.query_log(search="file_7")
+    assert len(hits) == 1 and "bad header" in hits[0]["message"]
+    assert len(ilog.query_log(limit=2)) == 2
+
+
 def test_timing_decorator():
     @ilog.timing
     def f(x):

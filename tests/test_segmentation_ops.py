@@ -197,6 +197,59 @@ def test_watershed_two_blobs_criterion_exact():
     assert (got[6, :12, 6] == 1).all() and (got[6, 12:, 6] == 2).all()
 
 
+def test_watershed_scipy_oracle_ct_phantom():
+    """Reference-oracle agreement on a realistic CT phantom (VERDICT r3 #8):
+    single-device watershed vs ``scipy.ndimage.watershed_ift`` — the exact
+    solver the reference runs (watershed_process.py:19) — on a two-tissue
+    noisy CT, asserting voxel-identical labels on every off-plateau voxel
+    and bounding the plateau (tie) fraction.  Ties are schedule-dependent
+    in every IFT solver (scipy's flood order vs our sweep order), so only
+    strictly-decided voxels are comparable."""
+    r = np.random.default_rng(7)
+    zz, yy, xx = np.mgrid[:24, :48, :48].astype(np.float32)
+    rad = np.sqrt((zz - 12) ** 2 + (yy - 24) ** 2 + (xx - 24) ** 2)
+    ct = np.full((24, 48, 48), -1000.0, np.float32)      # air
+    ct[rad < 20] = 40.0                                   # soft tissue
+    ct[(rad >= 16) & (rad < 20)] = 1200.0                 # bone shell
+    ct += r.normal(0.0, 12.0, ct.shape)                   # acquisition noise
+    # the reference segments on the gaussian-smoothed gradient magnitude
+    # (watershed_process.py do_watershed: gaussian_filter -> morphological
+    # gradient as the relief)
+    relief = ndimage.morphological_gradient(
+        ndimage.gaussian_filter(ct, 1.0), size=3)
+    relief = np.clip(relief, 0, 65535).astype(np.uint16)
+    markers = np.zeros(ct.shape, np.int16)
+    markers[12, 24, 24] = 1        # inside soft tissue
+    markers[12, 2, 2] = 2          # air background
+    got = np.asarray(watershed.watershed_ift(relief, markers))
+    want = ndimage.watershed_ift(relief, markers.astype(np.int32))
+    c1 = _minimax_cost(relief, markers == 1)
+    c2 = _minimax_cost(relief, markers == 2)
+    decided = c1 != c2
+    plateau_frac = 1.0 - decided.mean()
+    # measured on this phantom: 11.5% of voxels tie — the divide is the
+    # whole gradient band of the bone shell, where both basins' minimax
+    # cost equals the ridge peak (scaling the relief x8 before the uint16
+    # cast leaves this unchanged, so it is geometry, not quantization).
+    # Bound it so phantom drift gets caught.
+    assert plateau_frac < 0.15, plateau_frac
+    # scipy may violate the minimax criterion near borders (documented
+    # above); restrict the identity check to voxels where scipy itself is
+    # criterion-consistent, and separately require our kernel to be exact
+    argmin = np.where(c1 < c2, 1, 2)
+    np.testing.assert_array_equal(got[decided], argmin[decided])
+    scipy_ok = want[decided] == argmin[decided]
+    agree = (got[decided] == want[decided]).mean()
+    # measured: scipy is criterion-consistent on 96.95% of decided voxels
+    # (its IFT propagates along first-found paths and mislabels ~3% near
+    # the divide — the violation the docstrings above document); wherever
+    # scipy IS criterion-consistent we are voxel-identical to it.
+    assert scipy_ok.mean() > 0.95
+    assert agree > 0.95, agree
+    np.testing.assert_array_equal(
+        got[decided][scipy_ok], want[decided][scipy_ok])
+
+
 def test_brush_paint_sphere():
     mask = np.zeros((16, 16, 16), np.uint8)
     brush = morphology.brush_element(3.0, (1.0, 1.0, 1.0), "circle", dims=3)

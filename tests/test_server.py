@@ -1041,6 +1041,17 @@ def test_dl_segmentation_job_endpoints(server):
     # second status poll does not re-add the mask
     _, st2 = _post(server, "/api/segment/dl/status", {})
     assert "mask_index" not in st2
+    # interactive rethreshold: slider-speed, no re-inference (reference
+    # segment.py:350 apply_segment_threshold on the cached probability)
+    code, lo = _post(server, "/api/segment/dl/threshold", {"threshold": 0.01})
+    assert code == 200 and lo["mask_index"] == st["mask_index"]
+    code, hi = _post(server, "/api/segment/dl/threshold", {"threshold": 0.99})
+    assert code == 200
+    # random-init probabilities span (0,1): lower threshold keeps >= voxels,
+    # and the mask object in state reflects the LAST rethreshold
+    assert lo["voxels"] >= hi["voxels"]
+    m = server.state.slice.masks[st["mask_index"]]
+    assert int((np.asarray(m.data) > 0).sum()) == hi["voxels"]
 
 
 def test_dl_subpart_job_lands_structure_masks(server):
@@ -1071,6 +1082,26 @@ def test_dl_subpart_job_lands_structure_masks(server):
     for idx in st.get("structure_mask_indices", []):
         assert idx in names
     assert len(masks) > len(n_before)
+
+
+def test_log_endpoint_and_export(server):
+    """Log-viewer API over the in-memory ring: level/search filters + text
+    export (reference enhanced_logging.py:177-212 LogViewerFrame)."""
+    from invesalius3_tpu.utils import logging as ilog
+
+    ilog.get_logger("server").info("log-panel probe message")
+    ilog.get_logger("server").warning("log-panel WARN probe")
+    code, _, body = _get(server, "/api/log?limit=50")
+    assert code == 200
+    entries = json.loads(body)
+    assert any("log-panel probe message" == e["message"] for e in entries)
+    code, _, body = _get(server, "/api/log?level=WARNING")
+    assert all(e["levelno"] >= 30 for e in json.loads(body))
+    code, _, body = _get(server, "/api/log?q=WARN%20probe")
+    assert len(json.loads(body)) >= 1
+    code, ctype, body = _get(server, "/api/log/export")
+    assert code == 200 and ctype == "text/plain"
+    assert b"log-panel probe message" in body
 
 
 def test_pacs_echo_endpoint_unreachable(server):

@@ -75,7 +75,11 @@ def main() -> None:
     log(f"bench: {n}^3 CT on {jax.devices()[0].platform} ({jax.devices()[0]})")
 
     ct_host = make_ct(n)
+    t0 = time.perf_counter()
     ct = jnp.asarray(ct_host)
+    _ = float(jnp.sum(ct.astype(jnp.float32)))  # force real transfer+exec
+    h2d_mbps = round(ct_host.nbytes / 1e6 / (time.perf_counter() - t0), 1)
+    log(f"h2d: {h2d_mbps} MB/s (relay weather; rule 15)")
 
     markers = np.zeros(ct_host.shape, np.int16)
     c = n // 2
@@ -155,6 +159,11 @@ def main() -> None:
         "value": round(voxels / t, 1),
         "unit": "voxels/s",
         "vs_baseline": round(t / 1.0, 4),  # target: 1.0 s
+        # relay-weather context (CLAUDE.md rule 15): a slow h2d session can
+        # inflate the transfer-bound export tail by seconds — record it so
+        # compute regressions are distinguishable from bad relay sessions
+        "h2d_MBps": h2d_mbps,
+        "runs_s": [round(x, 3) for x in times],
     }
     print(json.dumps(result), flush=True)
 

@@ -1,8 +1,11 @@
 """Fine-grained stage profiler for the 512^3 headline pipeline (stderr
-diagnostics only — bench.py remains the official metric)."""
+diagnostics; the warm round's stage times are also written to
+``.bench_stages.json`` for ``tools/project8.py``'s v5e-8 projection —
+bench.py remains the official metric)."""
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -35,10 +38,12 @@ def synced(x):
 class T:
     def __init__(self):
         self.t0 = time.perf_counter()
+        self.stages = {}  # key -> seconds (warm round overwrites cold)
 
-    def lap(self, name):
+    def lap(self, name, key=None):
         t = time.perf_counter()
         log(f"  {name}: {t - self.t0:.3f}s")
+        self.stages[key or name.split(" ")[0]] = round(t - self.t0, 4)
         self.t0 = t
 
 
@@ -59,6 +64,7 @@ def main():
     markers[c, c, c] = 2
     markers[2, 2, 2] = 3
 
+    tm = None
     for rnd in range(2):
         log(f"--- round {rnd} ({'cold' if rnd == 0 else 'warm'}) ---")
         tm = T()
@@ -66,6 +72,8 @@ def main():
         markers_j = jnp.asarray(markers)
         synced(ct)
         tm.lap("h2d")
+        tm.stages["h2d_MBps"] = round(
+            2 * ct_host.nbytes / 1e6 / max(tm.stages["h2d"], 1e-9), 1)
 
         labels = watershed.watershed(ct, markers_j, algorithm="Watershed")
         synced(labels)
@@ -80,7 +88,8 @@ def main():
 
         dm = marching.mask_to_surface_device(mask, spacing=(0.5, 0.5, 0.5))
         synced([dm.verts3v, dm.faces3t, dm.order])
-        tm.lap(f"mc device (V={dm.n_verts} T={dm.n_tris})")
+        tm.lap(f"mc device (V={dm.n_verts} T={dm.n_tris})", key="mc")
+        tm.stages["n_verts"], tm.stages["n_tris"] = dm.n_verts, dm.n_tris
 
         normals3f = mesh_ops._face_normals_3t(dm.verts3v, dm.faces3t)
         synced(normals3f)
@@ -117,13 +126,20 @@ def main():
         import dataclasses as _dc
         dm2 = _dc.replace(dm, verts3v=out3v)
         smoothed, faces = marching.mesh_to_host(dm2)
-        tm.lap(f"mesh_to_host packed (V={len(smoothed)} F={len(faces)})")
+        tm.lap(f"mesh_to_host packed (V={len(smoothed)} F={len(faces)})",
+               key="mesh_to_host")
 
         from invesalius3_tpu.io import mesh_io
         import tempfile
         outp = os.path.join(tempfile.gettempdir(), "bench_out.stl")
         mesh_io.write_stl(outp, smoothed, faces)
-        tm.lap(f"stl write ({os.path.getsize(outp)/1e6:.0f}MB)")
+        tm.lap(f"stl write ({os.path.getsize(outp)/1e6:.0f}MB)", key="stl")
+
+    out_json = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            ".bench_stages.json")
+    with open(out_json, "w") as fh:
+        json.dump({"size": n, "stages": tm.stages}, fh, indent=1)
+    log(f"wrote {out_json}")
 
 
 if __name__ == "__main__":

@@ -423,22 +423,29 @@ def _materialize(
     return pts, keys
 
 
-@partial(jax.jit, static_argnames=())
-def _dedup_vertices(pts: jax.Array, keys: jax.Array):
-    """Device-side shared-vertex dedup by lattice-edge key.
+@jax.jit
+def _dedup_structure(keys: jax.Array):
+    """Device-side shared-vertex dedup by lattice-edge key — structure only.
 
-    pts: (3 zyx, M) float32, keys: (M,) int32 lattice-edge ids
-    (invalid slots = -1, one group at the front after sorting).
-    Returns (verts (3, M) padded, inverse (M,) int32 group ids, n_groups,
-    order (M,) sorted-corner permutation, group_of_sorted (M,)).
+    keys: (M,) int32 lattice-edge ids (invalid slots = -1, one group at the
+    front after sorting).  Returns (inverse (M,) corner -> group id,
+    n_groups, order (M,) sorted-corner permutation, group_of_sorted (M,),
+    starts (M,) sorted-position of each group's first corner (pad = junk),
+    sorted_valid (M,) bool).
 
     The single int32 key (vs an endpoint pair) halves the sort payload —
     one sort_key_val pass.  The sort byproducts are the mesh's
     vertex-incidence structure for free: corners sorted by owning vertex
     (``order``) with group ids (``group_of_sorted``) — ca_smoothing's
     adjacency build reuses them instead of paying its own lexsort.
+
+    Coordinates are NOT gathered here: the caller reads n_groups to the
+    host (it sizes every downstream bucket anyway) and gathers vertex
+    coordinates at the V_pad bucket, not at M — at 512^3 that replaces a
+    3 x 22M-index gather with a 3 x ~4M one (gathers cost ~6 ns/index on
+    this TPU regardless of width, so the cut is ~0.3 s).
     """
-    M = pts.shape[1]
+    M = keys.shape[0]
     arange = jnp.arange(M, dtype=jnp.int32)
     _, order = jax.lax.sort_key_val(keys, arange)
     ks = keys[order]
@@ -458,9 +465,32 @@ def _dedup_vertices(pts: jax.Array, keys: jax.Array):
     #    position g holds the sorted-position of group g's first corner.
     start_key = jnp.where(new_group == 1, group_of_sorted, M + arange)
     _, starts = jax.lax.sort_key_val(start_key, arange)
-    rep = order[starts]  # (M,) original corner id per group (pad = junk)
-    verts = pts[:, rep]
     n_groups = group_of_sorted[-1] + 1
+    return inverse, n_groups, order, group_of_sorted, starts, ks >= 0
+
+
+@partial(jax.jit, static_argnames=("V_pad",))
+def _gather_verts_bucket(pts: jax.Array, order: jax.Array, starts: jax.Array,
+                         V_pad: int):
+    """Gather each group's representative corner coordinates, sized to the
+    V_pad bucket (not M).  pts: (3 zyx, M); returns (3, V_pad)."""
+    M = pts.shape[1]
+    k = min(V_pad, M)
+    rep = order[starts[:k]]  # (k,) original corner id per group
+    verts = pts[:, rep]
+    if V_pad > M:
+        verts = jnp.pad(verts, ((0, 0), (0, V_pad - M)))
+    return verts
+
+
+def _dedup_vertices(pts: jax.Array, keys: jax.Array):
+    """Full-M dedup (coordinates gathered at M) — kept for the sharded
+    extraction, where everything lives inside one shard_map program and no
+    host-side bucket read is possible.  Single-device callers use
+    _dedup_structure + _gather_verts_bucket instead."""
+    M = pts.shape[1]
+    inverse, n_groups, order, group_of_sorted, starts, _ = _dedup_structure(keys)
+    verts = pts[:, order[starts]]
     return verts, inverse, n_groups, order, group_of_sorted
 
 
@@ -566,17 +596,15 @@ def marching_cubes_device(
     pts_m = pts.transpose(1, 0, 2).reshape(3, 3 * T)  # (3 zyx, M)
     keys_m = keys.reshape(3 * T)  # (M,) corner-major
 
-    verts_d, inverse_d, n_groups, order, group_of_sorted = _dedup_vertices(
-        pts_m, keys_m)
+    (inverse_d, n_groups, order, group_of_sorted, starts,
+     sorted_valid) = _dedup_structure(keys_m)
     n_groups = int(n_groups)
     # the invalid-slot group (keys == -1 sorts first) is one orphan vertex
     # when padding slots exist; valid faces never reference it.
     V_pad = max(1024, _round_bucket(n_groups))
+    verts_zyx = _gather_verts_bucket(pts_m, order, starts, V_pad)
     verts3v, faces3t = _finalize_device(
-        verts_d[:, :V_pad] if V_pad <= verts_d.shape[1]
-        else jnp.pad(verts_d, ((0, 0), (0, V_pad - verts_d.shape[1]))),
-        inverse_d, T, tuple(spacing), tuple(origin_shift))
-    sorted_valid = keys_m[order] >= 0
+        verts_zyx, inverse_d, T, tuple(spacing), tuple(origin_shift))
     return DeviceMesh(
         verts3v=verts3v, faces3t=faces3t, n_verts=n_groups, n_tris=n_tris,
         inverse=inverse_d, order=order, group_of_sorted=group_of_sorted,

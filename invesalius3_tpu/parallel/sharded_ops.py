@@ -173,7 +173,8 @@ def sharded_watershed(mesh: Mesh, connectivity: int = 6,
     n_shards = mesh.shape[axis_name]
 
     def local(image, markers, mg_z, mg_y, mg_x, use_gradient, n_levels,
-              debug_rank=False):
+              debug_rank=False, debug_rounds=False):
+        rounds_per_level = []  # one traced counter per multigrid level
         # f: shifted-to-positive image, optional morphological gradient
         img = (image - jax.lax.pmin(jnp.min(image), axis_name)).astype(jnp.int32)
         if use_gradient:  # static: morphological gradient with 1-plane halo
@@ -205,7 +206,7 @@ def sharded_watershed(mesh: Mesh, connectivity: int = 6,
             lab0_applied = jnp.where(frozen, lab0, lab_init)
 
             def round_(state):
-                rank, lab, quiet = state
+                rank, lab, quiet, n_rounds = state
                 rank_p = _halo_z(rank, axis_name, ws._INF_RANK)
                 lab_p = _halo_z(lab, axis_name, 0)
                 # outer-edge ghost f = 2^16-1: one above any real cost
@@ -232,11 +233,12 @@ def sharded_watershed(mesh: Mesh, connectivity: int = 6,
                     (jnp.any(nl != lab) | jnp.any(nr != rank)).astype(jnp.int32),
                     axis_name) > 0
                 quiet = jnp.where(changed, 0, quiet + 1)
-                return nr, nl, quiet
+                return nr, nl, quiet, n_rounds + 1
 
-            rank, lab, _ = jax.lax.while_loop(
+            rank, lab, _, n_rounds = jax.lax.while_loop(
                 lambda s: s[2] < quiet_rounds, round_,
-                (rank0, lab0_applied, jnp.int32(0)))
+                (rank0, lab0_applied, jnp.int32(0), jnp.int32(0)))
+            rounds_per_level.append(n_rounds)
             return rank, lab
 
         def solve(f_lvl, lab_lvl, level):
@@ -262,6 +264,11 @@ def sharded_watershed(mesh: Mesh, connectivity: int = 6,
             return refine(f_lvl, lab_lvl, rank_init, up(lab_sol_c))
 
         rank_out, lab = solve(f_fine, lab_fine, n_levels)
+        if debug_rounds:
+            # coarse -> fine order; replicated across shards (psum'd rounds
+            # are identical, the counter is shard-local but loop exit is
+            # global) — shape (n_levels + 1,)
+            return lab.astype(jnp.int16), jnp.stack(rounds_per_level)[None]
         if debug_rank:
             return lab.astype(jnp.int16), rank_out
         return lab.astype(jnp.int16)
@@ -269,7 +276,8 @@ def sharded_watershed(mesh: Mesh, connectivity: int = 6,
     spec = P(axis_name, None, None)
 
     def run(image, markers, algorithm: str = "Watershed",
-            mg_size=(3, 3, 3), debug_rank: bool = False):
+            mg_size=(3, 3, 3), debug_rank: bool = False,
+            debug_rounds: bool = False):
         n_levels = levels
         if n_levels is None:
             n_levels = 3 if min(image.shape) >= 192 else 0
@@ -277,13 +285,20 @@ def sharded_watershed(mesh: Mesh, connectivity: int = 6,
         while n_levels > 0 and (local_z % (2 ** n_levels)
                                 or (local_z // 2 ** n_levels) < 1):
             n_levels -= 1
+        if debug_rounds:
+            out_specs = (spec, P(axis_name))
+        elif debug_rank:
+            out_specs = (spec, spec)
+        else:
+            out_specs = spec
         fn = shard_map(
             partial(local, mg_z=int(mg_size[0]), mg_y=int(mg_size[1]),
                     mg_x=int(mg_size[2]),
                     use_gradient=(algorithm == "Watershed"),
-                    n_levels=n_levels, debug_rank=debug_rank),
+                    n_levels=n_levels, debug_rank=debug_rank,
+                    debug_rounds=debug_rounds),
             mesh=mesh, in_specs=(spec, spec),
-            out_specs=((spec, spec) if debug_rank else spec),
+            out_specs=out_specs,
             # pallas_call outputs carry no varying-axis annotation; the
             # sweeps are verified vs single-device by tests instead
             check_vma=False)

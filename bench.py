@@ -66,6 +66,15 @@ def make_ct(n: int) -> np.ndarray:
 
 
 def main() -> None:
+    if "--project8" in sys.argv:
+        # v5e-8 projection from measured artifacts (no TPU work here);
+        # see tools/project8.py for the measurement modes
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tools import project8
+
+        project8.project()
+        return
+
     import jax
     import jax.numpy as jnp
 

@@ -43,7 +43,8 @@ class T:
     def lap(self, name, key=None):
         t = time.perf_counter()
         log(f"  {name}: {t - self.t0:.3f}s")
-        self.stages[key or name.split(" ")[0]] = round(t - self.t0, 4)
+        self.stages[key or name.split(" (")[0].replace(" ", "_")] = round(
+            t - self.t0, 4)
         self.t0 = t
 
 

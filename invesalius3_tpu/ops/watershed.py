@@ -289,6 +289,12 @@ def _refine_round(rank, lab, f, lab0, frozen, connectivity: int = 6,
     return rank, lab, labels_changed
 
 
+# diagnostic: per-_watershed_refine round counts of the last watershed call
+# (coarse -> fine).  Consumed by tools/project8.py's v5e-8 comm/compute
+# model; cleared by each watershed_ift_multigrid entry.
+LAST_REFINE_ROUNDS: list = []
+
+
 def _watershed_refine(f, lab0, rank_init, lab_init, connectivity: int = 6,
                       max_rounds: int = 1000, quiet_rounds: int = 2,
                       inner_rounds: int = 2):
@@ -313,15 +319,18 @@ def _watershed_refine(f, lab0, rank_init, lab_init, connectivity: int = 6,
     # of k rounds == k consecutive quiet rounds, so the stopping rule is
     # unchanged while the per-dispatch relay sync amortizes k-fold.
     quiet_batches = max(1, -(-quiet_rounds // inner_rounds))
+    n_rounds = 0
     for _ in range(0, max_rounds, inner_rounds):
         rank, lab, labels_changed = _refine_round(rank, lab, f, lab0, frozen,
                                                   connectivity, inner_rounds)
+        n_rounds += inner_rounds
         if bool(labels_changed):
             quiet = 0
         else:
             quiet += 1
             if quiet >= quiet_batches:
                 break
+    LAST_REFINE_ROUNDS.append((tuple(int(s) for s in f.shape), n_rounds))
     return rank, lab
 
 
@@ -345,6 +354,7 @@ def watershed_ift_multigrid(
     fixpoint — the multigrid is a pure accelerator, not an approximation.
     Volumes must have even dims per level (pad first if needed).
     """
+    LAST_REFINE_ROUNDS.clear()
     f = jnp.clip(image.astype(jnp.int32), 0, 2**16 - 2)
     out_dtype = jnp.int32 if markers.dtype == jnp.int32 else jnp.int16
     # labels are int32 through the refine loop: the Pallas Y-sweep's

@@ -317,7 +317,8 @@ def sharded_watershed(mesh: Mesh, connectivity: int = 6,
 
 def sharded_mask_to_surface(mesh: Mesh, mask: jax.Array,
                             spacing: Tuple[float, float, float] = (1.0, 1.0, 1.0),
-                            axis_name: str = "z", smooth: dict | None = None):
+                            axis_name: str = "z", smooth: dict | None = None,
+                            return_stats: bool = False):
     """Full surface extraction over a Z-sharded mask: each shard runs the
     marching-tet stages on its slab (+1-slice halo) with *global* lattice
     keys, dedups locally, and the shards stitch on device by the
@@ -716,13 +717,20 @@ def sharded_mask_to_surface(mesh: Mesh, mask: jax.Array,
     faces = np.concatenate(faces_parts, axis=0).astype(np.int32)
 
     if smooth is not None:  # already world-frame (x, y, z) smoothed
-        return np.ascontiguousarray(verts_cat.astype(np.float32)), faces[:, ::-1]
-    world = np.stack([verts_cat[:, 2] * sx, verts_cat[:, 1] * sy,
-                      verts_cat[:, 0] * sz], axis=1).astype(np.float32)
-    # remove the one-voxel pad offset (Y/X pad + the conceptual leading
-    # empty Z plane that the halo of shard 0 provides)
-    world -= np.array([sx, sy, sz], np.float32)
-    return world, faces[:, ::-1]
+        out = np.ascontiguousarray(verts_cat.astype(np.float32)), faces[:, ::-1]
+    else:
+        world = np.stack([verts_cat[:, 2] * sx, verts_cat[:, 1] * sy,
+                          verts_cat[:, 0] * sz], axis=1).astype(np.float32)
+        # remove the one-voxel pad offset (Y/X pad + the conceptual leading
+        # empty Z plane that the halo of shard 0 provides)
+        world -= np.array([sx, sy, sz], np.float32)
+        out = world, faces[:, ::-1]
+    if return_stats:
+        # per-shard (n_own, n_tris, n_up, n_dup, n_groups[, max_group]) +
+        # bucket sizes — sizes the project8 comm/compute model
+        return out + ({"checks": checks.tolist(), "max_active": max_active,
+                       "max_tris": max_tris, "bound": BOUND},)
+    return out
 
 
 def sharded_active_cell_count(mesh: Mesh, axis_name: str = "z"):

@@ -127,6 +127,7 @@ class AppState:
 
         self.slice = slc
         self.surfaces = {}
+        self.mesh_bin_cache = {}  # surface idx -> (key, packed WebGL blob)
         self.crop_box = None  # last /api/crop box, drawn as slice overlay
         self.custom_presets = {}  # live (unsaved) CLUT-editor presets
         self.recent_events = []
@@ -256,6 +257,39 @@ def make_handler(state: AppState):
             payload = _png_bytes(rgb)
             self.send_response(200)
             self.send_header("Content-Type", "image/png")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def _mesh_bin(self, surf, max_tris: int):
+            """Serve a surface as packed typed arrays for the WebGL pane:
+            b"IVM1" u32(json_len) json{...} f16 verts [pad] u32 faces."""
+            key = (surf.index, id(surf.vertices), max_tris)
+            cached = state.mesh_bin_cache.get(surf.index)
+            if cached and cached[0] == key:
+                payload = cached[1]
+            else:
+                verts = np.asarray(surf.vertices, np.float32)
+                faces = np.asarray(surf.faces, np.int64)
+                if len(faces) > max_tris:
+                    from invesalius3_tpu.core.surface import decimate
+
+                    verts, faces = decimate(
+                        verts, faces, 1.0 - max_tris / len(faces))
+                meta = json.dumps({
+                    "n_verts": int(len(verts)), "n_tris": int(len(faces)),
+                    "colour": list(surf.colour),
+                    "transparency": float(surf.transparency),
+                    "name": surf.name,
+                }).encode()
+                head = b"IVM1" + np.uint32(len(meta)).tobytes() + meta
+                vb = np.ascontiguousarray(verts, np.float16).tobytes()
+                pad = b"\0" * (-(len(head) + len(vb)) % 4)
+                fb = np.ascontiguousarray(faces, np.uint32).tobytes()
+                payload = head + vb + pad + fb
+                state.mesh_bin_cache[surf.index] = (key, payload)
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
             self.send_header("Content-Length", str(len(payload)))
             self.end_headers()
             self.wfile.write(payload)
@@ -597,6 +631,18 @@ def make_handler(state: AppState):
                         downsample=ds,
                     )
                     self._png(img)
+                elif (len(parts) == 4 and parts[:2] == ["api", "surface"]
+                      and parts[3] == "mesh.bin"):
+                    # typed-array mesh for the client-side WebGL pane
+                    # (reference's live GPU scene: viewer_volume.py:129).
+                    # Layout: b"IVM1" + u32 json_len + json meta + f16
+                    # verts (V*3, xyz) + pad-to-4 + u32 faces (F*3).
+                    # Surfaces above max_tris are QEM-decimated first so
+                    # orbit-rate rendering stays cheap; the packed blob is
+                    # cached per (index, version).
+                    idx = int(parts[2])
+                    max_tris = int(q.get("max_tris", 200000))
+                    self._mesh_bin(state.surfaces[idx], max_tris)
                 elif url.path == "/api/surfaces":
                     self._json([{
                         "index": s.index, "name": s.name,

@@ -99,6 +99,16 @@ function refreshSlices(orients) {
 
 function refresh3D() {
   const mode = $("#mode3d").value;
+  const glMode = mode === "surfaces-gl";
+  $("#gl3d").style.display = glMode ? "" : "none";
+  $("#img3d").style.display = glMode ? "none" : "";
+  if (glMode) {
+    $("#angles").textContent =
+      `az ${state.azimuth.toFixed(0)}° el ${state.elevation.toFixed(0)}°`;
+    if (!gl3d.loaded) gl3dLoad().then(gl3dRender);
+    else gl3dRender();
+    return;
+  }
   let base = mode === "surfaces" ? "/api/render_scene?" :
     `/api/render?preset=${encodeURIComponent(state.raycastPreset)}&`;
   if (mode === "surfaces") {   // MEP / e-field surface texturing toggles
@@ -314,6 +324,7 @@ function rgbHex(c) {
 }
 
 async function refreshSurfaces() {
+  gl3dInvalidate();  // surface set/props changed: re-stream WebGL meshes
   const surfaces = await api("/api/surfaces");
   const ul = $("#surface-list");
   ul.innerHTML = "";
@@ -542,6 +553,193 @@ function attachPane(pane) {
   wrap.addEventListener("contextmenu", (ev) => ev.preventDefault());
 }
 
+// --- WebGL surface pane -----------------------------------------------------
+// Client-side GPU rendering of the surface actors (reference
+// viewer_volume.py:129 live VTK scene): meshes stream once from
+// /api/surface/{i}/mesh.bin as f16 verts + u32 faces, then orbiting costs
+// zero HTTP requests.  Server-PNG mode stays for volume/MEP/e-field.
+
+const gl3d = { gl: null, prog: null, meshes: [], loaded: false,
+               center: [0, 0, 0], dist: 100, loading: null };
+
+function f16ToF32(u16) {
+  const out = new Float32Array(u16.length);
+  for (let i = 0; i < u16.length; i++) {
+    const h = u16[i];
+    const s = (h & 0x8000) ? -1 : 1, e = (h >> 10) & 0x1f, m = h & 0x3ff;
+    out[i] = e === 0 ? s * m * 5.960464477539063e-8   // subnormal
+      : e === 31 ? s * (m ? NaN : Infinity)
+      : s * Math.pow(2, e - 15) * (1 + m / 1024);
+  }
+  return out;
+}
+
+function gl3dParse(buf) {
+  const dv = new DataView(buf);
+  if (dv.getUint32(0) !== 0x49564d31) throw new Error("bad mesh magic");
+  const jlen = dv.getUint32(4, true);
+  const meta = JSON.parse(new TextDecoder().decode(
+    new Uint8Array(buf, 8, jlen)));
+  const voff = 8 + jlen;
+  const verts = f16ToF32(new Uint16Array(buf, voff, meta.n_verts * 3));
+  const foff = voff + meta.n_verts * 3 * 2;
+  const faces = new Uint32Array(buf, foff + (-foff % 4 + 4) % 4,
+                                meta.n_tris * 3);
+  return { meta, verts, faces };
+}
+
+function gl3dInit() {
+  const cv = $("#gl3d");
+  const gl = cv.getContext("webgl2", { antialias: true });
+  if (!gl) return null;
+  const vs = `#version 300 es
+  in vec3 pos; uniform mat4 mvp; uniform mat4 mv; out vec3 vpos;
+  void main(){ vpos=(mv*vec4(pos,1.)).xyz; gl_Position=mvp*vec4(pos,1.); }`;
+  const fs = `#version 300 es
+  precision highp float; in vec3 vpos; out vec4 frag;
+  uniform vec3 colour; uniform float transparency;
+  void main(){
+    // screen-door transparency: same 4x4 ordered-dither the server's
+    // splat renderer uses, so both 3D modes agree visually
+    const mat4 bayer = mat4( 0., 8., 2.,10., 12., 4.,14., 6.,
+                             3.,11., 1., 9., 15., 7.,13., 5.) / 16.;
+    ivec2 p = ivec2(mod(gl_FragCoord.xy, 4.));
+    if (transparency > bayer[p.x][p.y]) discard;
+    vec3 n = normalize(cross(dFdx(vpos), dFdy(vpos)));
+    float diff = abs(n.z);                       // headlight
+    frag = vec4(colour * (0.25 + 0.75 * diff), 1.0);
+  }`;
+  const mk = (type, src) => {
+    const s = gl.createShader(type);
+    gl.shaderSource(s, src); gl.compileShader(s);
+    if (!gl.getShaderParameter(s, gl.COMPILE_STATUS)) {
+      throw new Error(gl.getShaderInfoLog(s));
+    }
+    return s;
+  };
+  const prog = gl.createProgram();
+  gl.attachShader(prog, mk(gl.VERTEX_SHADER, vs));
+  gl.attachShader(prog, mk(gl.FRAGMENT_SHADER, fs));
+  gl.linkProgram(prog);
+  gl.enable(gl.DEPTH_TEST);
+  gl3d.gl = gl; gl3d.prog = prog;
+  return gl;
+}
+
+async function gl3dLoad() {
+  if (gl3d.loading) return gl3d.loading;
+  gl3d.loading = (async () => {
+    const gl = gl3d.gl || gl3dInit();
+    if (!gl) { setStatus("WebGL2 unavailable; use server mode"); return; }
+    for (const m of gl3d.meshes) {
+      gl.deleteBuffer(m.vb); gl.deleteBuffer(m.ib);
+      gl.deleteVertexArray(m.vao);
+    }
+    gl3d.meshes = [];
+    const lo = [1e9, 1e9, 1e9], hi = [-1e9, -1e9, -1e9];
+    const surfs = await api("/api/surfaces");
+    for (const s of surfs.filter((s) => s.visible)) {
+      const buf = await (await fetch(`/api/surface/${s.index}/mesh.bin`))
+        .arrayBuffer();
+      const { meta, verts, faces } = gl3dParse(buf);
+      const vao = gl.createVertexArray();
+      gl.bindVertexArray(vao);
+      const vb = gl.createBuffer();
+      gl.bindBuffer(gl.ARRAY_BUFFER, vb);
+      gl.bufferData(gl.ARRAY_BUFFER, verts, gl.STATIC_DRAW);
+      gl.enableVertexAttribArray(0);
+      gl.vertexAttribPointer(0, 3, gl.FLOAT, false, 0, 0);
+      const ib = gl.createBuffer();
+      gl.bindBuffer(gl.ELEMENT_ARRAY_BUFFER, ib);
+      gl.bufferData(gl.ELEMENT_ARRAY_BUFFER, faces, gl.STATIC_DRAW);
+      for (let i = 0; i < verts.length; i += 3) {
+        for (let k = 0; k < 3; k++) {
+          if (verts[i + k] < lo[k]) lo[k] = verts[i + k];
+          if (verts[i + k] > hi[k]) hi[k] = verts[i + k];
+        }
+      }
+      gl3d.meshes.push({ vao, vb, ib, n: meta.n_tris * 3,
+                         colour: meta.colour,
+                         transparency: meta.transparency });
+    }
+    if (gl3d.meshes.length) {
+      gl3d.center = [0, 1, 2].map((k) => (lo[k] + hi[k]) / 2);
+      gl3d.dist = 2.2 * Math.max(hi[0] - lo[0], hi[1] - lo[1],
+                                 hi[2] - lo[2], 10);
+    }
+    gl3d.loaded = true;
+  })().finally(() => { gl3d.loading = null; });
+  return gl3d.loading;
+}
+
+function gl3dInvalidate() {
+  gl3d.loaded = false;
+  if ($("#mode3d").value === "surfaces-gl") refresh3D();
+}
+
+// minimal column-major mat4 helpers
+function mat4Mul(a, b) {
+  const o = new Float32Array(16);
+  for (let c = 0; c < 4; c++) {
+    for (let r = 0; r < 4; r++) {
+      let s = 0;
+      for (let k = 0; k < 4; k++) s += a[k * 4 + r] * b[c * 4 + k];
+      o[c * 4 + r] = s;
+    }
+  }
+  return o;
+}
+
+function mat4LookAt(eye, at, up) {
+  const sub = (a, b) => a.map((v, i) => v - b[i]);
+  const norm = (a) => { const l = Math.hypot(...a); return a.map((v) => v / l); };
+  const cross = (a, b) => [a[1] * b[2] - a[2] * b[1],
+                           a[2] * b[0] - a[0] * b[2],
+                           a[0] * b[1] - a[1] * b[0]];
+  const dot = (a, b) => a[0] * b[0] + a[1] * b[1] + a[2] * b[2];
+  const z = norm(sub(eye, at)), x = norm(cross(up, z)), y = cross(z, x);
+  return new Float32Array([x[0], y[0], z[0], 0, x[1], y[1], z[1], 0,
+                           x[2], y[2], z[2], 0,
+                           -dot(x, eye), -dot(y, eye), -dot(z, eye), 1]);
+}
+
+function mat4Persp(fovy, aspect, near, far) {
+  const f = 1 / Math.tan(fovy / 2), nf = 1 / (near - far);
+  return new Float32Array([f / aspect, 0, 0, 0, 0, f, 0, 0,
+                           0, 0, (far + near) * nf, -1,
+                           0, 0, 2 * far * near * nf, 0]);
+}
+
+function gl3dRender() {
+  const gl = gl3d.gl;
+  if (!gl || !gl3d.loaded) return;
+  const cv = $("#gl3d");
+  const wrap = $("#pane3d .imgwrap");
+  const w = wrap.clientWidth || 300, h = wrap.clientHeight || 300;
+  if (cv.width !== w || cv.height !== h) { cv.width = w; cv.height = h; }
+  gl.viewport(0, 0, w, h);
+  gl.clearColor(0.04, 0.05, 0.07, 1);
+  gl.clear(gl.COLOR_BUFFER_BIT | gl.DEPTH_BUFFER_BIT);
+  const az = state.azimuth * Math.PI / 180;
+  const el = state.elevation * Math.PI / 180;
+  const c = gl3d.center, d = gl3d.dist;
+  const eye = [c[0] + d * Math.cos(el) * Math.sin(az),
+               c[1] - d * Math.cos(el) * Math.cos(az),
+               c[2] + d * Math.sin(el)];
+  const mv = mat4LookAt(eye, c, [0, 0, 1]);  // CT world: z superior
+  const mvp = mat4Mul(mat4Persp(0.6, w / h, d * 0.01, d * 10), mv);
+  gl.useProgram(gl3d.prog);
+  gl.uniformMatrix4fv(gl.getUniformLocation(gl3d.prog, "mv"), false, mv);
+  gl.uniformMatrix4fv(gl.getUniformLocation(gl3d.prog, "mvp"), false, mvp);
+  for (const m of gl3d.meshes) {
+    gl.uniform3fv(gl.getUniformLocation(gl3d.prog, "colour"), m.colour);
+    gl.uniform1f(gl.getUniformLocation(gl3d.prog, "transparency"),
+                 m.transparency || 0);
+    gl.bindVertexArray(m.vao);
+    gl.drawElements(gl.TRIANGLES, m.n, gl.UNSIGNED_INT, 0);
+  }
+}
+
 // --- 3D pane orbit ----------------------------------------------------------
 
 function attach3D() {
@@ -559,6 +757,10 @@ function attach3D() {
       drag.el + (ev.clientY - drag.y) * 0.7));
     $("#angles").textContent =
       `az ${state.azimuth.toFixed(0)}° el ${state.elevation.toFixed(0)}°`;
+    if ($("#mode3d").value === "surfaces-gl") {
+      gl3dRender();  // local GPU: display-rate orbit, zero HTTP
+      return;
+    }
     clearTimeout(timer);
     timer = setTimeout(refresh3D, 120);  // render on pause, not per-event
   });

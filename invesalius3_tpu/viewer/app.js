@@ -408,10 +408,28 @@ async function handleClick(orient, col, row) {
     state.idx.SAGITAL = vox[2];
     refreshSlices();
   } else if (t === "floodfill") {
-    const lo = +$("#ffill-lo").value, hi = +$("#ffill-hi").value;
-    const r = await api("/api/floodfill", { seed: vox, tmin: lo, tmax: hi });
-    setStatus(`floodfill: ${r.voxels.toLocaleString()} voxels`);
+    // region-grow method config (reference styles.py:3015
+    // FFillSegmentationConfig: threshold / dynamic range / confidence)
+    const method = $("#ffill-method").value;
+    const body = { seed: vox, method };
+    if (method === "dynamic") {
+      body.dev_min = body.dev_max = +$("#ffill-dev").value;
+    } else if (method === "confidence") {
+      body.mult = +$("#ffill-mult").value;
+    } else {
+      body.tmin = +$("#ffill-lo").value;
+      body.tmax = +$("#ffill-hi").value;
+    }
+    const r = await api("/api/floodfill", body);
+    setStatus(`floodfill (${method}): ${r.voxels.toLocaleString()} voxels`);
     refreshSlices(); refreshLists();
+  } else if (t === "part-keep" || t === "part-del") {
+    // connected mask part by seed (reference styles.py:2572/2708)
+    const r = await api("/api/mask/part", {
+      seed: vox, op: t === "part-del" ? "remove" : "select" });
+    setStatus(`${t === "part-del" ? "removed" : "kept"} part: ` +
+      `${r.voxels.toLocaleString()} voxels`);
+    refreshSlices();
   } else if (t === "watershed") {
     state.wsMarkers.push({ position: vox, label: +$("#ws-label").value });
     $("#ws-count").textContent = `${state.wsMarkers.length} markers`;
@@ -500,6 +518,12 @@ function attachPane(pane) {
   });
 
   let stroke = null;     // brush stroke voxels
+  let cropDrag = null;   // crop-box rubber band (reference styles.py:2596)
+  const band = document.createElement("div");
+  band.className = "crop-band";
+  band.style.cssText = "position:absolute;border:1px dashed #ffd166;" +
+    "background:rgba(255,209,102,.12);pointer-events:none;display:none";
+  wrap.appendChild(band);
   let wwwl = null;       // right-drag start
 
   wrap.addEventListener("mousedown", (ev) => {
@@ -511,6 +535,10 @@ function attachPane(pane) {
     if (state.tool === "paint" || state.tool === "erase") {
       const [c, r] = imgPos(ev);
       stroke = [toVoxel(orient, c, r)];
+    } else if (state.tool === "crop") {
+      const [c, r] = imgPos(ev);
+      cropDrag = { c0: c, r0: r, x0: ev.clientX, y0: ev.clientY };
+      band.style.display = "block";
     }
   });
   wrap.addEventListener("mousemove", (ev) => {
@@ -528,11 +556,41 @@ function attachPane(pane) {
       const last = stroke[stroke.length - 1];
       if (v.some((x, i) => x !== last[i])) stroke.push(v);
     }
+    if (cropDrag) {
+      const w = wrap.getBoundingClientRect();
+      band.style.left = `${Math.min(cropDrag.x0, ev.clientX) - w.left}px`;
+      band.style.top = `${Math.min(cropDrag.y0, ev.clientY) - w.top}px`;
+      band.style.width = `${Math.abs(ev.clientX - cropDrag.x0)}px`;
+      band.style.height = `${Math.abs(ev.clientY - cropDrag.y0)}px`;
+    }
   });
   const finish = async (ev) => {
     if (wwwl) {
       wwwl = null;
       api("/api/window", { ww: state.ww, wl: state.wl });
+      return;
+    }
+    if (cropDrag) {
+      const d = cropDrag; cropDrag = null;
+      band.style.display = "none";
+      const [c1, r1] = imgPos(ev);
+      const va = toVoxel(orient, d.c0, d.r0);
+      const vb = toVoxel(orient, c1, r1);
+      // dragged axes get the band extent; the slice axis keeps the
+      // previous crop (or the full volume)
+      const prev = state.cropLimits ||
+        [0, state.shape[0] - 1, 0, state.shape[1] - 1, 0, state.shape[2] - 1];
+      const sliceAxis = orient === "AXIAL" ? 0 : orient === "CORONAL" ? 1 : 2;
+      const lim = [];
+      for (let ax = 0; ax < 3; ax++) {
+        if (ax === sliceAxis) lim.push(prev[2 * ax], prev[2 * ax + 1]);
+        else lim.push(Math.min(va[ax], vb[ax]), Math.max(va[ax], vb[ax]));
+      }
+      const out = await api("/api/crop", { limits: lim, apply: false });
+      state.cropLimits = out.limits;
+      $("#crop-info").textContent = `[${out.limits.join(",")}]`;
+      setStatus("crop box set — press apply to crop the volume");
+      refreshSlices();
       return;
     }
     if (stroke) {
@@ -746,9 +804,51 @@ function attach3D() {
   const wrap = $("#pane3d .imgwrap");
   let drag = null;
   let timer = null;
+  // 3D polygon-cut overlay (reference mask3d_editor_state.py:18): clicks
+  // in cut3d mode collect polygon points in render-pixel coords
+  const poly = document.createElement("canvas");
+  poly.className = "cut3d-overlay";
+  poly.style.cssText = "position:absolute;left:0;top:0;pointer-events:none";
+  wrap.appendChild(poly);
+  state.cut3dPts = [];
+  const drawPoly = () => {
+    const img = $("#img3d");
+    const r = img.getBoundingClientRect();
+    const w = wrap.getBoundingClientRect();
+    poly.width = wrap.clientWidth; poly.height = wrap.clientHeight;
+    const ctx = poly.getContext("2d");
+    ctx.clearRect(0, 0, poly.width, poly.height);
+    if (!state.cut3dPts.length) return;
+    const sx = r.width / (img.naturalWidth || 256);
+    const sy = r.height / (img.naturalHeight || 256);
+    ctx.strokeStyle = "#ffd166"; ctx.fillStyle = "#ffd166";
+    ctx.beginPath();
+    state.cut3dPts.forEach(([c, row], i) => {
+      const x = r.left - w.left + c * sx, y = r.top - w.top + row * sy;
+      if (i === 0) ctx.moveTo(x, y); else ctx.lineTo(x, y);
+      ctx.fillRect(x - 2, y - 2, 4, 4);
+    });
+    ctx.closePath(); ctx.stroke();
+    $("#cut3d-count").textContent = `${state.cut3dPts.length} pts`;
+  };
+  state.cut3dRedraw = drawPoly;
   wrap.addEventListener("mousedown", (ev) => {
     drag = { x: ev.clientX, y: ev.clientY,
              az: state.azimuth, el: state.elevation };
+  });
+  wrap.addEventListener("mouseup", (ev) => {
+    if (state.tool !== "cut3d" || !drag) return;
+    if (Math.abs(ev.clientX - drag.x) + Math.abs(ev.clientY - drag.y) > 3) {
+      return;  // it was an orbit drag, not a click
+    }
+    const img = $("#img3d");
+    const r = img.getBoundingClientRect();
+    const c = Math.round((ev.clientX - r.left) / r.width *
+                         (img.naturalWidth || 256));
+    const row = Math.round((ev.clientY - r.top) / r.height *
+                           (img.naturalHeight || 256));
+    state.cut3dPts.push([c, row]);
+    drawPoly();
   });
   wrap.addEventListener("mousemove", (ev) => {
     if (!drag) return;
@@ -1232,6 +1332,54 @@ async function init() {
       $(id).onclick = () => api("/api/image/flip", { axis })
         .then(() => { refreshSlices(); refresh3D(); });
     });
+  // crop box (reference styles.py:2596 CropMask): drag sets the box, apply
+  // crops the volume to it
+  $("#crop-apply").onclick = async () => {
+    if (!state.cropLimits) { setStatus("drag a crop box first"); return; }
+    await api("/api/crop", { limits: state.cropLimits, apply: true });
+    setStatus("volume cropped");
+    state.cropLimits = null;
+    $("#crop-info").textContent = "";
+    refreshSlices(); refresh3D(); refreshLists();
+  };
+  $("#crop-clear").onclick = async () => {
+    const [Z, Y, X] = state.shape;
+    await api("/api/crop",
+              { limits: [0, Z - 1, 0, Y - 1, 0, X - 1], apply: false });
+    state.cropLimits = null;
+    $("#crop-info").textContent = "";
+    refreshSlices();
+  };
+  // reorient about the volume center (reference styles.py:2165 dialog —
+  // degrees in the UI, radians on the wire like the reference's dialog)
+  $("#reorient-apply").onclick = async () => {
+    const d = Math.PI / 180;
+    await api("/api/image/reorient", {
+      angles: [+$("#reorient-x").value * d, +$("#reorient-y").value * d,
+               +$("#reorient-z").value * d] });
+    setStatus("volume reoriented");
+    refreshSlices(); refresh3D();
+  };
+  // 3D polygon cut through the scene camera
+  $("#cut3d-apply").onclick = async () => {
+    if (state.cut3dPts.length < 3) {
+      setStatus("click at least 3 points on the 3D scene first");
+      return;
+    }
+    const r = await api("/api/mask/cut3d", {
+      polygon: state.cut3dPts, azimuth: state.azimuth,
+      elevation: state.elevation, size: 256,
+      edit_mode: +$("#cut3d-side").value });
+    setStatus(`3D cut: ${r.cut_voxels.toLocaleString()} voxels removed`);
+    state.cut3dPts = [];
+    state.cut3dRedraw();
+    refreshSlices(); refresh3D();
+  };
+  $("#cut3d-clear").onclick = () => {
+    state.cut3dPts = [];
+    state.cut3dRedraw();
+    $("#cut3d-count").textContent = "";
+  };
   $("#ov-efield").onchange = refresh3D;
   refreshSlices();
   refresh3D();

@@ -216,3 +216,37 @@ def test_walkthrough(server):
     assert code == 200
     n_tris = struct.unpack("<I", stl[80:84])[0]
     assert len(stl) == 84 + 50 * n_tris
+
+
+def test_walkthrough_tools(server):
+    """The round-4 tool wiring: region-grow config, mask part ops, crop
+    box, 3D polygon cut, reorient — the exact payloads app.js issues."""
+    # region grow with dynamic-range config (app.js floodfill branch)
+    code, out = _post(server, "/api/floodfill", {
+        "seed": [12, 16, 16], "method": "dynamic",
+        "dev_min": 30, "dev_max": 30})
+    assert code == 200 and out["voxels"] > 0
+
+    # keep the clicked connected part (tool part+)
+    code, out = _post(server, "/api/mask/part", {
+        "seed": [12, 16, 16], "op": "select"})
+    assert code == 200 and out["voxels"] > 0
+
+    # crop: drag sets the box (apply:false shows the overlay), apply crops
+    code, out = _post(server, "/api/crop", {
+        "limits": [2, 21, 2, 29, 2, 29], "apply": False})
+    assert code == 200 and out["limits"] == [2, 21, 2, 29, 2, 29]
+    code, out = _post(server, "/api/crop", {
+        "limits": [2, 21, 2, 29, 2, 29], "apply": True})
+    assert code == 200
+
+    # 3D polygon cut through the scene camera (tool cut3d)
+    code, out = _post(server, "/api/mask/cut3d", {
+        "polygon": [[60, 60], [200, 60], [200, 200], [60, 200]],
+        "azimuth": 30, "elevation": 20, "size": 256, "edit_mode": 1})
+    assert code == 200 and out["cut_voxels"] >= 0
+
+    # reorient (degrees -> radians done client-side; radians on the wire)
+    code, out = _post(server, "/api/image/reorient", {
+        "angles": [0.0, 0.0, 0.1]})
+    assert code == 200 and out["ok"]

@@ -143,7 +143,7 @@ def _halo_z(x: jax.Array, axis_name: str, edge_fill) -> jax.Array:
 
 def sharded_watershed(mesh: Mesh, connectivity: int = 6,
                       axis_name: str = "z", levels: int | None = None,
-                      quiet_rounds: int = 1):
+                      quiet_rounds: int = 1, stop: str = "rank"):
     """Z-sharded marker watershed: the full multigrid IFT solver runs
     inside ONE shard_map program.
 
@@ -224,14 +224,31 @@ def sharded_watershed(mesh: Mesh, connectivity: int = 6,
                 nr, nl = nr[1:-1], nl[1:-1]
                 nr = jnp.where(frozen, jnp.int32(0), nr)
                 nl = jnp.where(frozen, lab0, nl)
-                # full rank+label stability: with halo-limited propagation
-                # (1 shard-hop per round), a label-only quiet window can
-                # close while better (cost, dist) ranks are still in
-                # flight across shards — tie voxels would then keep the
-                # wrong side.  Rank quiescence IS the Bellman fixpoint.
-                changed = jax.lax.psum(
-                    (jnp.any(nl != lab) | jnp.any(nr != rank)).astype(jnp.int32),
-                    axis_name) > 0
+                # stopping rule, measured at 256^3/8 shards (project8):
+                #
+                # - stop="rank": full rank+label stability.  With
+                #   halo-limited propagation (1 shard-hop per round) a
+                #   label-only quiet window can close while better
+                #   (cost, dist) ranks are still in flight across shards —
+                #   tie voxels would then keep the wrong side.  Rank
+                #   quiescence IS the Bellman fixpoint: bitwise-exact tie
+                #   distances, but 170 fine-level rounds (vs 14 single-
+                #   device): ranks keep polishing plateau tie distances
+                #   nobody observes, ~12x the rounds.
+                #
+                # - stop="label": label stability over the quiet window —
+                #   the SAME criterion the single-device host loop uses
+                #   (ops/watershed.py _watershed_refine).  Basins match
+                #   everywhere off the tie plateau (which is schedule-
+                #   dependent in every IFT solver and already excluded
+                #   from the agreement tests); fine-level rounds drop to
+                #   single-device-like counts.  This is the scaling path's
+                #   default via the bench (INV3_SHARDED).
+                delta = jnp.any(nl != lab)
+                if stop == "rank":
+                    delta = delta | jnp.any(nr != rank)
+                changed = jax.lax.psum(delta.astype(jnp.int32),
+                                       axis_name) > 0
                 quiet = jnp.where(changed, 0, quiet + 1)
                 return nr, nl, quiet, n_rounds + 1
 

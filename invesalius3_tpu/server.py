@@ -601,10 +601,11 @@ def make_handler(state: AppState):
                 elif url.path == "/api/i18n":
                     from invesalius3_tpu.utils import i18n as i18n_mod
 
+                    lang = q.get("lang", "")
                     self._json({
                         "locales": i18n_mod.get_locales(),
-                        "current": i18n_mod.current_language(),
-                        "catalog": current_catalog(),
+                        "current": lang or i18n_mod.current_language(),
+                        "catalog": current_catalog(lang),
                     })
                 elif url.path in ("/", "/index.html") or \
                         url.path.startswith("/viewer/"):

@@ -13,6 +13,36 @@
 const $ = (sel) => document.querySelector(sel);
 const $$ = (sel) => [...document.querySelectorAll(sel)];
 
+// --- i18n (reference i18n.py gettext; catalog served by /api/i18n) ----------
+// msgid = the literal English UI string; ?lang=de in the page URL (or the
+// preferences language) renders a translated UI.
+
+let CATALOG = {};
+const T = (s) => CATALOG[s] || s;
+
+async function initI18n() {
+  const lang = new URLSearchParams(location.search).get("lang");
+  try {
+    const r = await api("/api/i18n" + (lang ? `?lang=${lang}` : ""));
+    CATALOG = r.catalog || {};
+  } catch (e) {
+    return;
+  }
+  if (!Object.keys(CATALOG).length) return;
+  // translate the static chrome in place: any element whose trimmed text
+  // (or title) is a catalog msgid — gettext-by-source-string, so new
+  // UI elements are covered the moment their string enters the catalog
+  $$("#sidebar h3, button, .toolopts span, .pane-head select option")
+    .forEach((el) => {
+      if (el.childElementCount) return;
+      const key = el.textContent.trim();
+      if (CATALOG[key]) el.textContent = CATALOG[key];
+    });
+  $$("[title]").forEach((el) => {
+    if (CATALOG[el.title]) el.title = CATALOG[el.title];
+  });
+}
+
 const state = {
   shape: [1, 1, 1],          // [Z, Y, X]
   spacing: [1, 1, 1],        // [sx, sy, sz]
@@ -589,7 +619,7 @@ function attachPane(pane) {
       const out = await api("/api/crop", { limits: lim, apply: false });
       state.cropLimits = out.limits;
       $("#crop-info").textContent = `[${out.limits.join(",")}]`;
-      setStatus("crop box set — press apply to crop the volume");
+      setStatus(T("crop box set — press apply to crop the volume"));
       refreshSlices();
       return;
     }
@@ -1138,6 +1168,7 @@ async function initPreferences() {
 }
 
 async function init() {
+  await initI18n();
   const st = await api("/api/status");
   state.shape = st.volume_shape || [1, 1, 1];
   state.spacing = st.spacing || [1, 1, 1];
@@ -1223,7 +1254,7 @@ async function init() {
     refreshSlices(); refreshLists();
   };
   $("#ws-run").onclick = async () => {
-    if (!state.wsMarkers.length) { setStatus("place watershed markers first"); return; }
+    if (!state.wsMarkers.length) { setStatus(T("place watershed markers first")); return; }
     setStatus("watershed running…");
     const r = await api("/api/watershed", { markers: state.wsMarkers });
     setStatus(`watershed: ${r.voxels.toLocaleString()} voxels kept`);
@@ -1335,9 +1366,9 @@ async function init() {
   // crop box (reference styles.py:2596 CropMask): drag sets the box, apply
   // crops the volume to it
   $("#crop-apply").onclick = async () => {
-    if (!state.cropLimits) { setStatus("drag a crop box first"); return; }
+    if (!state.cropLimits) { setStatus(T("drag a crop box first")); return; }
     await api("/api/crop", { limits: state.cropLimits, apply: true });
-    setStatus("volume cropped");
+    setStatus(T("volume cropped"));
     state.cropLimits = null;
     $("#crop-info").textContent = "";
     refreshSlices(); refresh3D(); refreshLists();
@@ -1357,13 +1388,13 @@ async function init() {
     await api("/api/image/reorient", {
       angles: [+$("#reorient-x").value * d, +$("#reorient-y").value * d,
                +$("#reorient-z").value * d] });
-    setStatus("volume reoriented");
+    setStatus(T("volume reoriented"));
     refreshSlices(); refresh3D();
   };
   // 3D polygon cut through the scene camera
   $("#cut3d-apply").onclick = async () => {
     if (state.cut3dPts.length < 3) {
-      setStatus("click at least 3 points on the 3D scene first");
+      setStatus(T("click at least 3 points on the 3D scene first"));
       return;
     }
     const r = await api("/api/mask/cut3d", {

@@ -216,7 +216,12 @@ def project(emit_json: bool = True) -> dict:
         t_round = [v if v else ref_v * (s / ref_s) ** 3
                    for s, v in zip(lvl_shapes, t_round)]
     else:
-        single = counts.get("single_rounds") or (tpu or {}).get("single_rounds")
+        # the per-round cost divides the measured single-chip stage time by
+        # its OWN schedule — the rounds must come from the same size the
+        # stage time was measured at (the TPU probe), not the CPU collect
+        single = [e for e in (tpu or {}).get("single_rounds", [])
+                  if max(e["shape"]) == n] and (tpu or {})["single_rounds"]
+        single = single or counts.get("single_rounds")
         if not single:
             raise SystemExit("need single_rounds (collect without "
                              "--skip-single) or .project8_tpu.json")

@@ -12,9 +12,10 @@ volume.
 Scope: implicit/explicit VR little endian, single- and multi-frame,
 MONOCHROME1/2, rescale slope/intercept.  Compressed transfer syntaxes are
 decoded natively: RLE Lossless and JPEG Lossless (SV1) via
-``io/dicom_codecs.py``, 8-bit baseline JPEG and JPEG 2000 (.4.90/.4.91)
-via PIL; remaining encodings (lossy 12-bit .4.51) are rejected with a
-clear error.
+``io/dicom_codecs.py``, lossy 12-bit JPEG (.4.51) via ``io/jpeg12.py``,
+JPEG-LS (.4.80/.4.81) via ``io/jpegls.py``, 8-bit baseline JPEG and
+JPEG 2000 (.4.90/.4.91) via PIL — the full set the reference reads
+through GDCM (reference dicom_reader.py:86-140).
 """
 
 from __future__ import annotations
@@ -152,6 +153,15 @@ class DicomFile:
                 arr = codecs.rle_decode_frame(fb, rows, cols, bits, spp)
             elif self.transfer_syntax == codecs.JPEG_BASELINE:
                 arr = codecs.jpeg_baseline_decode(fb)
+            elif self.transfer_syntax == codecs.JPEG_EXTENDED:
+                from invesalius3_tpu.io import jpeg12
+
+                arr = jpeg12.decode(fb)  # lossy 12-bit (.4.51)
+            elif self.transfer_syntax in (codecs.JPEG_LS_LOSSLESS,
+                                          codecs.JPEG_LS_NEAR):
+                from invesalius3_tpu.io import jpegls
+
+                arr = jpegls.decode(fb)
             elif self.transfer_syntax in (codecs.J2K_LOSSLESS, codecs.J2K):
                 arr = codecs.j2k_decode(fb)
             else:  # JPEG lossless process 14
@@ -646,6 +656,22 @@ def write_dicom(path, pixels: "np.ndarray", tags: dict,
             frag = codecs.rle_encode_frame(pixels)
         elif transfer_syntax == codecs.JPEG_BASELINE:
             frag = codecs.jpeg_baseline_encode(pixels)
+        elif transfer_syntax == codecs.JPEG_EXTENDED:
+            from invesalius3_tpu.io import jpeg12
+
+            u = pixels.view(np.uint16) if pixels.dtype == np.int16 else (
+                pixels.view(np.uint8) if pixels.dtype == np.int8 else pixels)
+            frag = jpeg12.encode(np.ascontiguousarray(u),
+                                 precision=min(bits, 12))
+        elif transfer_syntax in (codecs.JPEG_LS_LOSSLESS,
+                                 codecs.JPEG_LS_NEAR):
+            from invesalius3_tpu.io import jpegls
+
+            u = pixels.view(np.uint16) if pixels.dtype == np.int16 else (
+                pixels.view(np.uint8) if pixels.dtype == np.int8 else pixels)
+            near = 2 if transfer_syntax == codecs.JPEG_LS_NEAR else 0
+            frag = jpegls.encode(np.ascontiguousarray(u), near=near,
+                                 maxval=(1 << bits) - 1)
         elif transfer_syntax in (codecs.J2K_LOSSLESS, codecs.J2K):
             u = pixels.view(np.uint16) if pixels.dtype == np.int16 else (
                 pixels.view(np.uint8) if pixels.dtype == np.int8 else pixels)

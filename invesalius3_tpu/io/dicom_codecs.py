@@ -25,11 +25,15 @@ RLE_LOSSLESS = "1.2.840.10008.1.2.5"
 JPEG_LOSSLESS_P14 = "1.2.840.10008.1.2.4.57"
 JPEG_LOSSLESS_SV1 = "1.2.840.10008.1.2.4.70"
 JPEG_BASELINE = "1.2.840.10008.1.2.4.50"  # 8-bit lossy (PIL codec)
+JPEG_EXTENDED = "1.2.840.10008.1.2.4.51"  # 12-bit lossy (io/jpeg12.py)
+JPEG_LS_LOSSLESS = "1.2.840.10008.1.2.4.80"  # JPEG-LS (io/jpegls.py)
+JPEG_LS_NEAR = "1.2.840.10008.1.2.4.81"      # JPEG-LS near-lossless
 J2K_LOSSLESS = "1.2.840.10008.1.2.4.90"   # JPEG 2000 lossless (PIL/openjpeg)
 J2K = "1.2.840.10008.1.2.4.91"            # JPEG 2000 (PIL/openjpeg)
 DECODABLE_SYNTAXES = (RLE_LOSSLESS, JPEG_LOSSLESS_P14, JPEG_LOSSLESS_SV1,
                       J2K_LOSSLESS, J2K,
-                      JPEG_BASELINE)
+                      JPEG_BASELINE, JPEG_EXTENDED,
+                      JPEG_LS_LOSSLESS, JPEG_LS_NEAR)
 
 
 def jpeg_baseline_decode(data: bytes) -> "np.ndarray":

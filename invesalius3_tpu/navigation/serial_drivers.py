@@ -365,3 +365,238 @@ def make_isotrak_transcript(poses: Sequence[Tuple[Sequence[float],
             "lines": [fmt(1, probe).hex(), fmt(2, ref).hex()],
         })
     return entries
+
+
+# ---------------------------------------------------------------------------
+# Optitrack (NatNet streaming protocol)
+# ---------------------------------------------------------------------------
+
+# The reference drives Optitrack through the closed Motive SDK wrapper
+# (`import optitrack`, reference tracker_connection.py:78-128;
+# coordinates.py:183 OptitrackCoord reads probe/ref/coil rigid bodies and
+# converts quaternions to Euler).  Motive also STREAMS the same data over
+# the documented NatNet UDP protocol, so the TPU build implements the
+# NatNet FrameOfMocapData wire format directly — runnable against a real
+# socket or a recorded-datagram replay, like every other driver here.
+
+NATNET_FRAME_OF_DATA = 7
+
+
+def parse_natnet_frame(data: bytes) -> List[dict]:
+    """Parse a NatNet 3.x FrameOfMocapData datagram -> rigid bodies
+    [{"id", "pos" (m), "quat" (qx,qy,qz,qw), "tracked"}].
+
+    Subset: marker sets and unlabeled markers are skipped over (their
+    sizes are encoded in-stream); rigid bodies are fully decoded
+    (id, position, orientation, mean error, tracking-valid flag)."""
+    import struct as _s
+
+    msg_id, nbytes = _s.unpack_from("<HH", data, 0)
+    if msg_id != NATNET_FRAME_OF_DATA:
+        raise ValueError(f"not a FrameOfMocapData packet (id {msg_id})")
+    off = 4
+    off += 4  # frame number
+    (n_marker_sets,) = _s.unpack_from("<i", data, off)
+    off += 4
+    for _ in range(n_marker_sets):
+        end = data.index(b"\x00", off)
+        off = end + 1
+        (n_markers,) = _s.unpack_from("<i", data, off)
+        off += 4 + 12 * n_markers
+    (n_unlabeled,) = _s.unpack_from("<i", data, off)
+    off += 4 + 12 * n_unlabeled
+    (n_bodies,) = _s.unpack_from("<i", data, off)
+    off += 4
+    bodies = []
+    for _ in range(n_bodies):
+        bid, px, py, pz, qx, qy, qz, qw = _s.unpack_from("<ifffffff",
+                                                         data, off)
+        off += 32
+        (mean_err,) = _s.unpack_from("<f", data, off)
+        off += 4
+        (params,) = _s.unpack_from("<h", data, off)
+        off += 2
+        bodies.append({"id": bid, "pos": (px, py, pz),
+                       "quat": (qx, qy, qz, qw), "err": mean_err,
+                       "tracked": bool(params & 0x01)})
+    return bodies
+
+
+def make_natnet_frame(bodies: Sequence[dict]) -> bytes:
+    """Synthesize a FrameOfMocapData datagram (tests / demo replay)."""
+    import struct as _s
+
+    payload = _s.pack("<i", 0)          # frame number
+    payload += _s.pack("<i", 0)         # no marker sets
+    payload += _s.pack("<i", 0)         # no unlabeled markers
+    payload += _s.pack("<i", len(bodies))
+    for b in bodies:
+        payload += _s.pack("<ifffffff", b["id"], *b["pos"], *b["quat"])
+        payload += _s.pack("<f", b.get("err", 0.0))
+        payload += _s.pack("<h", 0x01 if b.get("tracked", True) else 0)
+    return _s.pack("<HH", NATNET_FRAME_OF_DATA, len(payload)) + payload
+
+
+class DatagramTransport:
+    """One recv() = one datagram — the UDP analog of SerialTransport."""
+
+    def recv(self) -> Optional[bytes]:
+        raise NotImplementedError
+
+    def close(self) -> None:
+        pass
+
+
+class UDPDatagramTransport(DatagramTransport):
+    """Live NatNet data socket (Motive multicast 239.255.42.99:1511)."""
+
+    def __init__(self, port: int = 1511, group: str = "239.255.42.99",
+                 timeout: float = 0.05):
+        import socket
+
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self.sock.bind(("", port))
+        mreq = socket.inet_aton(group) + socket.inet_aton("0.0.0.0")
+        self.sock.setsockopt(socket.IPPROTO_IP, socket.IP_ADD_MEMBERSHIP,
+                             mreq)
+        self.sock.settimeout(timeout)
+
+    def recv(self) -> Optional[bytes]:
+        import socket
+
+        try:
+            return self.sock.recv(65535)
+        except socket.timeout:
+            return None
+
+    def close(self) -> None:
+        self.sock.close()
+
+
+class ReplayDatagramTransport(DatagramTransport):
+    """Replays recorded NatNet datagrams (loops by default)."""
+
+    def __init__(self, frames: Sequence[bytes], loop: bool = True):
+        self.frames = list(frames)
+        self.loop = loop
+        self.i = 0
+
+    def recv(self) -> Optional[bytes]:
+        if not self.frames:
+            return None
+        if self.i >= len(self.frames):
+            if not self.loop:
+                return None
+            self.i = 0
+        f = self.frames[self.i]
+        self.i += 1
+        return f
+
+
+class OptitrackNatNetConnection(TrackerConnection):
+    """Optitrack over NatNet streaming (reference coordinates.py:183
+    OptitrackCoord semantics: rigid bodies probe/ref/coil, quaternion ->
+    'rzyx' Euler via vendor_coords.optitrack_pose, meters -> mm)."""
+
+    def __init__(self, transport: DatagramTransport,
+                 probe_id: int = 1, ref_id: int = 2, coil_id: int = 3):
+        self.transport = transport
+        self.ids = (probe_id, ref_id, coil_id)
+
+    def connect(self) -> bool:
+        return True
+
+    def disconnect(self) -> None:
+        self.transport.close()
+
+    def get_coordinates(self) -> Tuple[np.ndarray, np.ndarray]:
+        coords = np.zeros((3, 6))
+        flags = np.array([False, False, False])
+        data = self.transport.recv()
+        if not data:
+            return coords, flags
+        for b in parse_natnet_frame(data):
+            if b["id"] not in self.ids:
+                continue
+            row = self.ids.index(b["id"])
+            qx, qy, qz, qw = b["quat"]
+            # optitrack_pose does the Motive m->mm scale + axis permutation
+            coords[row] = vendor_coords.optitrack_pose(qw, qx, qy, qz,
+                                                       *b["pos"])
+            flags[row] = b["tracked"]
+        return coords, flags
+
+
+# ---------------------------------------------------------------------------
+# Claron MicronTracker
+# ---------------------------------------------------------------------------
+
+
+class ClaronConnection(TrackerConnection):
+    """Claron MicronTracker (reference coordinates.py:283 ClaronCoord +
+    tracker_connection.py:130).
+
+    The vendor exposes ONLY a closed SDK (`pyclaron` — attribute API:
+    ``Run()`` then ``PositionTooltip{X,Y,Z}{1,2,3}`` / ``Angle{Z,Y,X}{n}``
+    and per-body visibility); there is no wire protocol to implement, so
+    this driver speaks exactly that attribute surface: pass the real
+    ``pyclaron.pyclaron()`` instance when present, or a ``ReplayMTC``
+    stand-in (same attributes, recorded poses) in this environment."""
+
+    def __init__(self, sdk):
+        self.sdk = sdk
+
+    def connect(self) -> bool:
+        init = getattr(self.sdk, "Initialize", None)
+        if init is not None:
+            init()
+        return True
+
+    def disconnect(self) -> None:
+        close = getattr(self.sdk, "Close", None)
+        if close is not None:
+            close()
+
+    def get_coordinates(self) -> Tuple[np.ndarray, np.ndarray]:
+        self.sdk.Run()
+        coords = np.zeros((3, 6))
+        flags = np.zeros(3, bool)
+        for row, n in enumerate((1, 2, 3)):  # probe, reference, coil
+            try:
+                coords[row] = vendor_coords.claron_pose(
+                    float(getattr(self.sdk, f"PositionTooltipX{n}")),
+                    float(getattr(self.sdk, f"PositionTooltipY{n}")),
+                    float(getattr(self.sdk, f"PositionTooltipZ{n}")),
+                    float(getattr(self.sdk, f"AngleZ{n}")),
+                    float(getattr(self.sdk, f"AngleY{n}")),
+                    float(getattr(self.sdk, f"AngleX{n}")))
+                flags[row] = bool(getattr(self.sdk, f"Visible{n}", True))
+            except AttributeError:
+                pass
+        return coords, flags
+
+
+class ReplayMTC:
+    """pyclaron attribute-API stand-in fed by recorded poses (each pose:
+    3 bodies x [x, y, z, az, ay, ax])."""
+
+    def __init__(self, poses: Sequence[Sequence[Sequence[float]]],
+                 loop: bool = True):
+        self.poses = [np.asarray(p, float) for p in poses]
+        self.loop = loop
+        self.i = -1
+
+    def Run(self):
+        if self.i + 1 < len(self.poses) or self.loop:
+            self.i = (self.i + 1) % len(self.poses)
+        p = self.poses[self.i]
+        for n in range(3):
+            x, y, z, az, ay, ax = p[n]
+            setattr(self, f"PositionTooltipX{n + 1}", x)
+            setattr(self, f"PositionTooltipY{n + 1}", y)
+            setattr(self, f"PositionTooltipZ{n + 1}", z)
+            setattr(self, f"AngleZ{n + 1}", az)
+            setattr(self, f"AngleY{n + 1}", ay)
+            setattr(self, f"AngleX{n + 1}", ax)
+            setattr(self, f"Visible{n + 1}", True)

@@ -27,8 +27,11 @@ TRACKER_DEBUG_APPROACH = "debug_approach"
 TRACKER_POLHEMUS_SERIAL = "polhemus_serial"
 TRACKER_POLARIS_NDI = "polaris_ndi"
 TRACKER_CAMERA = "camera"
+TRACKER_OPTITRACK = "optitrack"     # NatNet streaming (serial_drivers.py)
+TRACKER_CLARON = "claron_mtc"       # MicronTracker SDK-surface driver
 TRACKERS = [TRACKER_DEBUG_RANDOM, TRACKER_DEBUG_APPROACH,
-            TRACKER_POLHEMUS_SERIAL, TRACKER_POLARIS_NDI, TRACKER_CAMERA]
+            TRACKER_POLHEMUS_SERIAL, TRACKER_POLARIS_NDI, TRACKER_CAMERA,
+            TRACKER_OPTITRACK, TRACKER_CLARON]
 
 
 class TrackerConnection:
@@ -125,6 +128,29 @@ def create_tracker_connection(tracker_id: str, **kw) -> TrackerConnection:
         return NDIPolarisConnection(transport, **kw)
     if tracker_id == TRACKER_CAMERA:
         return CameraConnection(kw.pop("camera"))
+    if tracker_id == TRACKER_OPTITRACK:
+        from invesalius3_tpu.navigation.serial_drivers import (
+            OptitrackNatNetConnection, ReplayDatagramTransport,
+            UDPDatagramTransport)
+
+        transport = kw.pop("transport", None)
+        if transport is None and "frames" in kw:
+            transport = ReplayDatagramTransport(kw.pop("frames"))
+        if transport is None:
+            transport = UDPDatagramTransport(kw.pop("port", 1511))
+        return OptitrackNatNetConnection(transport, **kw)
+    if tracker_id == TRACKER_CLARON:
+        from invesalius3_tpu.navigation.serial_drivers import (
+            ClaronConnection, ReplayMTC)
+
+        sdk = kw.pop("sdk", None)
+        if sdk is None and "poses" in kw:
+            sdk = ReplayMTC(kw.pop("poses"))
+        if sdk is None:  # the real closed-SDK wrapper, when installed
+            import pyclaron  # pragma: no cover
+
+            sdk = pyclaron.pyclaron()
+        return ClaronConnection(sdk)
     raise ValueError(
         f"tracker {tracker_id!r} not available in this build (vendor SDKs "
         f"are hardware-gated); available: {TRACKERS}"

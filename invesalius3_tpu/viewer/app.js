@@ -127,7 +127,7 @@ function refreshSlices(orients) {
   });
 }
 
-function refresh3D() {
+function refresh3D(full) {
   const mode = $("#mode3d").value;
   const glMode = mode === "surfaces-gl";
   $("#gl3d").style.display = glMode ? "" : "none";
@@ -148,6 +148,9 @@ function refresh3D() {
       base += `slice=AXIAL:${state.idx.AXIAL}&`;
     }
   }
+  // progressive refinement: interactive frames use the server's pooled
+  // default (~75 ms); a camera pause re-requests downsample=1 full quality
+  if (full === true && mode === "volume") base += "downsample=1&";
   $("#img3d").src = `${base}azimuth=${state.azimuth}` +
     `&elevation=${state.elevation}&size=256&t=${state.bump++}`;
   $("#angles").textContent =

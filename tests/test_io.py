@@ -461,6 +461,91 @@ def test_parrec_volume_selection_and_v3_reject(tmp_path):
         parrec.read_par_rec(tmp_path / "old.PAR")
 
 
+def test_dicom_jpeg_extended_12bit_roundtrip(tmp_path):
+    """Lossy 12-bit JPEG (transfer syntax .4.51 — reference decodes via
+    GDCM, dicom_reader.py:86-140) through the from-scratch SOF1 codec
+    (io/jpeg12.py); lossy, so bounded error, and the same stream's 8-bit
+    sibling is cross-validated against PIL in test_jpeg12_pil_oracle."""
+    from invesalius3_tpu.io import dicom_codecs as codecs
+
+    yy, xx = np.mgrid[:48, :40]
+    px = (2048 + 700 * np.sin(yy / 6.0) * np.cos(xx / 9.0)).astype(np.uint16)
+    p = tmp_path / "jpeg12.dcm"
+    dicom.write_dicom(p, px, {
+        "PatientID": "P1", "Modality": "CT",
+        "SeriesInstanceUID": "1.2.3.12", "InstanceNumber": 1,
+        "ImagePositionPatient": [0.0, 0.0, 0.0],
+        "ImageOrientationPatient": [1, 0, 0, 0, 1, 0],
+        "PixelSpacing": [0.5, 0.5], "BitsAllocated": 16,
+    }, transfer_syntax=codecs.JPEG_EXTENDED)
+    f = dicom.read_dicom(p)
+    assert f.transfer_syntax == codecs.JPEG_EXTENDED
+    arr = f.pixel_array()
+    assert arr.shape == (48, 40)
+    err = np.abs(arr.astype(np.int32) - px.astype(np.int32))
+    assert err.mean() < 6.0 and err.max() < 64  # 12-bit lossy bounds
+
+
+def test_jpeg12_pil_oracle():
+    """The 8-bit stream from io/jpeg12.py decodes identically (+-1 IDCT
+    rounding) in PIL/libjpeg — an independent-decoder oracle for the
+    entropy coding and quantization."""
+    from PIL import Image
+    import io as _io
+
+    from invesalius3_tpu.io import jpeg12
+
+    rng = np.random.default_rng(3)
+    img = (120 + 60 * np.sin(np.arange(40)[:, None] / 5.0)
+           * np.cos(np.arange(56)[None, :] / 7.0)).astype(np.uint8)
+    img = (img + rng.integers(0, 8, img.shape)).astype(np.uint8)
+    enc = jpeg12.encode(img, precision=8)
+    mine = jpeg12.decode(enc)
+    pil = np.asarray(Image.open(_io.BytesIO(enc)))
+    assert np.abs(pil.astype(int) - mine.astype(int)).max() <= 1
+
+
+@pytest.mark.parametrize("ts_attr,near", [("JPEG_LS_LOSSLESS", 0),
+                                          ("JPEG_LS_NEAR", 2)])
+def test_dicom_jpegls_roundtrip(tmp_path, ts_attr, near):
+    """JPEG-LS (.4.80 lossless / .4.81 near-lossless) through the T.87
+    codec (io/jpegls.py): exact for lossless, |err| <= NEAR otherwise.
+    Reference decodes these via GDCM/CharLS (dicom_reader.py:86-140)."""
+    from invesalius3_tpu.io import dicom_codecs as codecs
+
+    ts = getattr(codecs, ts_attr)
+    rng = np.random.default_rng(5)
+    yy, xx = np.mgrid[:40, :48]
+    px = (yy * 25 + xx * 3).astype(np.uint16)
+    px[10:30, 12:36] = 3000  # flat region exercises run mode
+    px = (px + rng.integers(0, 9, px.shape)).astype(np.uint16)
+    p = tmp_path / "jls.dcm"
+    dicom.write_dicom(p, px, {
+        "PatientID": "P1", "Modality": "CT",
+        "SeriesInstanceUID": "1.2.3.13", "InstanceNumber": 1,
+        "ImagePositionPatient": [0.0, 0.0, 0.0],
+        "ImageOrientationPatient": [1, 0, 0, 0, 1, 0],
+        "PixelSpacing": [0.5, 0.5], "BitsAllocated": 16,
+    }, transfer_syntax=ts)
+    f = dicom.read_dicom(p)
+    assert f.transfer_syntax == ts
+    arr = f.pixel_array()
+    err = np.abs(arr.astype(np.int32) - px.astype(np.int32)).max()
+    assert err <= near, f"max err {err} > NEAR {near}"
+
+
+def test_jpegls_compresses():
+    """Run mode engages on flat regions: a mostly-flat CT slice should
+    compress well below raw size."""
+    from invesalius3_tpu.io import jpegls
+
+    img = np.full((64, 64), 1000, np.uint16)
+    img[20:30, 20:30] = 2000
+    enc = jpegls.encode(img)
+    assert len(enc) < img.nbytes // 10
+    assert np.array_equal(jpegls.decode(enc), img)
+
+
 def test_dicom_jpeg_baseline_roundtrip(tmp_path):
     """8-bit baseline JPEG (transfer syntax .4.50, the common lossy
     ultrasound/secondary-capture export) decodes via PIL; lossy, so the

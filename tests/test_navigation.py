@@ -783,3 +783,58 @@ def test_remote_event_server_roundtrip():
     finally:
         rc.disconnect()
         srv.stop()
+
+
+def test_optitrack_natnet_replay():
+    """NatNet FrameOfMocapData wire round trip -> InVesalius frame
+    (reference coordinates.py:183 OptitrackCoord conversions)."""
+    import numpy as np
+
+    from invesalius3_tpu.navigation import tracker as trk
+    from invesalius3_tpu.navigation.serial_drivers import (
+        make_natnet_frame, parse_natnet_frame)
+    from invesalius3_tpu.navigation.vendor_coords import optitrack_pose
+
+    bodies = [
+        {"id": 1, "pos": (0.10, 0.02, -0.05),
+         "quat": (0.0, 0.0, 0.0, 1.0), "tracked": True},
+        {"id": 2, "pos": (0.00, 0.00, 0.00),
+         "quat": (0.0, 0.7071068, 0.0, 0.7071068), "tracked": True},
+        {"id": 3, "pos": (0.01, 0.01, 0.01),
+         "quat": (0.0, 0.0, 0.0, 1.0), "tracked": False},
+    ]
+    frame = make_natnet_frame(bodies)
+    parsed = parse_natnet_frame(frame)
+    assert [b["id"] for b in parsed] == [1, 2, 3]
+    assert parsed[0]["tracked"] and not parsed[2]["tracked"]
+
+    conn = trk.create_tracker_connection("optitrack", frames=[frame])
+    assert conn.connect()
+    coords, flags = conn.get_coordinates()
+    assert list(flags) == [True, True, False]
+    want0 = optitrack_pose(1.0, 0.0, 0.0, 0.0, 0.10, 0.02, -0.05)
+    np.testing.assert_allclose(coords[0], want0, atol=1e-5)
+    # probe position: Motive (x,y,z) m -> (z,x,y) mm
+    np.testing.assert_allclose(coords[0][:3], [-50.0, 100.0, 20.0],
+                               atol=1e-3)
+    conn.disconnect()
+
+
+def test_claron_replay_sdk_surface():
+    """MicronTracker driver speaks the pyclaron attribute API exactly
+    (reference coordinates.py:283 ClaronCoord); replay stand-in supplies
+    recorded poses."""
+    import numpy as np
+
+    from invesalius3_tpu.navigation import tracker as trk
+
+    poses = [[[10.0, 20.0, 30.0, 5.0, -3.0, 1.0],
+              [0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+              [1.0, 2.0, 3.0, 0.5, 0.5, 0.5]]]
+    conn = trk.create_tracker_connection("claron_mtc", poses=poses)
+    assert conn.connect()
+    coords, flags = conn.get_coordinates()
+    assert flags.all()
+    np.testing.assert_allclose(coords[0], [10.0, 20.0, 30.0, 5.0, -3.0, 1.0])
+    np.testing.assert_allclose(coords[2], [1.0, 2.0, 3.0, 0.5, 0.5, 0.5])
+    conn.disconnect()

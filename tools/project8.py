@@ -88,6 +88,15 @@ def collect(size: int, skip_single: bool = False) -> dict:
     rounds = np.asarray(rounds)[0].tolist()  # coarse -> fine
     out["sharded_rounds"] = rounds
     log(f"[{n}] sharded watershed rounds per level (coarse->fine): {rounds}")
+    run_l = sharded_ops.sharded_watershed(zmesh, stop="label",
+                                          quiet_rounds=2)
+    labels_l, rounds_l = run_l(ct, markers, algorithm="Watershed",
+                               debug_rounds=True)
+    out["sharded_rounds_label"] = np.asarray(rounds_l)[0].tolist()
+    out["label_vs_rank_agreement"] = float(
+        (np.asarray(labels_l) == np.asarray(labels)).mean())
+    log(f"[{n}] label-stop rounds: {out['sharded_rounds_label']} "
+        f"(agreement {out['label_vs_rank_agreement']:.6f})")
 
     mask = np.where(np.asarray(labels) == 1, 255, 0).astype(np.uint8)
     verts, faces, stats = sharded_ops.sharded_mask_to_surface(
@@ -201,7 +210,10 @@ def project(emit_json: bool = True) -> dict:
     Yp = Xp = n + 2
 
     # ---- watershed ------------------------------------------------------
-    sh_rounds = counts["sharded_rounds"]          # coarse -> fine
+    # label-stop rounds when measured (the scaling path's default since
+    # they reproduce rank-stop labels bitwise at 1/10th the fine rounds)
+    sh_rounds = counts.get("sharded_rounds_label",
+                           counts["sharded_rounds"])  # coarse -> fine
     n_levels = len(sh_rounds) - 1
     # per-round cost per level: measured directly if the TPU probe ran,
     # else derived from the single-chip stage time + single-device rounds

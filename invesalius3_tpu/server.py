@@ -1546,11 +1546,27 @@ def make_handler(state: AppState):
                         "volume_mm3": surf.volume, "area_mm2": surf.area,
                     })
                 elif self.path == "/api/surface":
+                    # full SurfaceCreationDialog option set (reference
+                    # gui/dialogs.py SurfaceCreationOptions: quality
+                    # preset, keep-largest, fill-holes, overwrite, name,
+                    # ca_smoothing params)
                     surf = slc.create_surface_from_mask(
                         algorithm=body.get("algorithm", "Default"),
+                        quality=body.get("quality",
+                                         const.DEFAULT_SURFACE_QUALITY),
                         decimate_reduction=body.get("decimate_reduction"),
                         keep_largest=body.get("keep_largest", False),
+                        fill_holes=body.get("fill_holes", False),
+                        ca_options=body.get("ca_options"),
+                        name=body.get("name", ""),
                     )
+                    if body.get("overwrite") and state.surfaces:
+                        # reference overwrite-last semantics: the new
+                        # surface takes the previous newest's slot
+                        last = max(state.surfaces)
+                        state.surfaces.pop(last, None)
+                        state.mesh_bin_cache.pop(last, None)
+                        surf.index = last
                     state.surfaces[surf.index] = surf
                     self._json({
                         "index": surf.index, "triangles": int(len(surf.faces)),

@@ -1246,7 +1246,7 @@ async function init() {
   };
   $("#undo").onclick = () => api("/api/mask/undo").then(() => refreshSlices());
   $("#fill-holes").onclick = () =>
-    api("/api/mask/fill_holes", { max_size: 1000 })
+    api("/api/mask/fill_holes", { max_size: +$("#fill-max").value })
       .then((r) => { setStatus(`filled ${r.filled_voxels} voxels`);
         refreshSlices(); });
   $("#redo").onclick = () => api("/api/mask/redo").then(() => refreshSlices());
@@ -1266,9 +1266,32 @@ async function init() {
   $("#ws-clear").onclick = () => {
     state.wsMarkers = []; $("#ws-count").textContent = "";
   };
+  // SurfaceCreationDialog option set (reference gui/dialogs.py): quality
+  // preset, decimation, keep-largest, fill-holes, overwrite, name, and
+  // the ca_smoothing parameter block shown only for that algorithm
+  $("#surf-algo").onchange = () => {
+    $("#surf-ca-opts").style.display =
+      $("#surf-algo").value === "ca_smoothing" ? "" : "none";
+  };
   $("#do-surface").onclick = async () => {
     setStatus("creating surface…");
-    const r = await api("/api/surface", { algorithm: $("#surf-algo").value });
+    const body = {
+      algorithm: $("#surf-algo").value,
+      quality: $("#surf-quality").value,
+      keep_largest: $("#surf-largest").checked,
+      fill_holes: $("#surf-fill").checked,
+      overwrite: $("#surf-overwrite").checked,
+      name: $("#surf-name").value,
+    };
+    const dec = +$("#surf-decimate").value;
+    if (dec > 0) body.decimate_reduction = dec;
+    if (body.algorithm === "ca_smoothing") {
+      body.ca_options = {
+        t: +$("#surf-ca-t").value, tmax: +$("#surf-ca-tmax").value,
+        bmin: +$("#surf-ca-bmin").value, n_iters: +$("#surf-ca-iters").value,
+      };
+    }
+    const r = await api("/api/surface", body);
     setStatus(`surface #${r.index}: ${r.triangles.toLocaleString()} triangles`);
     refreshSurfaces();
   };

@@ -276,6 +276,19 @@ def test_walkthrough_tools(server):
         "azimuth": 30, "elevation": 20, "size": 256, "edit_mode": 1})
     assert code == 200 and out["cut_voxels"] >= 0
 
+    # surface-creation dialog options (quality preset, decimation,
+    # keep-largest, name, overwrite — the exact body app.js builds)
+    code, out = _post(server, "/api/surface", {
+        "algorithm": "Default", "quality": "Low",
+        "decimate_reduction": 0.5, "keep_largest": True,
+        "name": "dialog opts", "overwrite": True})
+    assert code == 200 and out["triangles"] > 0
+    code, _, body = _get(server, "/api/surfaces")
+    surfaces = json.loads(body)
+    assert any(s["name"] == "dialog opts" for s in surfaces)
+    # overwrite=True replaced the newest slot instead of adding
+    assert len(surfaces) == 1
+
     # reorient (degrees -> radians done client-side; radians on the wire)
     code, out = _post(server, "/api/image/reorient", {
         "angles": [0.0, 0.0, 0.1]})

@@ -512,20 +512,27 @@ function attachPane(pane) {
   const cursor = document.createElement("div");
   cursor.id = "brush-cursor";
   wrap.appendChild(cursor);
+  // cursor-actor preview ring (reference cursor_actors.py): brush-sized
+  // for paint/erase, a fixed seed ring for the click tools
+  const RING_TOOLS = { paint: "#ffd166", erase: "#ef476f",
+                       floodfill: "#06d6a0", watershed: "#118ab2",
+                       "part-keep": "#06d6a0", "part-del": "#ef476f" };
   const updateCursor = (ev) => {
-    if (state.tool !== "paint" && state.tool !== "erase") {
+    const colour = RING_TOOLS[state.tool];
+    if (!colour) {
       cursor.style.display = "none";
       return;
     }
     const r = img.getBoundingClientRect();
     const w = wrap.getBoundingClientRect();
     const pxPerMm = (r.width / img.naturalWidth) / state.spacing[0];
-    const d = 2 * (+$("#brush-radius").value) * pxPerMm;
+    const brush = state.tool === "paint" || state.tool === "erase";
+    const d = brush ? 2 * (+$("#brush-radius").value) * pxPerMm : 10;
     cursor.style.display = "block";
     cursor.style.width = cursor.style.height = `${d}px`;
     cursor.style.left = `${ev.clientX - w.left}px`;
     cursor.style.top = `${ev.clientY - w.top}px`;
-    cursor.style.borderColor = state.tool === "erase" ? "#ef476f" : "#ffd166";
+    cursor.style.borderColor = colour;
   };
   wrap.addEventListener("mousemove", updateCursor);
   wrap.addEventListener("mouseleave", () => { cursor.style.display = "none"; });

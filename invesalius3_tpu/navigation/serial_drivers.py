@@ -242,9 +242,11 @@ class NDIPolarisConnection(TrackerConnection):
 
     POLL = b"TX:0001"
 
-    def __init__(self, transport: SerialTransport, n_tools: int = 3):
+    def __init__(self, transport: SerialTransport, n_tools: int = 3,
+                 rom_files: Optional[Sequence] = None):
         self.transport = transport
         self.n_tools = n_tools
+        self.rom_files = list(rom_files or [])
         self.handles: List[str] = []
 
     # -- framing ----------------------------------------------------------
@@ -257,13 +259,31 @@ class NDIPolarisConnection(TrackerConnection):
                 f"device error {body[5:7].decode()} for command {cmd!r}")
         return body
 
+    # -- tool definition (ROM) upload -------------------------------------
+    def _load_rom(self, path) -> str:
+        """Upload a wireless-tool definition file: ``PHRQ`` requests a
+        free port handle, then ``PVWR:HH AAAA <64 bytes hex>`` writes the
+        .rom in 64-byte pages (NDI Combined API; the reference ships the
+        vendor .rom files under navigation/ndi_files and loads them
+        through the closed pypolaris wrapper)."""
+        data = Path(path).read_bytes() if not isinstance(path, bytes) \
+            else path
+        h = self._exchange(b"PHRQ:*********1****").decode()[:2]
+        data += b"\x00" * (-len(data) % 64)
+        for off in range(0, len(data), 64):
+            page = data[off:off + 64].hex().upper()
+            self._exchange(f"PVWR:{h}{off:04X}{page}".encode())
+        return h
+
     # -- lifecycle --------------------------------------------------------
     def connect(self) -> bool:
         if self._exchange(b"INIT:") != b"OKAY":
             return False
-        phsr = self._exchange(b"PHSR:02").decode()
-        n = int(phsr[:2], 16)
-        self.handles = [phsr[2 + 5 * i:4 + 5 * i] for i in range(n)]
+        self.handles = [self._load_rom(p) for p in self.rom_files]
+        if not self.handles:  # wired / auto-detected tools
+            phsr = self._exchange(b"PHSR:02").decode()
+            n = int(phsr[:2], 16)
+            self.handles = [phsr[2 + 5 * i:4 + 5 * i] for i in range(n)]
         for h in self.handles:
             self._exchange(f"PINIT:{h}".encode())
             self._exchange(f"PENA:{h}D".encode())
@@ -298,21 +318,36 @@ class NDIPolarisConnection(TrackerConnection):
 
 def make_polaris_transcript(frames: Sequence[Sequence[Optional[Tuple[
         Sequence[float], Sequence[float]]]]],
-        handles: Sequence[str] = ("0A", "0B", "0C")) -> List[dict]:
+        handles: Sequence[str] = ("0A", "0B", "0C"),
+        rom_files: Optional[Sequence[bytes]] = None) -> List[dict]:
     """Synthesize the byte transcript a Polaris would produce for the
     given frames — each frame is a per-tool list of ``(q_wxyz, t_mm)`` or
     ``None`` (tool out of view).  Replies carry real CRC16s so the driver's
-    CRC verification is part of the replay assertion."""
+    CRC verification is part of the replay assertion.  With ``rom_files``
+    (one .rom blob per tool) the transcript carries the PHRQ/PVWR
+    tool-definition upload exchange instead of the PHSR auto-detect."""
     def reply(body: bytes) -> str:
         return (body + f"{crc16_ndi(body):04X}".encode() + b"\r").hex()
 
     handles = list(handles)[:len(frames[0])]
-    phsr = f"{len(handles):02X}" + "".join(h + "001" for h in handles)
     entries = [
         {"write": frame_ndi(b"INIT:").hex(), "lines": [reply(b"OKAY")]},
-        {"write": frame_ndi(b"PHSR:02").hex(),
-         "lines": [reply(phsr.encode())]},
     ]
+    if rom_files:
+        for h, rom in zip(handles, rom_files):
+            entries.append({"write": frame_ndi(b"PHRQ:*********1****").hex(),
+                            "lines": [reply(h.encode())]})
+            rom = rom + b"\x00" * (-len(rom) % 64)
+            for off in range(0, len(rom), 64):
+                page = rom[off:off + 64].hex().upper()
+                entries.append({
+                    "write": frame_ndi(
+                        f"PVWR:{h}{off:04X}{page}".encode()).hex(),
+                    "lines": [reply(b"OKAY")]})
+    else:
+        phsr = f"{len(handles):02X}" + "".join(h + "001" for h in handles)
+        entries.append({"write": frame_ndi(b"PHSR:02").hex(),
+                        "lines": [reply(phsr.encode())]})
     for h in handles:
         entries.append({"write": frame_ndi(f"PINIT:{h}".encode()).hex(),
                         "lines": [reply(b"OKAY")]})

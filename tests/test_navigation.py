@@ -620,6 +620,24 @@ def test_polaris_ndi_replay_protocol():
     np.testing.assert_allclose(coords2[0, :3], [11.0, -21.0, 31.0])
 
 
+def test_polaris_rom_tool_definition_upload():
+    """Wireless-tool .rom upload (reference ships vendor ROMs under
+    navigation/ndi_files): PHRQ handle request + chunked PVWR pages,
+    byte-exact on the replay transport, then normal tracking."""
+    from invesalius3_tpu.navigation import serial_drivers as sd
+
+    roms = [bytes(range(256)) * 3, b"\x55" * 100, b"\xAA" * 64]
+    transcript = sd.make_polaris_transcript(_polaris_frames(),
+                                            rom_files=roms)
+    tp = sd.ReplayTransport(transcript, loop=False)
+    conn = sd.NDIPolarisConnection(tp, rom_files=roms)
+    assert conn.connect()  # INIT/PHRQ/PVWR*/PINIT/PENA/TSTART byte-exact
+    assert conn.handles == ["0A", "0B", "0C"]
+    coords, flags = conn.get_coordinates()
+    assert flags.tolist() == [True, True, True]
+    np.testing.assert_allclose(coords[0, :3], [10.0, -20.0, 30.0])
+
+
 def test_polaris_reply_crc_verified():
     from invesalius3_tpu.navigation import serial_drivers as sd
 

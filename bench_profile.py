@@ -94,16 +94,16 @@ def main():
 
         normals3f = mesh_ops._face_normals_3t(dm.verts3v, dm.faces3t)
         synced(normals3f)
-        tm.lap("ca normals")
+        tm.lap("ca normals", key="ca_normals")
         flagged = mesh_ops._staircase_core_3t(
             normals3f, dm.faces3t,
             jnp.zeros((dm.verts3v.shape[1],), jnp.uint8),
             jnp.float32(0.7), jnp.asarray([0., 0., 1.], jnp.float32))
         synced(flagged)
-        tm.lap("ca staircase")
+        tm.lap("ca staircase", key="ca_staircase")
         neigh_dv, deg_j = mesh_ops.adjacency_from_device_mesh(dm)
         synced([neigh_dv, deg_j])
-        tm.lap(f"ca adjacency (D={neigh_dv.shape[0]})")
+        tm.lap(f"ca adjacency (D={neigh_dv.shape[0]})", key="ca_adjacency")
         sx2, sy2, sz2 = dm.spacing
         ox, oy, oz = dm.origin_shift
         vox3v = jnp.stack([(dm.verts3v[2] - oz) / sz2,
@@ -111,19 +111,19 @@ def main():
                            (dm.verts3v[0] - ox) / sx2])
         grid = mesh_ops._rasterize_seeds(vox3v, flagged, dm.vol_shape)
         synced(grid)
-        tm.lap("ca rasterize")
+        tm.lap("ca rasterize", key="ca_rasterize")
         grid = mesh_ops._chamfer(grid, (sz2, sy2, sx2), 6)
         synced(grid)
-        tm.lap("ca chamfer")
+        tm.lap("ca chamfer", key="ca_chamfer")
         weights = mesh_ops._grid_weights(grid, vox3v, jnp.float32(3.0),
                                          jnp.float32(0.5))
         synced(weights)
-        tm.lap("ca weights sample")
+        tm.lap("ca weights sample", key="ca_weights")
         out3v = mesh_ops.taubin_smooth_bucketed(
             dm.verts3v, neigh_dv, deg_j, weights,
             jnp.float32(0.5), jnp.float32(-0.53), 10)
         synced(out3v)
-        tm.lap("ca taubin (bucketed)")
+        tm.lap("ca taubin (bucketed)", key="ca_taubin")
         import dataclasses as _dc
         dm2 = _dc.replace(dm, verts3v=out3v)
         smoothed, faces = marching.mesh_to_host(dm2)

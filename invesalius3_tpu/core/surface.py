@@ -142,13 +142,23 @@ def create_surface_from_mask(
     contour -> [ca_smoothing if algorithm == 'ca_smoothing'] ->
     [decimate] -> [keep largest] -> [fill holes] -> mass properties.
 
-    Note the reference quirk: its vtkSmoothPolyDataFilter branch is
-    commented out (surface_process.py:324-348), so 'Default'/'Binary'
-    surfaces get NO Laplacian smoothing regardless of the quality preset's
-    smooth params; we match (the preset smooth params are accepted but only
-    applied through ca_smoothing).
+    Note the reference quirks around the quality preset (tuple =
+    imagedata_resolution, smooth_iterations, smooth_relaxation,
+    decimate_reduction — constants.py:359):
+    - its vtkSmoothPolyDataFilter branch is commented out
+      (surface_process.py:324-348), so 'Default'/'Binary' surfaces get NO
+      Laplacian smoothing regardless of the preset; we match;
+    - its imagedata resample is commented out too (surface_process.py:
+      153-154), so resolution is a no-op; we match;
+    - its decimation gate is INVERTED (`if not decimate_reduction:`
+      surface_process.py:350), so a truthy preset reduction SKIPS
+      decimation.  Deliberate departure: we apply the preset's
+      decimate_reduction (sane gate) when the caller does not pass an
+      explicit one — the behavior the dialog plainly advertises.
     """
     del smooth_iterations, smooth_relaxation  # parity: reference ignores them too
+    if decimate_reduction is None and quality in const.SURFACE_QUALITY:
+        decimate_reduction = const.SURFACE_QUALITY[quality][3]
     # device-resident pipeline: marching -> (ca_smoothing) -> one packed
     # transfer.  At the ~35 MB/s relay readback, skipping the intermediate
     # host round trip saves seconds per surface at 512^3.

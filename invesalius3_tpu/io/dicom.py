@@ -659,17 +659,36 @@ def write_dicom(path, pixels: "np.ndarray", tags: dict,
         elif transfer_syntax == codecs.JPEG_EXTENDED:
             from invesalius3_tpu.io import jpeg12
 
-            u = pixels.view(np.uint16) if pixels.dtype == np.int16 else (
-                pixels.view(np.uint8) if pixels.dtype == np.int8 else pixels)
-            frag = jpeg12.encode(np.ascontiguousarray(u),
-                                 precision=min(bits, 12))
+            # .4.51 is a 12-bit unsigned codec: signed or >12-bit values
+            # would alias through the uint view and decode clamped to
+            # [0, 4095] — corrupt silently.  Demand pre-rescaled data
+            # (DICOM RescaleIntercept is the standard way to shift HU).
+            precision = min(bits, 12)
+            if int(pixels.min()) < 0 or int(pixels.max()) >= (1 << precision):
+                raise DicomError(
+                    "JPEG Extended (.4.51) stores 12-bit unsigned samples; "
+                    f"pixel range [{int(pixels.min())}, {int(pixels.max())}]"
+                    " does not fit — rescale into [0, 4095] first (and set "
+                    "RescaleIntercept/Slope accordingly)")
+            frag = jpeg12.encode(
+                np.ascontiguousarray(pixels.astype(np.uint16)),
+                precision=precision)
         elif transfer_syntax in (codecs.JPEG_LS_LOSSLESS,
                                  codecs.JPEG_LS_NEAR):
             from invesalius3_tpu.io import jpegls
 
+            near = 2 if transfer_syntax == codecs.JPEG_LS_NEAR else 0
+            if near and pixels.dtype in (np.int16, np.int8):
+                # near-lossless reconstruction can cross the two's-
+                # complement wrap (e.g. int16 32766 -> 32768 -> -32768):
+                # the |err|<=NEAR promise would not survive the signed
+                # view.  Lossless is exact through the bit pattern.
+                raise DicomError(
+                    "JPEG-LS near-lossless (.4.81) on signed pixel data "
+                    "can wrap at the int16 boundary; use JPEG-LS lossless "
+                    "(.4.80) or rescale to unsigned first")
             u = pixels.view(np.uint16) if pixels.dtype == np.int16 else (
                 pixels.view(np.uint8) if pixels.dtype == np.int8 else pixels)
-            near = 2 if transfer_syntax == codecs.JPEG_LS_NEAR else 0
             frag = jpegls.encode(np.ascontiguousarray(u), near=near,
                                  maxval=(1 << bits) - 1)
         elif transfer_syntax in (codecs.J2K_LOSSLESS, codecs.J2K):

@@ -126,6 +126,11 @@ class _BitWriter:
         while self.n:
             self.put(1, 1)  # pad with 1s
 
+    def marker(self, m):
+        """Byte-align (1-padding) and emit a raw marker (RSTn)."""
+        self.flush()
+        self.out += bytes((0xFF, m))
+
 
 class _BitReader:
     def __init__(self, data, pos):
@@ -142,10 +147,6 @@ class _BitReader:
                 nxt = self.d[self.pos]
                 if nxt == 0x00:
                     self.pos += 1
-                elif 0xD0 <= nxt <= 0xD7:  # restart marker: resync
-                    self.pos += 1
-                    b = self.d[self.pos]
-                    self.pos += 1
                 else:
                     raise StopIteration  # real marker: scan over
             self.acc, self.n = b, 8
@@ -158,6 +159,23 @@ class _BitReader:
             v = (v << 1) | self.bit()
         return v
 
+    def restart(self):
+        """T.81 restart-interval boundary: drop the pad bits of the
+        current byte, consume the RSTn marker (tolerating 0xFF fill)."""
+        self.n = 0
+        if self.pos < len(self.d) and self.d[self.pos] == 0x00:
+            self.pos += 1  # stuffed byte of an all-ones 0xFF pad byte
+        while self.pos + 1 < len(self.d) and self.d[self.pos] == 0xFF:
+            nxt = self.d[self.pos + 1]
+            if 0xD0 <= nxt <= 0xD7:
+                self.pos += 2
+                return
+            if nxt == 0xFF:  # fill byte
+                self.pos += 1
+                continue
+            break
+        raise StopIteration  # no restart marker where one was expected
+
 
 def _receive_extend(br, ssss):
     if ssss == 0:
@@ -166,8 +184,11 @@ def _receive_extend(br, ssss):
     return v if v >= (1 << (ssss - 1)) else v - (1 << ssss) + 1
 
 
-def encode(arr: np.ndarray, precision: int = 12) -> bytes:
-    """Encode (rows, cols) unsigned as extended sequential JPEG (SOF1)."""
+def encode(arr: np.ndarray, precision: int = 12,
+           restart_interval: int = 0) -> bytes:
+    """Encode (rows, cols) unsigned as extended sequential JPEG (SOF1).
+    ``restart_interval`` > 0 emits DRI + RSTn markers every N blocks
+    (hardware-encoder style; exercises the decoder's resync path)."""
     arr = np.asarray(arr)
     rows, cols = arr.shape
     shift = 1 << (precision - 1)
@@ -188,7 +209,10 @@ def encode(arr: np.ndarray, precision: int = 12) -> bytes:
             blk = padded[8 * y:8 * y + 8, 8 * x:8 * x + 8]
             coef = _C @ blk @ _C.T
             qc = np.round(coef / q).astype(np.int32).reshape(64)[ZIGZAG]
+            bi = len(blocks)
             blocks.append(qc)
+            if restart_interval and bi and bi % restart_interval == 0:
+                prev_dc = 0  # mirror pass 2's per-interval DC reset
             diff = int(qc[0]) - prev_dc
             prev_dc = int(qc[0])
             cat = abs(diff).bit_length()
@@ -215,7 +239,10 @@ def encode(arr: np.ndarray, precision: int = 12) -> bytes:
     # pass 2: entropy coding
     bw = _BitWriter()
     prev_dc = 0
-    for qc in blocks:
+    for bi, qc in enumerate(blocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            bw.marker(0xD0 + ((bi // restart_interval - 1) % 8))
+            prev_dc = 0
         diff = int(qc[0]) - prev_dc
         prev_dc = int(qc[0])
         cat = abs(diff).bit_length()
@@ -247,8 +274,7 @@ def encode(arr: np.ndarray, precision: int = 12) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
 
     out = struct.pack(">H", 0xFFD8)
-    # 16-bit DQT entries (Pq=1) — required for 12-bit
-    qz = QTABLE[np.argsort(ZIGZAG)][ZIGZAG]  # table in zigzag order
+    # 16-bit DQT entries (Pq=1) — required for 12-bit; zigzag order
     qz = QTABLE.reshape(64)[ZIGZAG]
     out += seg(0xFFDB, bytes([0x10]) + b"".join(
         struct.pack(">H", int(v)) for v in qz))
@@ -256,6 +282,8 @@ def encode(arr: np.ndarray, precision: int = 12) -> bytes:
                + bytes([1, 0x11, 0]))  # SOF1
     out += seg(0xFFC4, bytes([0x00]) + bytes(dc_counts) + bytes(dc_syms))
     out += seg(0xFFC4, bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
     return out + bytes(bw.out) + struct.pack(">H", 0xFFD9)
 
@@ -270,12 +298,16 @@ def decode(data: bytes) -> np.ndarray:
     qtables, dc_tables, ac_tables = {}, {}, {}
     comp_q = 0
     dc_id = ac_id = 0
+    restart_interval = 0
     scan_start = -1
     while pos + 4 <= n:
         if data[pos] != 0xFF:
             pos += 1
             continue
         m = data[pos + 1]
+        if m == 0xFF:  # 0xFF fill byte before a marker (T.81 B.1.1.2)
+            pos += 1
+            continue
         pos += 2
         if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
             continue
@@ -316,6 +348,8 @@ def decode(data: bytes) -> np.ndarray:
                 dec, _ = _canonical(counts, vals)
                 (ac_tables if tc else dc_tables)[th] = dec
                 off += 17 + nv
+        elif m == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif m == 0xDA:  # SOS
             dc_id = seg[2] >> 4
             ac_id = seg[2] & 0xF
@@ -343,9 +377,15 @@ def decode(data: bytes) -> np.ndarray:
     prev_dc = 0
     shift = 1 << (precision - 1)
     maxv = (1 << precision) - 1
+    n_blocks = 0
     try:
         for y in range(by):
             for x in range(bx):
+                if restart_interval and n_blocks and \
+                        n_blocks % restart_interval == 0:
+                    br.restart()   # byte-align + consume RSTn
+                    prev_dc = 0    # DC predictor resets per interval
+                n_blocks += 1
                 zz = np.zeros(64, np.int32)
                 cat = huff(br, dc_t)
                 prev_dc += _receive_extend(br, cat)

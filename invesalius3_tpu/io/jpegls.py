@@ -105,6 +105,10 @@ class _BitWriter:
             self.out.append(self.acc << (cap - self.nbits))
             self.acc = 0
             self.nbits = 0
+        if self.out and self.out[-1] == 0xFF:
+            # a trailing 0xFF data byte would read as part of the EOI
+            # marker; emit the mandatory stuffed (0-MSB) follow-up byte
+            self.out.append(0x00)
 
 
 class _BitReader:
@@ -364,6 +368,9 @@ def decode(data: bytes) -> np.ndarray:
     scan_start = -1
     while pos + 4 <= n:
         if data[pos] != 0xFF:
+            pos += 1
+            continue
+        if data[pos + 1] == 0xFF:  # fill byte before a marker
             pos += 1
             continue
         m = struct.unpack_from(">H", data, pos)[0]

@@ -263,8 +263,18 @@ def make_handler(state: AppState):
 
         def _mesh_bin(self, surf, max_tris: int):
             """Serve a surface as packed typed arrays for the WebGL pane:
-            b"IVM1" u32(json_len) json{...} f16 verts [pad] u32 faces."""
-            key = (surf.index, id(surf.vertices), max_tris)
+            b"IVM1" u32(json_len) json{...} f16 verts [pad] u32 faces.
+
+            Cache key is a content fingerprint (shape + strided sample
+            digest), NOT id() — a freed-and-reallocated vertices array can
+            reuse an address, which would validate a stale entry."""
+            v = np.asarray(surf.vertices)
+            sample = v[::max(1, len(v) // 512)].tobytes()
+            import hashlib
+
+            digest = hashlib.md5(sample).hexdigest()[:16]
+            key = (surf.index, v.shape[0], int(len(surf.faces)),
+                   digest, max_tris)
             cached = state.mesh_bin_cache.get(surf.index)
             if cached and cached[0] == key:
                 payload = cached[1]
@@ -1738,6 +1748,7 @@ def make_handler(state: AppState):
                                 "catalog": current_catalog(lang)})
                 elif self.path == "/api/surface/remove":
                     del state.surfaces[int(body["index"])]
+                    state.mesh_bin_cache.pop(int(body["index"]), None)
                     state.record_event("surface.removed",
                                        {"index": int(body["index"])})
                     self._json({"ok": True})

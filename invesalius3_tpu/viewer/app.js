@@ -844,6 +844,7 @@ function attach3D() {
   const wrap = $("#pane3d .imgwrap");
   let drag = null;
   let timer = null;
+  let refineTimer = null;
   // 3D polygon-cut overlay (reference mask3d_editor_state.py:18): clicks
   // in cut3d mode collect polygon points in render-pixel coords
   const poly = document.createElement("canvas");
@@ -902,7 +903,9 @@ function attach3D() {
       return;
     }
     clearTimeout(timer);
-    timer = setTimeout(refresh3D, 120);  // render on pause, not per-event
+    clearTimeout(refineTimer);
+    timer = setTimeout(refresh3D, 120);  // pooled frame on short pause
+    refineTimer = setTimeout(() => refresh3D(true), 650);  // full quality
   });
   window.addEventListener("mouseup", () => { drag = null; });
 }

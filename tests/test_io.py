@@ -534,6 +534,58 @@ def test_dicom_jpegls_roundtrip(tmp_path, ts_attr, near):
     assert err <= near, f"max err {err} > NEAR {near}"
 
 
+def test_jpeg12_restart_intervals():
+    """DRI/RSTn streams (hardware encoders): the decoder must byte-align
+    at each interval and reset the DC predictor."""
+    from invesalius3_tpu.io import jpeg12
+
+    rng = np.random.default_rng(9)
+    img = (1000 + 40 * np.arange(48)[:, None]
+           + rng.integers(0, 50, (48, 64))).astype(np.uint16)
+    plain = jpeg12.decode(jpeg12.encode(img, precision=12))
+    rst = jpeg12.decode(jpeg12.encode(img, precision=12,
+                                      restart_interval=5))
+    # same image content either way (identical quantization)
+    assert np.abs(rst.astype(int) - plain.astype(int)).max() <= 1
+
+
+def test_jpegls_trailing_ff_byte():
+    """An entropy stream ending in an all-ones byte must round-trip: the
+    encoder appends the mandatory stuffed follow-up so the scan-end
+    detector cannot mistake the data byte for the EOI marker."""
+    from invesalius3_tpu.io import jpegls
+
+    rng = np.random.default_rng(0)
+    for seed in range(30):  # many streams: some end on 0xFF
+        img = rng.integers(0, 65535, (9, 13)).astype(np.uint16)
+        assert np.array_equal(jpegls.decode(jpegls.encode(img)), img), seed
+
+
+def test_dicom_lossy_write_guards(tmp_path):
+    """Silent-corruption guards: .4.51 refuses signed/out-of-range pixels,
+    .4.81 refuses signed pixels (two's-complement wrap breaks the NEAR
+    bound); clear errors instead of corrupt round trips."""
+    from invesalius3_tpu.io import dicom_codecs as codecs
+
+    tags = {"PatientID": "P1", "Modality": "CT",
+            "SeriesInstanceUID": "1.2.3.14", "InstanceNumber": 1,
+            "ImagePositionPatient": [0.0, 0.0, 0.0],
+            "ImageOrientationPatient": [1, 0, 0, 0, 1, 0],
+            "PixelSpacing": [0.5, 0.5], "BitsAllocated": 16}
+    signed = np.full((8, 8), -1000, np.int16)
+    with pytest.raises(dicom.DicomError, match="12-bit unsigned"):
+        dicom.write_dicom(tmp_path / "a.dcm", signed, tags,
+                          transfer_syntax=codecs.JPEG_EXTENDED)
+    with pytest.raises(dicom.DicomError, match="signed"):
+        dicom.write_dicom(tmp_path / "b.dcm", signed, tags,
+                          transfer_syntax=codecs.JPEG_LS_NEAR)
+    # lossless on signed data stays exact through the bit pattern
+    p = tmp_path / "c.dcm"
+    dicom.write_dicom(p, signed, tags,
+                      transfer_syntax=codecs.JPEG_LS_LOSSLESS)
+    assert np.array_equal(dicom.read_dicom(p).pixel_array(), signed)
+
+
 def test_jpegls_compresses():
     """Run mode engages on flat regions: a mostly-flat CT slice should
     compress well below raw size."""

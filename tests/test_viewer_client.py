@@ -212,9 +212,12 @@ def test_walkthrough(server):
     code, out = _post(server, "/api/surface", {"algorithm": "Default"})
     assert code == 200 and out["triangles"] > 0
     n_tris_full = out["triangles"]
+    sidx = out["index"]  # Surface indices are global across the process
+    # (class counter), so never hardcode 0 — the client uses the
+    # /api/surfaces listing the same way
 
     # 6. WebGL mesh stream: typed arrays the gl3d pane consumes
-    code, ctype, blob = _get(server, "/api/surface/0/mesh.bin")
+    code, ctype, blob = _get(server, f"/api/surface/{sidx}/mesh.bin")
     assert code == 200 and ctype == "application/octet-stream"
     assert blob[:4] == b"IVM1"
     jlen = struct.unpack("<I", blob[4:8])[0]
@@ -228,7 +231,8 @@ def test_walkthrough(server):
     assert np.isfinite(verts.astype(np.float32)).all()
     assert int(faces.max()) < meta["n_verts"]
     # decimation kicks in above the cap
-    code, _, blob_small = _get(server, "/api/surface/0/mesh.bin?max_tris=1000")
+    code, _, blob_small = _get(server,
+                               f"/api/surface/{sidx}/mesh.bin?max_tris=1000")
     jlen2 = struct.unpack("<I", blob_small[4:8])[0]
     meta2 = json.loads(blob_small[8:8 + jlen2])
     assert meta2["n_tris"] <= 1100
@@ -242,7 +246,7 @@ def test_walkthrough(server):
     assert json.loads(body)
 
     # 8. STL download (exporter)
-    code, ctype, stl = _get(server, "/api/surface/0.stl")
+    code, ctype, stl = _get(server, f"/api/surface/{sidx}.stl")
     assert code == 200
     n_tris = struct.unpack("<I", stl[80:84])[0]
     assert len(stl) == 84 + 50 * n_tris

@@ -1180,8 +1180,51 @@ async function initPreferences() {
   });
 }
 
+// --- global keyboard shortcuts (reference frame.py:204 OnGlobalKey) ---------
+
+function initKeys() {
+  document.addEventListener("keydown", (ev) => {
+    const el = document.activeElement;
+    if (el && (el.tagName === "INPUT" || el.tagName === "TEXTAREA" ||
+               el.tagName === "SELECT")) {
+      return;  // typing in a field — same guard the reference applies
+    }
+    if ((ev.ctrlKey || ev.metaKey) && ev.key.toLowerCase() === "s") {
+      ev.preventDefault();
+      $("#project-save").click();
+      return;
+    }
+    const tools = $$("#tools button").map((b) => b.dataset.tool);
+    const n = parseInt(ev.key, 10);
+    if (n >= 1 && n <= tools.length) {  // 1..9 select tools in order
+      setTool(tools[n - 1]);
+      return;
+    }
+    switch (ev.key) {
+      case "u": $("#undo").click(); break;
+      case "r": $("#redo").click(); break;
+      case "Escape":
+        state.pending = [];
+        if (state.cut3dRedraw) { state.cut3dPts = []; state.cut3dRedraw(); }
+        setStatus("");
+        break;
+      case "ArrowUp":
+      case "ArrowDown": {
+        ev.preventDefault();
+        const o = "AXIAL";  // scroll the axial pane like the wheel does
+        const d = ev.key === "ArrowUp" ? -1 : 1;
+        state.idx[o] = Math.min(sliceCount(o) - 1,
+                                Math.max(0, state.idx[o] + d));
+        refreshSlices([o]);
+        break;
+      }
+    }
+  });
+}
+
 async function init() {
   await initI18n();
+  initKeys();
   const st = await api("/api/status");
   state.shape = st.volume_shape || [1, 1, 1];
   state.spacing = st.spacing || [1, 1, 1];

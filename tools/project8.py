@@ -61,7 +61,8 @@ def log(*a):
 # --collect: sharded + single-device schedule counts on the virtual CPU mesh
 # ---------------------------------------------------------------------------
 
-def collect(size: int, skip_single: bool = False) -> dict:
+def collect(size: int, skip_single: bool = False,
+            label_only: bool = False) -> dict:
     import numpy as np
     import jax
     from jax.sharding import Mesh
@@ -82,21 +83,26 @@ def collect(size: int, skip_single: bool = False) -> dict:
     out = {"size": n, "n_shards": N}
 
     zmesh = Mesh(np.asarray(jax.devices()[:N]), ("z",))
-    run = sharded_ops.sharded_watershed(zmesh)
-    labels, rounds = run(ct, markers, algorithm="Watershed",
-                         debug_rounds=True)
-    rounds = np.asarray(rounds)[0].tolist()  # coarse -> fine
-    out["sharded_rounds"] = rounds
-    log(f"[{n}] sharded watershed rounds per level (coarse->fine): {rounds}")
     run_l = sharded_ops.sharded_watershed(zmesh, stop="label",
                                           quiet_rounds=2)
     labels_l, rounds_l = run_l(ct, markers, algorithm="Watershed",
                                debug_rounds=True)
     out["sharded_rounds_label"] = np.asarray(rounds_l)[0].tolist()
-    out["label_vs_rank_agreement"] = float(
-        (np.asarray(labels_l) == np.asarray(labels)).mean())
-    log(f"[{n}] label-stop rounds: {out['sharded_rounds_label']} "
-        f"(agreement {out['label_vs_rank_agreement']:.6f})")
+    log(f"[{n}] label-stop rounds: {out['sharded_rounds_label']}")
+    labels = labels_l
+    if not label_only:
+        # rank-stop run is ~12x more fine-level rounds — prohibitive on
+        # the 1-core CPU mesh at 512^3, so it is opt-out there
+        run = sharded_ops.sharded_watershed(zmesh)
+        labels, rounds = run(ct, markers, algorithm="Watershed",
+                             debug_rounds=True)
+        rounds = np.asarray(rounds)[0].tolist()  # coarse -> fine
+        out["sharded_rounds"] = rounds
+        log(f"[{n}] rank-stop rounds per level (coarse->fine): {rounds}")
+        out["label_vs_rank_agreement"] = float(
+            (np.asarray(labels_l) == np.asarray(labels)).mean())
+        log(f"[{n}] label vs rank agreement: "
+            f"{out['label_vs_rank_agreement']:.6f}")
 
     mask = np.where(np.asarray(labels) == 1, 255, 0).astype(np.uint8)
     verts, faces, stats = sharded_ops.sharded_mask_to_surface(
@@ -212,8 +218,8 @@ def project(emit_json: bool = True) -> dict:
     # ---- watershed ------------------------------------------------------
     # label-stop rounds when measured (the scaling path's default since
     # they reproduce rank-stop labels bitwise at 1/10th the fine rounds)
-    sh_rounds = counts.get("sharded_rounds_label",
-                           counts["sharded_rounds"])  # coarse -> fine
+    sh_rounds = (counts.get("sharded_rounds_label")
+                 or counts["sharded_rounds"])  # coarse -> fine
     n_levels = len(sh_rounds) - 1
     # per-round cost per level: measured directly if the TPU probe ran,
     # else derived from the single-chip stage time + single-device rounds
@@ -352,7 +358,8 @@ def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     if "--collect" in argv:
         size = int(argv[argv.index("--collect") + 1])
-        doc = collect(size, skip_single="--skip-single" in argv)
+        doc = collect(size, skip_single="--skip-single" in argv,
+                      label_only="--label-only" in argv)
         path = os.path.join(REPO, ".project8_counts.json")
         with open(path, "w") as fh:
             json.dump(doc, fh, indent=1)

@@ -691,12 +691,15 @@ function gl3dInit() {
   const gl = cv.getContext("webgl2", { antialias: true });
   if (!gl) return null;
   const vs = `#version 300 es
-  in vec3 pos; uniform mat4 mvp; uniform mat4 mv; out vec3 vpos;
-  void main(){ vpos=(mv*vec4(pos,1.)).xyz; gl_Position=mvp*vec4(pos,1.); }`;
+  in vec3 pos; uniform mat4 mvp; uniform mat4 mv; uniform float psize;
+  out vec3 vpos;
+  void main(){ vpos=(mv*vec4(pos,1.)).xyz; gl_Position=mvp*vec4(pos,1.);
+               gl_PointSize = psize; }`;
   const fs = `#version 300 es
   precision highp float; in vec3 vpos; out vec4 frag;
-  uniform vec3 colour; uniform float transparency;
+  uniform vec3 colour; uniform float transparency; uniform float psize;
   void main(){
+    if (psize > 0.0) { frag = vec4(colour, 1.0); return; }  // marker sprite
     // screen-door transparency: same 4x4 ordered-dither the server's
     // splat renderer uses, so both 3D modes agree visually
     const mat4 bayer = mat4( 0., 8., 2.,10., 12., 4.,14., 6.,
@@ -765,6 +768,20 @@ async function gl3dLoad() {
       gl3d.dist = 2.2 * Math.max(hi[0] - lo[0], hi[1] - lo[1],
                                  hi[2] - lo[2], 10);
     }
+    // navigation markers as GL point sprites (reference marker glyphs in
+    // the live scene, viewer_volume.py)
+    try {
+      const markers = await api("/api/nav/markers");
+      if (gl3d.markerVb) gl.deleteBuffer(gl3d.markerVb);
+      gl3d.markerN = markers.length;
+      if (markers.length) {
+        const pts = new Float32Array(markers.length * 3);
+        markers.forEach((m, i) => pts.set(m.position, i * 3));
+        gl3d.markerVb = gl.createBuffer();
+        gl.bindBuffer(gl.ARRAY_BUFFER, gl3d.markerVb);
+        gl.bufferData(gl.ARRAY_BUFFER, pts, gl.STATIC_DRAW);
+      }
+    } catch (e) { gl3d.markerN = 0; }
     gl3d.loaded = true;
   })().finally(() => { gl3d.loading = null; });
   return gl3d.loading;
@@ -829,12 +846,24 @@ function gl3dRender() {
   gl.useProgram(gl3d.prog);
   gl.uniformMatrix4fv(gl.getUniformLocation(gl3d.prog, "mv"), false, mv);
   gl.uniformMatrix4fv(gl.getUniformLocation(gl3d.prog, "mvp"), false, mvp);
+  gl.uniform1f(gl.getUniformLocation(gl3d.prog, "psize"), 0);
   for (const m of gl3d.meshes) {
     gl.uniform3fv(gl.getUniformLocation(gl3d.prog, "colour"), m.colour);
     gl.uniform1f(gl.getUniformLocation(gl3d.prog, "transparency"),
                  m.transparency || 0);
     gl.bindVertexArray(m.vao);
     gl.drawElements(gl.TRIANGLES, m.n, gl.UNSIGNED_INT, 0);
+  }
+  if (gl3d.markerN) {
+    gl.bindVertexArray(null);
+    gl.bindBuffer(gl.ARRAY_BUFFER, gl3d.markerVb);
+    gl.enableVertexAttribArray(0);
+    gl.vertexAttribPointer(0, 3, gl.FLOAT, false, 0, 0);
+    gl.uniform1f(gl.getUniformLocation(gl3d.prog, "psize"), 7);
+    gl.uniform3fv(gl.getUniformLocation(gl3d.prog, "colour"),
+                  [1.0, 0.3, 0.2]);
+    gl.uniform1f(gl.getUniformLocation(gl3d.prog, "transparency"), 0);
+    gl.drawArrays(gl.POINTS, 0, gl3d.markerN);
   }
 }
 

@@ -349,6 +349,8 @@ def project(emit_json: bool = True) -> dict:
         log(f"{name:>16} {t1:>7.2f}s {t8:>8.3f}s  {why}")
     log(f"{'TOTAL':>16} {single_total:>7.2f}s {t_total8:>8.2f}s  "
         f"(speedup {single_total / t_total8:.1f}x)")
+    with open(os.path.join(REPO, "PROJECT8.json"), "w") as fh:
+        json.dump(result, fh, indent=1)
     if emit_json:
         print(json.dumps(result), flush=True)
     return result

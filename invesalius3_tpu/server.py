@@ -274,7 +274,8 @@ def make_handler(state: AppState):
 
             digest = hashlib.md5(sample).hexdigest()[:16]
             key = (surf.index, v.shape[0], int(len(surf.faces)),
-                   digest, max_tris)
+                   digest, max_tris, tuple(surf.colour),
+                   float(surf.transparency), surf.name)
             cached = state.mesh_bin_cache.get(surf.index)
             if cached and cached[0] == key:
                 payload = cached[1]

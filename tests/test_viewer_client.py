@@ -280,6 +280,18 @@ def test_walkthrough_tools(server):
         "azimuth": 30, "elevation": 20, "size": 256, "edit_mode": 1})
     assert code == 200 and out["cut_voxels"] >= 0
 
+    # WebGL mesh cache invalidates on surface change (content + props
+    # fingerprint, not id()): a colour change must serve a fresh blob
+    code, out = _post(server, "/api/surface", {"algorithm": "Default"})
+    sidx = out["index"]
+    _, _, before = _get(server, f"/api/surface/{sidx}/mesh.bin")
+    code, _ = _post(server, "/api/surface/props",
+                    {"index": sidx, "colour": [0.1, 0.9, 0.1]})
+    assert code == 200
+    _, _, after = _get(server, f"/api/surface/{sidx}/mesh.bin")
+    assert before != after, "stale WebGL mesh served after props change"
+    _post(server, "/api/surface/remove", {"index": sidx})
+
     # surface-creation dialog options (quality preset, decimation,
     # keep-largest, name, overwrite — the exact body app.js builds)
     code, out = _post(server, "/api/surface", {

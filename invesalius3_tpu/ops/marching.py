@@ -124,11 +124,30 @@ def count_active_cells(field: jax.Array, iso: float, iso_greater: bool = True) -
     return jnp.sum(active.astype(jnp.int32))
 
 
+BLOCK = 8  # cells per side of the hierarchical-extraction blocks
+
+
+def _pad_to_blocks(active: jax.Array):
+    """Pad a (Zc, Yc, Xc) cell grid up to BLOCK multiples (False fill)."""
+    pads = tuple((0, -s % BLOCK) for s in active.shape)
+    return jnp.pad(active, pads) if any(p[1] for p in pads) else active
+
+
+def _block_any(active: jax.Array) -> jax.Array:
+    """(Zb, Yb, Xb) flags: does this BLOCK^3 cell block contain an active
+    cell?  One bandwidth pass over the bool grid — the hierarchy that lets
+    extraction sort ~n_blocks * 512 candidate ids instead of all (N-1)^3
+    cell ids (134M at 512^3, whose sort alone costs ~0.44 s)."""
+    a = _pad_to_blocks(active)
+    Zp, Yp, Xp = a.shape
+    return a.reshape(Zp // BLOCK, BLOCK, Yp // BLOCK, BLOCK,
+                     Xp // BLOCK, BLOCK).any(axis=(1, 3, 5))
+
+
 @partial(jax.jit, static_argnames=("iso_greater",))
-def count_cells_and_triangles(field: jax.Array, iso: float,
-                              iso_greater: bool = True):
-    """(n_active_cells, n_triangles) in one fused pass over the cell
-    corners — sizes both compaction buckets tightly."""
+def _count_all(field: jax.Array, iso: float, iso_greater: bool = True):
+    """(n_active_cells, n_triangles, n_active_blocks) in one fused pass
+    over the cell corners — sizes all three compaction buckets tightly."""
     Z, Y, X = field.shape
     inside = field > iso if iso_greater else field < iso
     corners = []
@@ -139,7 +158,9 @@ def count_cells_and_triangles(field: jax.Array, iso: float,
     for c in corners[1:]:
         agg_any = agg_any | c
         agg_all = agg_all & c
-    n_active = jnp.sum((agg_any & ~agg_all).astype(jnp.int32))
+    active = agg_any & ~agg_all
+    n_active = jnp.sum(active.astype(jnp.int32))
+    n_blocks = jnp.sum(_block_any(active).astype(jnp.int32))
     # closed form: a tet with s inside-corners emits min(s, 4-s) triangles
     # (0,1,2,1,0 for s = 0..4) — no case-table gathers, uint8 arithmetic
     total = jnp.zeros((), jnp.int32)
@@ -151,7 +172,13 @@ def count_cells_and_triangles(field: jax.Array, iso: float,
             + corners[tet[3]].astype(jnp.uint8)
         )
         total = total + jnp.sum(jnp.minimum(s, 4 - s).astype(jnp.int32))
-    return n_active, total
+    return n_active, total, n_blocks
+
+
+def count_cells_and_triangles(field: jax.Array, iso: float,
+                              iso_greater: bool = True):
+    """(n_active_cells, n_triangles) — see _count_all."""
+    return _count_all(field, iso, iso_greater)[:2]
 
 
 def count_triangles(field: jax.Array, iso: float, iso_greater: bool = True):
@@ -213,6 +240,79 @@ def _extract_cells(field: jax.Array, iso: float, max_active: int,
     vals = flat_f[corner_lin].astype(jnp.float32)  # (8, A)
     ins = flat_in[corner_lin]  # (8, A) bool
     return corner_lin, vals, ins, valid_cell, n_active
+
+
+@partial(jax.jit, static_argnames=("max_blocks", "max_active", "iso_greater"))
+def _extract_cells_blocked(field: jax.Array, iso: float, max_blocks: int,
+                           max_active: int, iso_greater: bool = True):
+    """Stage A, block-hierarchical: compact active BLOCK^3 cell blocks
+    first (a (N/8)^3 sort — 262k ids at 512^3, effectively free), then
+    sort only the candidate cells inside active blocks (~n_blocks * 512 ≈
+    20M at 512^3 vs the flat variant's full 134M cell-id sort).  Returns
+    the same (corner_lin, vals, ins, valid_cell, n_active, n_blocks)
+    contract as _extract_cells (+ n_blocks for overflow detection); cell
+    ids come out in the same ascending global order, so every downstream
+    stage is bit-identical.  The per-corner inside bits are derived from
+    the gathered corner values (vals > iso) instead of a second
+    33M-index gather — identical by construction.
+    """
+    Z, Y, X = field.shape
+    Zc, Yc, Xc = Z - 1, Y - 1, X - 1
+    inside = field > iso if iso_greater else field < iso
+
+    agg_any = jnp.zeros((Zc, Yc, Xc), jnp.bool_)
+    agg_all = jnp.ones((Zc, Yc, Xc), jnp.bool_)
+    for dz, dy, dx in CUBE_OFFSETS:
+        corner = inside[dz : dz + Zc, dy : dy + Yc, dx : dx + Xc]
+        agg_any = agg_any | corner
+        agg_all = agg_all & corner
+    active = agg_any & ~agg_all
+    n_active = jnp.sum(active.astype(jnp.int32))
+
+    blk = _block_any(active)
+    n_blocks = jnp.sum(blk.astype(jnp.int32))
+    nbz, nby, nbx = blk.shape
+    blk_ids = _compact_true_ids(blk.reshape(-1), max_blocks)
+    blk_valid = blk_ids >= 0
+    bid = jnp.maximum(blk_ids, 0)
+    bz = bid // (nby * nbx)
+    rem = bid % (nby * nbx)
+    by = rem // nbx
+    bx = rem % nbx
+
+    # candidate cells: (max_blocks, BLOCK^3) global cell coordinates
+    loc = jnp.arange(BLOCK**3, dtype=jnp.int32)
+    lz, ly, lx = loc // BLOCK**2, (loc // BLOCK) % BLOCK, loc % BLOCK
+    cz = bz[:, None] * BLOCK + lz[None, :]
+    cy = by[:, None] * BLOCK + ly[None, :]
+    cx = bx[:, None] * BLOCK + lx[None, :]
+    in_grid = ((cz < Zc) & (cy < Yc) & (cx < Xc)
+               & blk_valid[:, None]).reshape(-1)
+    cell_lin = ((cz * Yc + cy) * Xc + cx).reshape(-1)
+    act_g = active.reshape(-1)[jnp.where(in_grid, cell_lin, 0)]
+    sentinel = jnp.int32(2**31 - 1)
+    keys = jnp.where(act_g & in_grid, cell_lin, sentinel)
+    size = max_active
+    if size > keys.shape[0]:
+        keys = jnp.pad(keys, (0, size - keys.shape[0]),
+                       constant_values=2**31 - 1)
+    cell_ids = jax.lax.slice(jax.lax.sort(keys), (0,), (size,))
+    valid_cell = cell_ids != sentinel
+    cell_ids_safe = jnp.where(valid_cell, cell_ids, 0)
+
+    cz = cell_ids_safe // (Yc * Xc)
+    rem = cell_ids_safe % (Yc * Xc)
+    cy = rem // Xc
+    cx = rem % Xc
+    flat_f = field.reshape(-1)
+    corner_lin = []
+    for dz, dy, dx in CUBE_OFFSETS:
+        corner_lin.append((cz + dz) * (Y * X) + (cy + dy) * X + (cx + dx))
+    corner_lin = jnp.stack(corner_lin, axis=0)  # (8, A) lattice ids
+    vals_native = flat_f[corner_lin]  # (8, A) input dtype
+    ins = vals_native > iso if iso_greater else vals_native < iso
+    return (corner_lin, vals_native.astype(jnp.float32), ins, valid_cell,
+            n_active, n_blocks)
 
 
 @partial(jax.jit, static_argnames=("max_tris",))
@@ -535,6 +635,7 @@ def marching_cubes_device(
     max_active: int | None = None,
     max_tris: int | None = None,
     origin_shift: Tuple[float, float, float] = (0.0, 0.0, 0.0),
+    max_blocks: int | None = None,
 ) -> DeviceMesh:
     """Isosurface extraction, device-resident end to end.
 
@@ -552,24 +653,29 @@ def marching_cubes_device(
         # granule must divide max_tris or the last dynamic slice clamps
         # and re-emits slots)
         max_tris = _round_bucket(max_tris)
-    if max_active is None or max_tris is None:
-        n_act, n_tri = (int(x) for x in count_cells_and_triangles(field, iso))
+    if max_active is None or max_tris is None or max_blocks is None:
+        n_act, n_tri, n_blk = (int(x) for x in _count_all(field, iso))
         if max_active is None:
             max_active = max(1024, _round_bucket(n_act))
         if max_tris is None:
             max_tris = max(2048, _round_bucket(int(n_tri)))
+        if max_blocks is None:
+            max_blocks = max(256, _round_bucket(n_blk))
 
-    corner_lin, vals, ins, valid_cell, n_active = _extract_cells(
-        field, iso, max_active)
+    corner_lin, vals, ins, valid_cell, n_active, n_blocks = \
+        _extract_cells_blocked(field, iso, max_blocks, max_active)
     case, tri_slots, n_tris = _emit_slots(ins, valid_cell, max_tris)
     n_tris = int(n_tris)
     n_active_i = int(n_active)
-    if n_active_i > max_active or n_tris > max_tris:  # bucket overflow: retry
+    n_blocks_i = int(n_blocks)
+    if (n_active_i > max_active or n_tris > max_tris
+            or n_blocks_i > max_blocks):  # bucket overflow: retry
         return marching_cubes_device(
             field, iso, spacing,
             max_active=_round_bucket(n_active_i),
             max_tris=_round_bucket(max(n_tris, n_active_i * 4)),
             origin_shift=origin_shift,
+            max_blocks=_round_bucket(n_blocks_i),
         )
     # materialize in fixed-size chunks: caps the per-program live set
     # chunk size = the bucket granule (which always divides max_tris), so

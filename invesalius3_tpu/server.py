@@ -133,6 +133,7 @@ class AppState:
         self.recent_events = []
         self.measures = MeasurementManager(bus=slc.bus)
         self.lock = threading.Lock()  # serializes state-changing POSTs
+        self._nav_lock = threading.Lock()  # guards lazy NavigationHub build
 
         from invesalius3_tpu.utils import logging as ilog
 
@@ -166,9 +167,18 @@ class AppState:
         markers)."""
         hub = getattr(self, "_nav", None)
         if hub is None:
-            from invesalius3_tpu.navigation.navigation import NavigationHub
+            # GETs run outside state.lock; double-checked under a DEDICATED
+            # lock (POST dispatch already holds state.lock — re-acquiring it
+            # here would self-deadlock) so concurrent status polls cannot
+            # build two hubs (a dropped hub would stay subscribed to the
+            # bus as a zombie)
+            with self._nav_lock:
+                hub = getattr(self, "_nav", None)
+                if hub is None:
+                    from invesalius3_tpu.navigation.navigation import (
+                        NavigationHub)
 
-            hub = self._nav = NavigationHub(bus=self.slice.bus)
+                    hub = self._nav = NavigationHub(bus=self.slice.bus)
         return hub
 
     def dicom_groups(self, directory):
@@ -293,6 +303,8 @@ def make_handler(state: AppState):
                     "transparency": float(surf.transparency),
                     "name": surf.name,
                 }).encode()
+                if len(meta) % 2:  # Uint16Array byteOffset must be even
+                    meta += b" "
                 head = b"IVM1" + np.uint32(len(meta)).tobytes() + meta
                 vb = np.ascontiguousarray(verts, np.float16).tobytes()
                 pad = b"\0" * (-(len(head) + len(vb)) % 4)
@@ -973,8 +985,14 @@ def make_handler(state: AppState):
                             slice_number=int(body.get("slice_number", 0)))
                     elif kind == "density_ellipse":
                         ax = const.ORIENTATION_AXIS[body.get("location", "AXIAL")]
-                        img2d = np.take(np.asarray(slc.matrix),
-                                        int(body.get("slice_number", 0)), axis=ax)
+                        # slice ON DEVICE first: np.asarray(matrix) would
+                        # pull the whole volume (256 MB at 512^3) through
+                        # the ~40 MB/s relay for one 2-D plane
+                        import jax.numpy as _jnp
+
+                        img2d = np.asarray(_jnp.take(
+                            slc.matrix, int(body.get("slice_number", 0)),
+                            axis=ax))
                         m = state.measures.add_density_ellipse(
                             img2d, body["center"], float(body["ry"]),
                             float(body["rx"]),
@@ -985,8 +1003,14 @@ def make_handler(state: AppState):
                         # polygon ROI density stats (reference
                         # measures.py:2138 PolygonDensityMeasure)
                         ax = const.ORIENTATION_AXIS[body.get("location", "AXIAL")]
-                        img2d = np.take(np.asarray(slc.matrix),
-                                        int(body.get("slice_number", 0)), axis=ax)
+                        # slice ON DEVICE first: np.asarray(matrix) would
+                        # pull the whole volume (256 MB at 512^3) through
+                        # the ~40 MB/s relay for one 2-D plane
+                        import jax.numpy as _jnp
+
+                        img2d = np.asarray(_jnp.take(
+                            slc.matrix, int(body.get("slice_number", 0)),
+                            axis=ax))
                         m = state.measures.add_density_polygon(
                             img2d, [(float(r), float(c))
                                     for r, c in body["points_yx"]],
@@ -1132,6 +1156,7 @@ def make_handler(state: AppState):
                                                 affine=img.affine)
                     slc.load_new_volume(vol)
                     state.surfaces = {}
+                    state.mesh_bin_cache.clear()
                     state.crop_box = None
                     self._json({"shape": list(vol.shape),
                                 "spacing": list(vol.spacing)})
@@ -1209,6 +1234,16 @@ def make_handler(state: AppState):
                     if proj.image_versions:
                         slc._image_versions = list(proj.image_versions)
                     state.surfaces = dict(proj.surface_dict)
+                    state.mesh_bin_cache.clear()
+                    # class counters must clear the loaded indices or the
+                    # next create_new_mask / Surface() would collide with
+                    # (and overwrite) a loaded object
+                    from invesalius3_tpu.core.mask import Mask as _Mask
+
+                    _Mask.general_index = max(
+                        [_Mask.general_index] + list(slc.masks), default=-1)
+                    Surface._counter[0] = max(
+                        [Surface._counter[0]] + list(state.surfaces))
                     state.measures.measures.clear()
                     state.measures.load_dict(proj.measurement_dict)
                     state.crop_box = None
@@ -1452,6 +1487,15 @@ def make_handler(state: AppState):
                         stride = max(1, len(verts) // 10000)
                         n = int(body.get("n_samples", 20))
                         hz = float(body.get("poll_hz", 60.0))
+                        # the sampling loop runs under the global POST
+                        # lock — bound its wall time so caller-controlled
+                        # params cannot freeze every other endpoint
+                        n = min(n, 1000)
+                        hz = min(1000.0, max(hz, 5.0))
+                        if n / hz > 30.0:
+                            raise ValueError(
+                                "ICP sampling window too long "
+                                f"({n}/{hz:g} Hz > 30 s)")
                         pts = []
                         for _ in range(n):  # probe-touch samples
                             coords, _fl = state.nav.tracker.get_coordinates()
@@ -1726,6 +1770,7 @@ def make_handler(state: AppState):
                             data, spacing=spacing, affine=affine,
                             modality=g.files[0].get("Modality", "CT")))
                         state.surfaces = {}
+                        state.mesh_bin_cache.clear()
                         state.crop_box = None
                         out["shape"] = list(slc.volume.shape)
                     self._json(out)

@@ -539,8 +539,13 @@ function attachPane(pane) {
 
   const imgPos = (ev) => {
     const r = img.getBoundingClientRect();
-    const col = Math.round((ev.clientX - r.left) / r.width * img.naturalWidth);
-    const row = Math.round((ev.clientY - r.top) / r.height * img.naturalHeight);
+    const clamp = (v, hi) => Math.min(hi - 1, Math.max(0, v));
+    const col = clamp(Math.round(
+      (ev.clientX - r.left) / r.width * img.naturalWidth),
+      img.naturalWidth || 1);
+    const row = clamp(Math.round(
+      (ev.clientY - r.top) / r.height * img.naturalHeight),
+      img.naturalHeight || 1);
     return [col, row];
   };
 
@@ -963,7 +968,14 @@ function initDLSegmentation() {
       ($("#dl-random").checked ? " [RANDOM weights — demo only]" : ""));
     stopPoll();
     poll = setInterval(async () => {
-      const st = await api("/api/segment/dl/status", {});
+      let st;
+      try {
+        st = await api("/api/segment/dl/status", {});
+      } catch (e) {
+        stopPoll();
+        setStatus("DL status poll failed — job lost?");
+        return;
+      }
       $("#dl-progress").value = Math.round(100 * (st.progress || 0));
       if (st.done) {
         stopPoll();
@@ -1276,8 +1288,9 @@ async function init() {
     tp.appendChild(o);
   });
   tp.onchange = () => {
-    const [lo, hi] = JSON.parse(tp.value);
-    $("#tmin").value = lo; $("#tmax").value = hi;
+    let range;
+    try { range = JSON.parse(tp.value); } catch (e) { return; }
+    $("#tmin").value = range[0]; $("#tmax").value = range[1];
   };
   const pj = $("#projection");
   presets.projections.forEach((name, i) => {
@@ -1326,12 +1339,12 @@ async function init() {
     setStatus(`mask #${r.index}: ${r.voxels.toLocaleString()} voxels`);
     refreshSlices(); refreshLists();
   };
-  $("#undo").onclick = () => api("/api/mask/undo").then(() => refreshSlices());
+  $("#undo").onclick = () => api("/api/mask/undo", {}).then(() => refreshSlices());
   $("#fill-holes").onclick = () =>
     api("/api/mask/fill_holes", { max_size: +$("#fill-max").value })
       .then((r) => { setStatus(`filled ${r.filled_voxels} voxels`);
         refreshSlices(); });
-  $("#redo").onclick = () => api("/api/mask/redo").then(() => refreshSlices());
+  $("#redo").onclick = () => api("/api/mask/redo", {}).then(() => refreshSlices());
   $("#do-bool").onclick = async () => {
     const r = await api("/api/boolean", { op: +$("#bool-op").value,
       index1: +$("#bool-a").value, index2: +$("#bool-b").value });

@@ -133,7 +133,8 @@ def main() -> None:
 
             verts, faces = sharded_ops.sharded_mask_to_surface(
                 zmesh, mask, spacing=(0.5, 0.5, 0.5),
-                smooth={"t": 0.7, "tmax": 3.0, "bmin": 0.5, "n_iters": 10})
+                smooth={"t": 0.7, "tmax": 3.0, "bmin": 0.5, "n_iters": 10},
+                balance=True)
             mesh_io.write_stl(out, verts, faces)
             return verts, faces, out
         # 3. fused device pipeline: marching -> ca smoothing -> streamed

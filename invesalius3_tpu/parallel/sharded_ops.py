@@ -335,7 +335,7 @@ def sharded_watershed(mesh: Mesh, connectivity: int = 6,
 def sharded_mask_to_surface(mesh: Mesh, mask: jax.Array,
                             spacing: Tuple[float, float, float] = (1.0, 1.0, 1.0),
                             axis_name: str = "z", smooth: dict | None = None,
-                            return_stats: bool = False):
+                            return_stats: bool = False, balance: bool = False):
     """Full surface extraction over a Z-sharded mask: each shard runs the
     marching-tet stages on its slab (+1-slice halo) with *global* lattice
     keys, dedups locally, and the shards stitch on device by the
@@ -353,6 +353,19 @@ def sharded_mask_to_surface(mesh: Mesh, mask: jax.Array,
     tet-slot (the single-device order interleaves tets volume-wide), the
     same concatenation semantics as the reference's slab join
     (surface.py:1360-1430).
+
+    ``balance=True`` picks the Z cut planes from a per-cell-row triangle
+    histogram (measured by the count pass) so every shard carries
+    ~1/n_shards of the triangles instead of 1/n_shards of the *slices*
+    (project8 measured the uniform max shard at 0.159 of the tris vs the
+    0.125 ideal at 512³ — taubin's gather floor scales with the max
+    shard, so balance is worth ~20% of the dominant smoothing stage on
+    real multi-chip).  Each shard then holds a fixed-size Zmax slab with
+    a traced real length l_s = cuts[s+1] - cuts[s]; all slab arithmetic
+    (halo rows, ownership filter, ghost planes) indexes through the
+    replicated ``cuts`` array, so different cut positions reuse the same
+    compiled program.  Outputs are identical to the uniform partition
+    (verts in global key order; same face set).
 
     Returns host (verts (V, 3) world mm, faces (F, 3) int32).
     """
@@ -378,17 +391,15 @@ def sharded_mask_to_surface(mesh: Mesh, mask: jax.Array,
     # shard 0's zero prev-halo and the last shard's zero next-halo ARE those
     # empty planes, so no Z pad is materialized.
 
-    def padded_slab(vis):
-        """(Zs + 2, Yp, Xp): previous-shard halo slice (or empty plane for
-        shard 0), my slab, next-shard halo (or empty plane for the last)."""
-        prev_halo, next_halo = halo_exchange_z(vis, axis_name)
-        return jnp.concatenate([prev_halo, vis, next_halo], axis=0)
-
-    # --- pass 1: per-shard counts (sizes the SPMD compaction buckets; the
-    # full padded slab is counted because extraction compacts the shared
-    # boundary cell row too before the ownership filter drops it)
+    # --- pass 1: per-cell-row counts.  Each shard counts, for every cell
+    # row of its padded slab, the active cells and emitted triangles, plus
+    # the per-slice "any 2×2 YX window set" occupancy (sizes the spurious
+    # active row a truncated balanced slab sees against its zero padding).
+    # The host assembles global (Z+1,) histograms: they size the SPMD
+    # compaction buckets exactly AND drive the balanced cut selection.
     def count_pass(vis):
-        c = padded_slab(vis)
+        prev_halo, next_halo = halo_exchange_z(vis, axis_name)
+        c = jnp.concatenate([prev_halo, vis, next_halo], axis=0)
         Z1 = c.shape[0]
         corners = []
         for dz, dy, dx in mc.CUBE_OFFSETS:
@@ -399,49 +410,133 @@ def sharded_mask_to_surface(mesh: Mesh, mask: jax.Array,
         for cc in corners[1:]:
             agg_any = agg_any | cc
             agg_all = agg_all & cc
-        n_active = jnp.sum((agg_any & ~agg_all).astype(jnp.int32))
-        total = jnp.zeros((), jnp.int32)
+        act_row = jnp.sum((agg_any & ~agg_all).astype(jnp.int32),
+                          axis=(1, 2))                       # (Zs + 1,)
+        tri_row = jnp.zeros_like(act_row)
         for tet in mc.TETS:
             s = sum(corners[t].astype(jnp.uint8) for t in tet)
-            total = total + jnp.sum(jnp.minimum(s, 4 - s).astype(jnp.int32))
-        return jnp.stack([n_active, total])[None]
+            tri_row = tri_row + jnp.sum(
+                jnp.minimum(s, 4 - s).astype(jnp.int32), axis=(1, 2))
+        sl = vis.astype(jnp.bool_)
+        win = sl[:, :-1, :-1] | sl[:, 1:, :-1] | sl[:, :-1, 1:] | sl[:, 1:, 1:]
+        occ_row = jnp.concatenate([
+            jnp.sum(win, axis=(1, 2)).astype(jnp.int32),
+            jnp.zeros((1,), jnp.int32)])                     # (Zs + 1,)
+        return jnp.stack([act_row, tri_row, occ_row])[None]
 
     counts = jax.jit(shard_map(count_pass, mesh=mesh, in_specs=(spec,),
                                out_specs=P(axis_name)))(maskp)
-    counts = np.asarray(counts)  # (n_shards, 2)
-    max_active = max(1024, mc._next_pow2(int(counts[:, 0].max())))
-    max_tris = max(2048, mc._next_pow2(int(counts[:, 1].max())))
+    counts = np.asarray(counts)  # (n_shards, 3, Zs + 1)
+    # global cell rows 0..Z (leading/trailing empty planes close the
+    # surface at rows handled by shard 0 / the last shard); occ per slice
+    act_g = np.zeros(Z + 1, np.int64)
+    tri_g = np.zeros(Z + 1, np.int64)
+    occ_g = np.zeros(Z, np.int64)
+    for s in range(n_shards):
+        act_g[s * Zs:(s + 1) * Zs] = counts[s, 0, :Zs]
+        tri_g[s * Zs:(s + 1) * Zs] = counts[s, 1, :Zs]
+        occ_g[s * Zs:(s + 1) * Zs] = counts[s, 2, :Zs]
+    act_g[Z] = counts[n_shards - 1, 0, Zs]
+    tri_g[Z] = counts[n_shards - 1, 1, Zs]
+
+    # --- cut selection: shard s owns global cell rows [cuts[s], cuts[s+1])
+    # (the last also owns row Z) and real slices [cuts[s], cuts[s+1]).
+    if balance and n_shards > 1 and tri_g.sum() > 0:
+        cum = np.cumsum(tri_g.astype(np.float64))
+        cuts = [0]
+        for s in range(1, n_shards):
+            c = int(np.searchsorted(cum, cum[-1] * s / n_shards))
+            cuts.append(min(max(c, cuts[-1] + 1), Z - (n_shards - s)))
+        cuts.append(Z)
+    else:
+        cuts = [s * Zs for s in range(n_shards)] + [Z]
+    lens = np.diff(np.asarray(cuts))
+    uniform = bool((lens == Zs).all())
+    Zmax = Zs if uniform else int(-(-int(lens.max()) // 8) * 8)
+    Zmax = min(Zmax, Z) if not uniform else Zmax
+
+    # bucket sizing (exact, from the histograms): a shard's field holds
+    # cell rows [cuts[s], cuts[s+1]] (the shared boundary row compacts on
+    # both sides before the ownership filter drops one copy) plus, when
+    # its slab is shorter than Zmax, one spurious row of the next-halo
+    # slice against the zero padding (counted by occ of that slice).
+    b_act = np.zeros(n_shards, np.int64)
+    b_tri = np.zeros(n_shards, np.int64)
+    for s in range(n_shards):
+        c0, c1 = cuts[s], cuts[s + 1]
+        b_act[s] = act_g[c0:c1 + 1].sum()
+        if c1 < Z and lens[s] < Zmax:
+            b_act[s] += occ_g[c1]
+        b_tri[s] = tri_g[c0:c1].sum() + (tri_g[Z] if s == n_shards - 1 else 0)
+    max_active = max(1024, mc._next_pow2(int(b_act.max())))
+    max_tris = max(2048, mc._next_pow2(int(b_tri.max())))
     # global lattice-edge keys are lin * 8 + code in int32 (the same bound
     # marching_cubes_device enforces single-device)
-    if 8 * (n_shards * Zs + 2) * Yp * Xp >= 2**31:
+    if 8 * (Z + 2) * Yp * Xp >= 2**31:
         raise ValueError("global volume too large for int32 lattice-edge "
                          "keys (> ~640^3 equivalent)")
 
-    # --- pass 2: extraction + local dedup + stitch
-    BOUND = 1 << 16  # boundary-plane vertex bucket (checked below)
+    # --- repartition to the balanced frame: shard s's fixed-size slab is
+    # [real slices cuts[s]..cuts[s+1]-1, zero padding to Zmax]
+    if uniform:
+        work = maskp
+    else:
+        idx_map = np.zeros(n_shards * Zmax, np.int32)
+        valid = np.zeros(n_shards * Zmax, bool)
+        for s in range(n_shards):
+            idx_map[s * Zmax:s * Zmax + lens[s]] = np.arange(
+                cuts[s], cuts[s + 1])
+            valid[s * Zmax:s * Zmax + lens[s]] = True
+        rep = jax.jit(
+            lambda m, ix, va: jnp.where(va[:, None, None],
+                                        jnp.take(m, ix, axis=0), 0)
+            .astype(m.dtype),
+            out_shardings=NamedSharding(mesh, spec))
+        work = rep(maskp, jnp.asarray(idx_map), jnp.asarray(valid))
+    cuts_dev = jnp.asarray(cuts, jnp.int32)  # (S + 1,) replicated
 
-    def extract_local(vis):
+    # --- pass 2: extraction + local dedup + stitch
+    BOUND = (1 << 16) if uniform else (1 << 17)  # boundary vertex bucket
+
+    def extract_local(vis, cuts_arr):
         idx = jax.lax.axis_index(axis_name)
-        field = padded_slab(vis)  # (Zs + 2, Yp, Xp) — local frame
-        # my cells start at local z in [0, Zs): global padded z0 of local
-        # row 0 is idx * Zs (prev halo plane = global plane idx*Zs, since
-        # the conceptual global volume has one leading empty plane)
-        z0 = idx * Zs
+        # my cells start at local z in [0, l): global padded z0 of local
+        # row 0 is cuts[idx] (prev halo plane = global plane cuts[idx],
+        # since the conceptual global volume has one leading empty plane)
+        z0 = cuts_arr[idx]
+        l = cuts_arr[idx + 1] - z0
+        # field (Zmax + 2, Yp, Xp): [prev shard's last real slice (or the
+        # leading empty plane), my slab, next shard's first slice placed
+        # at row l + 1 (or the trailing empty plane)]
+        my_last = jax.lax.dynamic_slice_in_dim(vis, l - 1, 1, axis=0)
+        prev_halo = jax.lax.ppermute(
+            my_last, axis_name,
+            [(i, (i + 1) % n_shards) for i in range(n_shards)])
+        prev_halo = jnp.where(idx == 0, jnp.zeros_like(prev_halo), prev_halo)
+        next_halo = jax.lax.ppermute(
+            vis[:1], axis_name,
+            [(i, (i - 1) % n_shards) for i in range(n_shards)])
+        next_halo = jnp.where(idx == n_shards - 1,
+                              jnp.zeros_like(next_halo), next_halo)
+        field = jnp.concatenate(
+            [prev_halo, vis, jnp.zeros_like(prev_halo)], axis=0)
+        field = jax.lax.dynamic_update_slice_in_dim(
+            field, next_halo, l + 1, axis=0)
         local_shape = tuple(int(s) for s in field.shape)
         corner_lin, vals, ins, valid_cell, _ = mc._extract_cells(
             field, 0.5, max_active)
-        # keep only cells starting in my slab rows [0, Zs) of the padded
-        # frame (row Zs = next shard's first row; the final shard keeps it:
-        # it's the global trailing empty plane, never active)
+        # keep only cells starting in my slab rows [0, l) of the padded
+        # frame; the final shard also keeps row l (cells closing the
+        # surface against the global trailing empty plane)
         cz = jnp.where(valid_cell, corner_lin[0] // (Yp * Xp), 0)
-        keep = valid_cell & ((cz < Zs) | (idx == n_shards - 1))
+        keep = valid_cell & ((cz < l) | ((idx == n_shards - 1) & (cz <= l)))
         ins = ins & keep[None, :]
         case, tri_slots, n_tris_l = mc._emit_slots(ins, keep, max_tris)
         pts, keys = mc._materialize(corner_lin, vals, ins, case, tri_slots,
                                     0.5, local_shape)
         # local -> global: z += z0 (coordinates); the edge key is
         # lattice_lin * 8 + diff_code, so the lin shift scales by 8
-        pts = pts.at[:, 0, :].add(jnp.float32(z0))
+        pts = pts.at[:, 0, :].add(z0.astype(jnp.float32))
         keys = jnp.where(keys >= 0, keys + 8 * z0 * Yp * Xp, -1)
 
         T = pts.shape[2]
@@ -466,7 +561,7 @@ def sharded_mask_to_surface(mesh: Mesh, mask: jax.Array,
         g_plane = (g_key // 8) // (Yp * Xp)
         g_inplane = (g_key % 8) < 4
         lower = z0
-        upper = z0 + Zs
+        upper = z0 + l
         is_vert = jnp.arange(M) < n_groups
         # ownership: an in-plane vertex at a shard boundary belongs to the
         # shard whose slab STARTS there (the upper one) — then every own
@@ -575,17 +670,18 @@ def sharded_mask_to_surface(mesh: Mesh, mask: jax.Array,
         #    (+overflow ghost row folded into the next shard), chamfer with
         #    per-pass ghost-plane refresh — exactly the global operator —
         #    then sample.
+        Zl = vis.shape[0]  # static slab rows (Zs uniform / Zmax balanced)
         zi = jnp.clip(jnp.round(verts_d[0, :V]).astype(jnp.int32) - z0 + 1,
-                      0, Zs + 1)
+                      0, l + 1)
         yi = jnp.clip(jnp.round(verts_d[1, :V]).astype(jnp.int32), 0, Yp - 1)
         xi = jnp.clip(jnp.round(verts_d[2, :V]).astype(jnp.int32), 0, Xp - 1)
         seed_ok = (flagged > 0) & is_vert[:V]
         lin = jnp.where(seed_ok, (zi * Yp + yi) * Xp + xi, 0)
         val = jnp.where(seed_ok, 0.0, jnp.inf)
-        grid = jnp.full(((Zs + 2) * Yp * Xp,), jnp.inf, jnp.float32).at[
-            lin].min(val).reshape(Zs + 2, Yp, Xp)
+        grid = jnp.full(((Zl + 2) * Yp * Xp,), jnp.inf, jnp.float32).at[
+            lin].min(val).reshape(Zl + 2, Yp, Xp)
         inf_row = jnp.full((1, Yp, Xp), jnp.inf, jnp.float32)
-        fold = pfwd(grid[Zs + 1:Zs + 2])
+        fold = pfwd(jax.lax.dynamic_slice_in_dim(grid, l + 1, 1, axis=0))
         grid = grid.at[1:2].min(jnp.where(idx == 0, inf_row, fold))
 
         offs26 = [(dz, dy, dx) for dz in (-1, 0, 1) for dy in (-1, 0, 1)
@@ -595,11 +691,17 @@ def sharded_mask_to_surface(mesh: Mesh, mask: jax.Array,
         steps = min(16, int(np.ceil(tmax_ / min(spacing))))
 
         def refresh_ghosts(g):
-            prev_g = pfwd(g[Zs:Zs + 1])       # prev shard's last real row
-            next_g = pbwd(g[1:2])             # next shard's first real row
+            # prev shard's last real row -> my row 0; next shard's first
+            # real row -> my row l + 1 (phantom rows above l + 1 of a
+            # short balanced slab are never refreshed, never sampled, and
+            # only the refreshed ghost row bridges to real rows)
+            prev_g = pfwd(jax.lax.dynamic_slice_in_dim(g, l, 1, axis=0))
+            next_g = pbwd(g[1:2])
             g = g.at[0:1].set(jnp.where(idx == 0, inf_row, prev_g))
-            return g.at[Zs + 1:Zs + 2].set(
-                jnp.where(idx == n_shards - 1, g[Zs + 1:Zs + 2], next_g))
+            cur = jax.lax.dynamic_slice_in_dim(g, l + 1, 1, axis=0)
+            return jax.lax.dynamic_update_slice_in_dim(
+                g, jnp.where(idx == n_shards - 1, cur, next_g), l + 1,
+                axis=0)
 
         def shifted(g, dz, dy, dx):
             pad = [(max(dz, 0), max(-dz, 0)), (max(dy, 0), max(-dy, 0)),
@@ -710,9 +812,9 @@ def sharded_mask_to_surface(mesh: Mesh, mask: jax.Array,
         return (verts_own[None], faces_global[None], checks[None])
 
     f = jax.jit(shard_map(
-        extract_local, mesh=mesh, in_specs=(spec,),
+        extract_local, mesh=mesh, in_specs=(spec, P()),
         out_specs=(P(axis_name), P(axis_name), P(axis_name))))
-    verts_sh, faces_sh, checks = f(maskp)
+    verts_sh, faces_sh, checks = f(work, cuts_dev)
     checks = np.asarray(checks)  # (S, k): n_own, n_tris, n_up, n_dup, ...
     assert checks[:, 2].max() < BOUND, "boundary bucket overflow"
     if smooth is not None:
@@ -746,7 +848,9 @@ def sharded_mask_to_surface(mesh: Mesh, mask: jax.Array,
         # per-shard (n_own, n_tris, n_up, n_dup, n_groups[, max_group]) +
         # bucket sizes — sizes the project8 comm/compute model
         return out + ({"checks": checks.tolist(), "max_active": max_active,
-                       "max_tris": max_tris, "bound": BOUND},)
+                       "max_tris": max_tris, "bound": BOUND,
+                       "cuts": [int(c) for c in cuts],
+                       "tri_hist": tri_g.tolist()},)
     return out
 
 

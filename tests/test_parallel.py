@@ -155,6 +155,81 @@ def test_sharded_mask_to_surface_watertight_and_volume(zmesh):
     assert abs(float(vol) - 8 * 9 * 12) / (8 * 9 * 12) < 0.12
 
 
+def test_sharded_mask_to_surface_balanced_partition(zmesh):
+    """balance=True picks triangle-equalizing Z cuts (asymmetric mask ->
+    nonuniform slabs) yet reproduces the uniform output exactly: verts
+    bit-identical to single-device (global key order is partition-
+    invariant), same face set, and the max per-shard triangle count
+    improves vs the uniform partition."""
+    from invesalius3_tpu.ops import marching
+
+    n = 32
+    zz, yy, xx = np.mgrid[:n, :n, :n].astype(np.float64)
+    # surface concentrated near the top + a small blob near the bottom:
+    # uniform Z slabs are heavily imbalanced
+    d = np.sqrt((zz - 25) ** 2 + (yy - 15.5) ** 2 + (xx - 15.5) ** 2)
+    mask = np.where(d <= 5.0, 255, 0).astype(np.uint8)
+    mask[2:4, 4:10, 4:10] = 255
+
+    want_v, want_f = marching.mask_to_surface(mask, spacing=(0.5, 0.7, 1.1))
+    got_v, got_f, stats = sharded_ops.sharded_mask_to_surface(
+        zmesh, jnp.asarray(mask), spacing=(0.5, 0.7, 1.1), balance=True,
+        return_stats=True)
+    lens = np.diff(np.asarray(stats["cuts"]))
+    assert (lens >= 1).all() and int(lens.sum()) == n
+    assert len(set(lens.tolist())) > 1, "cuts should be nonuniform here"
+    np.testing.assert_allclose(got_v, want_v, atol=1e-5)
+    A = {tuple(sorted(f)) for f in got_f.tolist()}
+    B = {tuple(sorted(f)) for f in want_f.tolist()}
+    assert A == B
+    # the balanced max shard carries no more tris than the uniform one
+    tri_hist = np.asarray(stats["tri_hist"])
+    S = len(lens)
+    Zs = n // S
+    uni_max = max(tri_hist[s * Zs:(s + 1) * Zs].sum() for s in range(S))
+    uni_max += tri_hist[n]  # closing row lands on the last uniform shard
+    bal_max = np.asarray(stats["checks"])[:, 1].max()
+    assert bal_max <= uni_max
+
+
+def test_sharded_smoothed_pipeline_balanced_matches_single_device(zmesh):
+    """Fused extraction + ca-smoothing with balance=True: same outputs as
+    the single-device pipeline on a mask whose surface lives entirely in
+    the lower 5/8 of Z (uniform shards 5..7 empty; balanced cuts give
+    every shard real work)."""
+    import dataclasses
+
+    from invesalius3_tpu.ops import marching, mesh as mesh_ops
+
+    n = 64
+    zz, yy, xx = np.mgrid[:n, :n, :n]
+    r = np.sqrt((zz - 32) ** 2 + (yy - 32) ** 2 + (xx - 32) ** 2)
+    mask = ((r < 22) & (r > 14)).astype(np.uint8) * 255
+    mask[40:, :, :] = 0
+
+    dm = marching.mask_to_surface_device(jnp.asarray(mask),
+                                         spacing=(0.5, 0.5, 0.5))
+    out3v = mesh_ops.ca_smoothing_device(dm, 0.7, 3.0, 0.5, 10)
+    vs, fs = marching.mesh_to_host(
+        dataclasses.replace(dm, verts3v=out3v), fp16=False)
+
+    v2, f2, stats = sharded_ops.sharded_mask_to_surface(
+        zmesh, mask, spacing=(0.5, 0.5, 0.5),
+        smooth={"t": 0.7, "tmax": 3.0, "bmin": 0.5, "n_iters": 10},
+        balance=True, return_stats=True)
+    lens = np.diff(np.asarray(stats["cuts"]))
+    assert len(set(lens.tolist())) > 1, "cuts should be nonuniform here"
+
+    assert v2.shape == vs.shape and f2.shape == fs.shape
+    used = np.zeros(len(vs), bool)
+    used[np.asarray(fs).ravel()] = True
+    err = np.abs(vs - v2).max(axis=1)
+    assert err[used].max() < 1e-4, f"smoothed verts diverge: {err[used].max()}"
+    A = {tuple(sorted(f)) for f in fs.tolist()}
+    B = {tuple(sorted(f)) for f in f2.tolist()}
+    assert A == B
+
+
 def test_distributed_single_process_noop(monkeypatch):
     """initialize() is a no-op single-process; global_mesh covers all
     devices; local_data_slice spans the whole batch."""

@@ -108,8 +108,20 @@ def collect(size: int, skip_single: bool = False,
     verts, faces, stats = sharded_ops.sharded_mask_to_surface(
         zmesh, mask, spacing=(0.5, 0.5, 0.5),
         smooth={"t": 0.7, "tmax": 3.0, "bmin": 0.5, "n_iters": 10},
-        return_stats=True)
+        return_stats=True, balance=True)
     out["surface"] = stats
+    # uniform-partition comparison (balance=False) for the same mask:
+    # quantifies how much the triangle-equalizing cuts shrink the max
+    # shard (the taubin gather floor scales with it)
+    _, _, stats_u = sharded_ops.sharded_mask_to_surface(
+        zmesh, mask, spacing=(0.5, 0.5, 0.5),
+        smooth={"t": 0.7, "tmax": 3.0, "bmin": 0.5, "n_iters": 10},
+        return_stats=True, balance=False)
+    out["surface_uniform"] = stats_u
+    bal_max = max(c[1] for c in stats["checks"])
+    uni_max = max(c[1] for c in stats_u["checks"])
+    log(f"[{n}] max-shard tris: uniform {uni_max} -> balanced {bal_max} "
+        f"(cuts {stats['cuts']})")
     out["n_verts"], out["n_tris"] = len(verts), len(faces)
     log(f"[{n}] surface: V={len(verts)} T={len(faces)} "
         f"buckets=({stats['max_active']},{stats['max_tris']}) "
@@ -287,6 +299,12 @@ def project(emit_json: bool = True) -> dict:
     # ^ linear part: frac_max_shard of the work per shard (perfectly
     #   parallel); sort part: per-shard sorted length ratio
     mc_comm = 2 * Yp * Xp * 1 + stats["bound"] * 4  # mask halos + id stitch
+    cuts = stats.get("cuts")
+    if cuts and len({b - a for a, b in zip(cuts, cuts[1:])}) > 1:
+        # balanced repartition: worst-case every slice moves shards
+        # (one u8 volume all-to-all over ICI; ~3 ms at 512^3)
+        Zg = cuts[-1]
+        mc_comm += Zg * Yp * Xp * 1
     t_mc8 += mc_comm / ICI_BPS
 
     # ---- ca smoothing ---------------------------------------------------

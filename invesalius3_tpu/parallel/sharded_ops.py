@@ -442,12 +442,21 @@ def sharded_mask_to_surface(mesh: Mesh, mask: jax.Array,
     # --- cut selection: shard s owns global cell rows [cuts[s], cuts[s+1])
     # (the last also owns row Z) and real slices [cuts[s], cuts[s+1]).
     if balance and n_shards > 1 and tri_g.sum() > 0:
+        # cap slab lengths at 2x the uniform slab: every shard pays the
+        # extraction grid + chamfer grid at Zmax rows, so an uncapped cut
+        # around a thin surface band would inflate all shards' grids
+        # toward full-volume size (n_shards x the uniform per-shard work)
+        # for at most ~20% of taubin back
+        cap = min(Z, 2 * Zs)
         cum = np.cumsum(tri_g.astype(np.float64))
         cuts = [0]
         for s in range(1, n_shards):
             c = int(np.searchsorted(cum, cum[-1] * s / n_shards))
-            cuts.append(min(max(c, cuts[-1] + 1), Z - (n_shards - s)))
+            c = min(max(c, cuts[-1] + 1), Z - (n_shards - s), cuts[-1] + cap)
+            cuts.append(c)
         cuts.append(Z)
+        for s in range(n_shards - 1, 0, -1):  # feasibility: len <= cap
+            cuts[s] = max(cuts[s], cuts[s + 1] - cap)
     else:
         cuts = [s * Zs for s in range(n_shards)] + [Z]
     lens = np.diff(np.asarray(cuts))

@@ -990,9 +990,13 @@ def make_handler(state: AppState):
                         # the ~40 MB/s relay for one 2-D plane
                         import jax.numpy as _jnp
 
-                        img2d = np.asarray(_jnp.take(
-                            slc.matrix, int(body.get("slice_number", 0)),
-                            axis=ax))
+                        sn = int(body.get("slice_number", 0))
+                        if not 0 <= sn < slc.matrix.shape[ax]:
+                            # jnp.take clamps by default — reject instead
+                            raise ValueError(
+                                f"slice_number {sn} out of range "
+                                f"[0, {slc.matrix.shape[ax]})")
+                        img2d = np.asarray(_jnp.take(slc.matrix, sn, axis=ax))
                         m = state.measures.add_density_ellipse(
                             img2d, body["center"], float(body["ry"]),
                             float(body["rx"]),
@@ -1008,9 +1012,13 @@ def make_handler(state: AppState):
                         # the ~40 MB/s relay for one 2-D plane
                         import jax.numpy as _jnp
 
-                        img2d = np.asarray(_jnp.take(
-                            slc.matrix, int(body.get("slice_number", 0)),
-                            axis=ax))
+                        sn = int(body.get("slice_number", 0))
+                        if not 0 <= sn < slc.matrix.shape[ax]:
+                            # jnp.take clamps by default — reject instead
+                            raise ValueError(
+                                f"slice_number {sn} out of range "
+                                f"[0, {slc.matrix.shape[ax]})")
+                        img2d = np.asarray(_jnp.take(slc.matrix, sn, axis=ax))
                         m = state.measures.add_density_polygon(
                             img2d, [(float(r), float(c))
                                     for r, c in body["points_yx"]],
@@ -1491,7 +1499,11 @@ def make_handler(state: AppState):
                         # lock — bound its wall time so caller-controlled
                         # params cannot freeze every other endpoint
                         n = min(n, 1000)
-                        hz = min(1000.0, max(hz, 5.0))
+                        # honor slow poll rates (operator repositioning
+                        # between probe touches) — the 30 s window bound
+                        # below rejects infeasible (n, hz) loudly rather
+                        # than silently resampling at a different rate
+                        hz = min(1000.0, max(hz, 0.1))
                         if n / hz > 30.0:
                             raise ValueError(
                                 "ICP sampling window too long "

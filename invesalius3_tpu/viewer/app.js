@@ -1235,6 +1235,9 @@ function initKeys() {
       $("#project-save").click();
       return;
     }
+    if (ev.ctrlKey || ev.metaKey || ev.altKey) {
+      return;  // browser chords (Ctrl+R reload, Ctrl+U source, ...) pass through
+    }
     const tools = $$("#tools button").map((b) => b.dataset.tool);
     const n = parseInt(ev.key, 10);
     if (n >= 1 && n <= tools.length) {  // 1..9 select tools in order

@@ -186,8 +186,9 @@ def test_sharded_mask_to_surface_balanced_partition(zmesh):
     tri_hist = np.asarray(stats["tri_hist"])
     S = len(lens)
     Zs = n // S
-    uni_max = max(tri_hist[s * Zs:(s + 1) * Zs].sum() for s in range(S))
-    uni_max += tri_hist[n]  # closing row lands on the last uniform shard
+    sums = [tri_hist[s * Zs:(s + 1) * Zs].sum() for s in range(S)]
+    sums[-1] += tri_hist[n]  # closing row lands on the last uniform shard
+    uni_max = max(sums)
     bal_max = np.asarray(stats["checks"])[:, 1].max()
     assert bal_max <= uni_max
 

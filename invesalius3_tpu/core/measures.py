@@ -130,6 +130,57 @@ def geodesic_distance(
     return float(dist[end_idx])
 
 
+def ray_pick(
+    verts: np.ndarray,
+    faces: np.ndarray,
+    origin: Sequence[float],
+    direction: Sequence[float],
+    chunk: int = 1_000_000,
+) -> Optional[Tuple[float, int, int, np.ndarray]]:
+    """Nearest ray-triangle intersection (Möller–Trumbore, vectorized,
+    chunked so million-face meshes stay under ~200 MB of temporaries).
+
+    The viewer's geodesic tool casts a camera ray per click; the reference
+    uses a vtkCellPicker against the live scene (measures.py:1068 geodesic
+    path + viewer_volume picking).  Returns (t, face_idx, vertex_idx,
+    hit_point) for the closest front hit, or None.  vertex_idx is the hit
+    face's corner nearest the intersection point — the Dijkstra endpoint.
+    """
+    verts = np.asarray(verts, np.float64)
+    faces = np.asarray(faces, np.int64).reshape(-1, 3)
+    o = np.asarray(origin, np.float64)
+    d = np.asarray(direction, np.float64)
+    d = d / np.linalg.norm(d)
+    best = None
+    for f0 in range(0, len(faces), chunk):
+        f = faces[f0 : f0 + chunk]
+        v0 = verts[f[:, 0]]
+        e1 = verts[f[:, 1]] - v0
+        e2 = verts[f[:, 2]] - v0
+        p = np.cross(d, e2)
+        det = np.einsum("ij,ij->i", e1, p)
+        ok = np.abs(det) > 1e-12
+        inv = np.where(ok, 1.0 / np.where(ok, det, 1.0), 0.0)
+        tv = o - v0
+        u = np.einsum("ij,ij->i", tv, p) * inv
+        q = np.cross(tv, e1)
+        v = q @ d * inv
+        t = np.einsum("ij,ij->i", e2, q) * inv
+        ok &= (u >= 0) & (v >= 0) & (u + v <= 1) & (t > 1e-9)
+        if not ok.any():
+            continue
+        ti = np.where(ok, t, np.inf).argmin()
+        if best is None or t[ti] < best[0]:
+            best = (float(t[ti]), f0 + int(ti))
+    if best is None:
+        return None
+    t, fi = best
+    point = o + t * d
+    corners = verts[faces[fi]]
+    vi = int(faces[fi][np.linalg.norm(corners - point, axis=1).argmin()])
+    return t, fi, vi, point
+
+
 # ---------------------------------------------------------------------------
 # manager
 # ---------------------------------------------------------------------------

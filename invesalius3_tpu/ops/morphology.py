@@ -217,11 +217,71 @@ def paint_brush_trajectory(
     half = jnp.asarray([bz // 2, by // 2, bx // 2], jnp.int32)
 
     def body(m, c):
-        start = c - half
-        # dynamic_slice clamps start so the window stays in bounds; this
-        # differs from true clipping only within brush-radius of the border.
+        # dynamic_slice treats NEGATIVE starts as from-the-end (wrap), then
+        # clamps the upper side — an unguarded c-half teleported border
+        # stamps to the far corner (measured).  maximum(…, 0) restores the
+        # intended clamp-to-border; this then differs from true clipping
+        # only within brush-radius of the border.
+        start = jnp.maximum(c - half, 0)
         sub = jax.lax.dynamic_slice(m, start, brush_shape)
         stamped = jnp.where(brush, jnp.asarray(value, m.dtype), sub)
+        return jax.lax.dynamic_update_slice(m, stamped, start), None
+
+    out, _ = jax.lax.scan(body, mask, centers)
+    return out
+
+
+@partial(jax.jit, static_argnames=("brush_shape", "op"))
+def paint_brush_trajectory_threshold(
+    mask: jax.Array,
+    image: jax.Array,
+    brush: jax.Array,
+    centers: jax.Array,
+    tmin: jax.Array,
+    tmax: jax.Array,
+    brush_shape: Tuple[int, int, int],
+    op: str = "thresh",
+) -> jax.Array:
+    """Threshold-gated brush ops (reference slice_.py:722-736 editor
+    semantics over const.BRUSH_THRESH* codes, styles.py:1361):
+
+    - ``thresh``: inside the footprint, voxels whose image value lies in
+      [tmin, tmax] become 254 (edited-in), all others become 1 (erased).
+    - ``thresh_erase``: the inverse gate — out-of-range voxels become 254,
+      in-range become 1.
+    - ``thresh_add``: only in-range voxels are set (to 254); the rest of
+      the footprint is untouched (BRUSH_THRESH_ADD_ONLY).
+    - ``thresh_erase_only``: only out-of-range voxels are cleared (to 1)
+      (BRUSH_THRESH_ERASE_ONLY).
+
+    Same dynamic-slice scan as paint_brush_trajectory; the image window is
+    sliced alongside the mask window so the gate costs one extra gather
+    per stamp, not a full-volume compare.
+    """
+    bz, by, bx = brush_shape
+    half = jnp.asarray([bz // 2, by // 2, bx // 2], jnp.int32)
+    tmin = jnp.asarray(tmin, image.dtype)
+    tmax = jnp.asarray(tmax, image.dtype)
+
+    def body(m, c):
+        # maximum(…, 0): negative starts would wrap to the far edge (see
+        # paint_brush_trajectory)
+        start = jnp.maximum(c - half, 0)
+        sub = jax.lax.dynamic_slice(m, start, brush_shape)
+        img = jax.lax.dynamic_slice(image, start, brush_shape)
+        inside = (img >= tmin) & (img <= tmax)
+        v254 = jnp.asarray(254, m.dtype)
+        v1 = jnp.asarray(1, m.dtype)
+        if op == "thresh":
+            stamped = jnp.where(brush, jnp.where(inside, v254, v1), sub)
+        elif op == "thresh_erase":
+            stamped = jnp.where(brush, jnp.where(inside, v1, v254), sub)
+        elif op == "thresh_add":
+            stamped = jnp.where(brush & inside, v254, sub)
+        elif op == "thresh_erase_only":
+            stamped = jnp.where(brush & ~inside, v1, sub)
+        else:
+            raise ValueError(f"unknown threshold-brush op {op!r}")
         return jax.lax.dynamic_update_slice(m, stamped, start), None
 
     out, _ = jax.lax.scan(body, mask, centers)

@@ -44,10 +44,13 @@ surface the viewers consumed:
   POST /api/image/{flip,swap,reorient}     Image-menu transforms
   POST /api/filter {"type","value",...}    new filtered image version
   POST /api/image_versions/select {"label"}
-  POST /api/measures {"kind",...}          add linear/angular measurement
+  POST /api/measures {"kind",...}          add linear/angular/geodesic/…
+  POST /api/surface/pick {"origin","dir"}  camera-ray pick -> vertex
   POST /api/measures/remove {"index"}
   POST /api/measures/props {"index","visible","name"}
-  POST /api/brush {"strokes","radius_mm"}  paint/erase a brush stroke
+  POST /api/brush {"strokes","radius_mm","op"}  brush stroke: paint/erase/
+        threshold[_erase|_add|_erase_only] (+"threshold_range" to set the
+        mask's edition threshold; reference styles.py:1361 editor ops)
   POST /api/segment/dl {"model","threshold"}   start a DL segmentation
         job (brain/trachea/mandible/implant); /status polls progress and
         lands the mask; /cancel stops it; /threshold rethresholds the
@@ -1024,9 +1027,44 @@ def make_handler(state: AppState):
                                     for r, c in body["points_yx"]],
                             location=body.get("location", "AXIAL"),
                             slice_number=int(body.get("slice_number", 0)))
+                    elif kind == "geodesic":
+                        # surface-constrained distance between two picked
+                        # vertices (reference measures.py:1068)
+                        s = state.surfaces[int(body["surface"])]
+                        m = state.measures.add_geodesic(
+                            np.asarray(s.vertices, np.float64),
+                            np.asarray(s.faces),
+                            int(body["v0"]), int(body["v1"]))
                     else:
                         raise ValueError(f"unknown measure kind {kind!r}")
                     self._json(m.to_dict())
+                elif self.path == "/api/surface/pick":
+                    # camera-ray pick against the stored surface meshes —
+                    # the WebGL pane's replacement for the reference's
+                    # vtkCellPicker (viewer_volume.py picking)
+                    from invesalius3_tpu.core import measures as meas
+
+                    origin = body["origin"]
+                    direction = body["dir"]
+                    idxs = ([int(body["index"])] if "index" in body else
+                            [s.index for s in state.surfaces.values()
+                             if s.is_shown])
+                    best = None
+                    for i in idxs:
+                        s = state.surfaces[i]
+                        hit = meas.ray_pick(s.vertices, s.faces,
+                                            origin, direction)
+                        if hit is not None and (
+                                best is None or hit[0] < best[0]):
+                            best = (hit[0], i, hit[1], hit[2], hit[3])
+                    if best is None:
+                        self._json({"hit": False})
+                    else:
+                        t, i, face, vert, pos = best
+                        self._json({"hit": True, "surface": i,
+                                    "face": int(face), "vertex": int(vert),
+                                    "t": float(t),
+                                    "position": [float(x) for x in pos]})
                 elif self.path == "/api/measures/remove":
                     state.measures.remove(int(body["index"]))
                     self._json({"ok": True})
@@ -1064,14 +1102,35 @@ def make_handler(state: AppState):
                     radius = float(body.get("radius_mm", 2.0))
                     shape = body.get("shape", "circle")
                     erase = bool(body.get("erase", False))
+                    # three-way editor ops (reference styles.py:1361
+                    # EditorConfig + slice_.py:722 edit_mask_pixel):
+                    # paint/erase plus the four threshold-gated variants
+                    op = body.get("op", "erase" if erase else "paint")
                     sx, sy, sz = slc.spacing
                     brush = morph.brush_element(radius, (sx, sy, sz), shape)
                     mask = slc.current_mask or slc.create_new_mask(
                         apply_threshold=False)
-                    value = 1 if erase else 254  # editor codes (mask.py)
-                    new = morph.paint_brush_trajectory(
-                        mask.data, jnp.asarray(brush), jnp.asarray(strokes),
-                        value, tuple(brush.shape))
+                    if "threshold_range" in body:
+                        lo, hi = body["threshold_range"]
+                        mask.edition_threshold_range = (float(lo), float(hi))
+                    if op in ("paint", "erase"):
+                        value = 254 if op == "paint" else 1  # editor codes
+                        new = morph.paint_brush_trajectory(
+                            mask.data, jnp.asarray(brush),
+                            jnp.asarray(strokes), value, tuple(brush.shape))
+                    else:
+                        op_key = {"threshold": "thresh",
+                                  "threshold_erase": "thresh_erase",
+                                  "threshold_add": "thresh_add",
+                                  "threshold_erase_only": "thresh_erase_only",
+                                  }.get(op)
+                        if op_key is None:
+                            raise ValueError(f"unknown brush op {op!r}")
+                        tmin, tmax = mask.edition_threshold_range
+                        new = morph.paint_brush_trajectory_threshold(
+                            mask.data, slc.matrix, jnp.asarray(brush),
+                            jnp.asarray(strokes), tmin, tmax,
+                            tuple(brush.shape), op_key)
                     mask.apply(new)
                     self._json({"stamps": int(len(strokes)),
                                 "voxels": int(np.asarray(
@@ -1671,6 +1730,12 @@ def make_handler(state: AppState):
                     job.mask_added = False
                     job.start()
                     state._dl_job = job
+                    # per-model probability cache (reference keeps one
+                    # memmap per dialog, segment.py:350): switching models
+                    # must not discard the previous model's probabilities
+                    if not hasattr(state, "_dl_jobs"):
+                        state._dl_jobs = {}
+                    state._dl_jobs[kind] = job
                     self._json({"started": True, "model": kind})
                 elif self.path == "/api/segment/dl/status":
                     from invesalius3_tpu.models import segment as seg_mod
@@ -1712,7 +1777,15 @@ def make_handler(state: AppState):
                     # probability volume -- no re-inference (reference
                     # segment.py:350 apply_segment_threshold keeps the
                     # probability memmap and rethresholds on slider moves).
-                    job = getattr(state, "_dl_job", None)
+                    # Optional "model" selects a prior job's cached
+                    # probabilities (one cache per model, like the
+                    # reference's per-dialog memmaps) — rethresholding the
+                    # previous model after a switch does no inference.
+                    if "model" in body:
+                        job = getattr(state, "_dl_jobs", {}).get(
+                            body["model"])
+                    else:
+                        job = getattr(state, "_dl_job", None)
                     if job is None or job.probability is None:
                         self._json({"error": tr("no finished DL job")}, 404)
                         return

@@ -53,6 +53,7 @@ const state = {
   cross: null,               // [z, y, x] voxel
   wsMarkers: [],
   pending: [],               // clicks collected for multi-point measures
+  geoPicks: [],              // surface picks collected for the geodesic tool
   azimuth: 30, elevation: 20,
   raycastPreset: "",
   bump: 0,
@@ -640,9 +641,17 @@ function attachPane(pane) {
     }
     if (stroke) {
       const s = stroke; stroke = null;
+      // three-way editor op (reference styles.py EditorConfig): erase tool
+      // always erases; paint tool follows the op selector (plain draw or
+      // one of the threshold-gated variants over the edit range)
+      const op = state.tool === "erase" ? "erase"
+        : ({ draw: "paint", threshold: "threshold",
+             threshold_add: "threshold_add",
+             threshold_erase_only: "threshold_erase_only",
+           })[$("#brush-op").value] || "paint";
       const r = await api("/api/brush", {
-        strokes: s, radius_mm: +$("#brush-radius").value,
-        erase: state.tool === "erase" });
+        strokes: s, radius_mm: +$("#brush-radius").value, op,
+        threshold_range: [+$("#edit-lo").value, +$("#edit-hi").value] });
       setStatus(`brush: ${s.length} stamps, mask ${r.voxels.toLocaleString()} voxels`);
       refreshSlices();
       return;
@@ -872,6 +881,57 @@ function gl3dRender() {
   }
 }
 
+// --- geodesic surface measure (reference measures.py:1068, the VTK
+// Dijkstra geodesic path tool): two picks in the WebGL pane cast camera
+// rays that the server intersects with the stored surface mesh ----------------
+
+async function geodesicPick(ev) {
+  if ($("#mode3d").value !== "surfaces-gl" || !gl3d.loaded) {
+    setStatus(T("switch the 3D pane to surfaces GL to pick"));
+    return;
+  }
+  const cv = $("#gl3d");
+  const r = cv.getBoundingClientRect();
+  const w = cv.width || 1, h = cv.height || 1;
+  const px = (ev.clientX - r.left) / r.width * w;
+  const py = (ev.clientY - r.top) / r.height * h;
+  // rebuild gl3dRender's camera and cast a ray through the clicked pixel
+  const az = state.azimuth * Math.PI / 180;
+  const el = state.elevation * Math.PI / 180;
+  const c = gl3d.center, d = gl3d.dist;
+  const eye = [c[0] + d * Math.cos(el) * Math.sin(az),
+               c[1] - d * Math.cos(el) * Math.cos(az),
+               c[2] + d * Math.sin(el)];
+  const norm = (a) => { const l = Math.hypot(...a); return a.map((v) => v / l); };
+  const cross = (a, b) => [a[1] * b[2] - a[2] * b[1],
+                           a[2] * b[0] - a[0] * b[2],
+                           a[0] * b[1] - a[1] * b[0]];
+  const zAx = norm(eye.map((v, i) => v - c[i]));
+  const xAx = norm(cross([0, 0, 1], zAx));
+  const yAx = cross(zAx, xAx);
+  const t = Math.tan(0.3);  // fovy 0.6 rad / 2, matching mat4Persp
+  const ndx = (2 * px / w - 1) * t * (w / h);
+  const ndy = (1 - 2 * py / h) * t;
+  const dir = norm([0, 1, 2].map((k) => ndx * xAx[k] + ndy * yAx[k] - zAx[k]));
+  const hit = await api("/api/surface/pick", { origin: eye, dir });
+  if (!hit.hit) { setStatus(T("no surface under the cursor")); return; }
+  state.geoPicks.push(hit);
+  if (state.geoPicks.length < 2) {
+    setStatus(`geodesic 1/2: surface ${hit.surface} vertex ${hit.vertex}`);
+    return;
+  }
+  const [a, b] = state.geoPicks;
+  state.geoPicks = [];
+  if (a.surface !== b.surface) {
+    setStatus(T("pick both points on the same surface"));
+    return;
+  }
+  const m = await api("/api/measures", {
+    kind: "geodesic", surface: a.surface, v0: a.vertex, v1: b.vertex });
+  setStatus(`${m.name}: ${(+m.value).toFixed(2)} ${m.unit}`);
+  refreshLists();
+}
+
 // --- 3D pane orbit ----------------------------------------------------------
 
 function attach3D() {
@@ -912,10 +972,12 @@ function attach3D() {
              az: state.azimuth, el: state.elevation };
   });
   wrap.addEventListener("mouseup", (ev) => {
-    if (state.tool !== "cut3d" || !drag) return;
+    if (!drag) return;
     if (Math.abs(ev.clientX - drag.x) + Math.abs(ev.clientY - drag.y) > 3) {
       return;  // it was an orbit drag, not a click
     }
+    if (state.tool === "geodesic") { geodesicPick(ev); return; }
+    if (state.tool !== "cut3d") return;
     const img = $("#img3d");
     const r = img.getBoundingClientRect();
     const c = Math.round((ev.clientX - r.left) / r.width *
@@ -993,8 +1055,11 @@ function initDLSegmentation() {
   // slider-speed rethreshold of the cached probability volume — no
   // re-inference (reference segment.py apply_segment_threshold :350)
   $("#dl-thr").onchange = async () => {
+    // per-model probability cache: rethreshold the SELECTED model's last
+    // job, so switching models and moving the slider needs no inference
     const r = await api("/api/segment/dl/threshold",
-      { threshold: +$("#dl-thr").value }).catch(() => null);
+      { threshold: +$("#dl-thr").value,
+        model: $("#dl-model").value }).catch(() => null);
     if (r) {
       setStatus(`rethreshold @ ${r.threshold}: ` +
         `${r.voxels.toLocaleString()} voxels`);

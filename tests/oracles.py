@@ -123,6 +123,21 @@ def oracle_fcm_intensity(image, n, axis):
     return out
 
 
+def oracle_fast_contour_mip(image, n, axis, wl, ww, tmip):
+    """Reference mips.rs:215-279 fast_countour_mip_internal: the FCM
+    intensity volume (cast to T per voxel), then tmip selects the
+    reduction — 0: max along axis, 1: LMIP with the hard-coded 700..3033
+    window, 2: MIDA with (wl, ww)."""
+    tmp = oracle_fcm_intensity(image, n, axis)
+    if tmip == 0:
+        return tmp.max(axis=axis)
+    if tmip == 1:
+        return oracle_lmip(tmp, axis, 700, 3033)
+    if tmip == 2:
+        return oracle_mida(tmp, axis, wl, ww)
+    raise ValueError(tmip)
+
+
 def oracle_floodfill_threshold(data, seeds, t0, t1, fill, strct, out):
     """Reference floodfill.rs:96-166 generic_floodfill_threshold.
     ``seeds`` are (x, y, z) like the reference; ``strct`` is a 3D uint8

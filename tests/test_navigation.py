@@ -245,6 +245,25 @@ def test_geodesic_on_strip():
     assert abs(d - np.sqrt(2)) < 1e-6  # direct diagonal edge exists
 
 
+def test_ray_pick_moller_trumbore():
+    # the geodesic tool's camera-ray pick (reference vtkCellPicker role)
+    verts = np.array([[0, 0, 0], [2, 0, 0], [0, 2, 0],      # near tri, z=0
+                      [0, 0, 5], [2, 0, 5], [0, 2, 5]], np.float32)
+    faces = np.array([[0, 1, 2], [3, 4, 5]], np.int32)
+    hit = measures.ray_pick(verts, faces, [0.5, 0.5, -3], [0, 0, 1])
+    assert hit is not None
+    t, fi, vi, point = hit
+    assert fi == 0                       # nearest of the two parallel tris
+    assert abs(t - 3.0) < 1e-9
+    np.testing.assert_allclose(point, [0.5, 0.5, 0.0], atol=1e-9)
+    assert vi == 0                       # corner nearest the hit point
+    # grazing miss
+    assert measures.ray_pick(verts, faces, [5, 5, -3], [0, 0, 1]) is None
+    # from the other side the far triangle is hit first
+    t2, fi2, _, _ = measures.ray_pick(verts, faces, [0.5, 0.5, 9], [0, 0, -1])
+    assert fi2 == 1 and abs(t2 - 4.0) < 1e-9
+
+
 def test_remote_control_mirror():
     """Internal events mirror out; inbound lines re-publish internally
     (reference remote_control semantics over JSON-lines TCP)."""

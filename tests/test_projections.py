@@ -4,7 +4,8 @@ import numpy as np
 import pytest
 
 from invesalius3_tpu.ops import projections
-from tests.oracles import oracle_fcm_intensity, oracle_lmip, oracle_mida
+from tests.oracles import (oracle_fast_contour_mip, oracle_fcm_intensity,
+                           oracle_lmip, oracle_mida)
 
 rng = np.random.default_rng(7)
 VOL = rng.integers(-200, 1200, size=(12, 10, 11)).astype(np.int16)
@@ -48,8 +49,17 @@ def test_fcm_intensity_matches_reference():
     np.testing.assert_allclose(got.astype(np.int64), want.astype(np.int64), atol=1)
 
 
+@pytest.mark.parametrize("axis", [0, 1, 2])
 @pytest.mark.parametrize("tmip", [0, 1, 2])
-def test_fast_contour_mip_runs(tmip):
-    out = np.asarray(projections.fast_contour_mip(VOL, 1.0, 0, 500.0, 1000.0, tmip))
-    assert out.shape == VOL.shape[1:]
-    assert out.dtype == VOL.dtype
+def test_fast_contour_mip_matches_reference(tmip, axis):
+    """Bit-level oracle for the full chain (mips.rs:215): FCM volume then
+    MIP/LMIP/MIDA.  The per-voxel int16 cast in the FCM stage can differ
+    by 1 ulp from the Rust f32->T NumCast (same as the fcm test above);
+    the reduction never amplifies that past 2."""
+    got = np.asarray(
+        projections.fast_contour_mip(VOL, 1.0, axis, 500.0, 1000.0, tmip))
+    want = oracle_fast_contour_mip(VOL, 1.0, axis, 500.0, 1000.0, tmip)
+    assert got.shape == want.shape
+    assert got.dtype == want.dtype
+    np.testing.assert_allclose(
+        got.astype(np.int64), want.astype(np.int64), atol=2)

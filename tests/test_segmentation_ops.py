@@ -264,6 +264,67 @@ def test_brush_paint_sphere():
     assert out2[0, 0, 0] == 254 and out2.sum() < out.sum()
 
 
+def test_brush_trajectory_border_stamp_stays_at_border():
+    """Regression: dynamic_slice wraps NEGATIVE starts to the far edge
+    (python-style indexing), which teleported border stamps to the
+    opposite corner before the maximum(start, 0) guard."""
+    import jax.numpy as jnp
+
+    mask = np.zeros((16, 16, 16), np.uint8)
+    brush = morphology.brush_element(2.0, (1.0, 1.0, 1.0), "circle", dims=3)
+    out = np.asarray(morphology.paint_brush_trajectory(
+        jnp.asarray(mask), jnp.asarray(brush),
+        jnp.asarray(np.array([(1, 1, 1)], np.int32)), 254,
+        tuple(brush.shape)))
+    zz, yy, xx = np.nonzero(out)
+    assert zz.max() <= 4 and yy.max() <= 4 and xx.max() <= 4
+    assert out[1, 1, 1] == 254
+
+
+def _oracle_threshold_stamp(mask, image, brush, center, tmin, tmax, op):
+    """Reference slice_.py:722-736 editor semantics for one stamp, with
+    dynamic_slice start-clamping (the jitted path's border behavior)."""
+    start = [min(max(c - s // 2, 0), m - s)
+             for c, s, m in zip(center, brush.shape, mask.shape)]
+    sl = tuple(slice(st, st + s) for st, s in zip(start, brush.shape))
+    roi_m, roi_i, idx = mask[sl], image[sl], brush
+    inside = (roi_i >= tmin) & (roi_i <= tmax)
+    if op == "thresh":
+        roi_m[idx] = inside[idx] * 253 + 1
+    elif op == "thresh_erase":
+        roi_m[idx] = (~inside[idx]) * 253 + 1
+    elif op == "thresh_add":
+        roi_m[idx & inside] = 254
+    elif op == "thresh_erase_only":
+        roi_m[idx & ~inside] = 1
+
+
+@pytest.mark.parametrize(
+    "op", ["thresh", "thresh_erase", "thresh_add", "thresh_erase_only"])
+def test_brush_threshold_ops_match_reference(op):
+    """The threshold-gated editor ops (reference styles.py:1361 BRUSH_THRESH*
+    + slice_.py:722) vs a numpy oracle, incl. a border-clamped stamp."""
+    import jax.numpy as jnp
+
+    rng = rng_()
+    image = rng.integers(-500, 1500, (16, 16, 16)).astype(np.int16)
+    mask0 = (rng.random((16, 16, 16)) < 0.3).astype(np.uint8) * 255
+    brush = morphology.brush_element(2.0, (1.0, 1.0, 1.0), "circle", dims=3)
+    centers = [(8, 8, 8), (1, 1, 14)]  # interior + border-clamped
+    tmin, tmax = 100, 900
+
+    want = mask0.copy()
+    for c in centers:
+        _oracle_threshold_stamp(want, image, brush, c, tmin, tmax, op)
+
+    got = np.asarray(morphology.paint_brush_trajectory_threshold(
+        jnp.asarray(mask0), jnp.asarray(image), jnp.asarray(brush),
+        jnp.asarray(np.array(centers, np.int32)), tmin, tmax,
+        tuple(brush.shape), op))
+    np.testing.assert_array_equal(got, want)
+    assert (got != mask0).any()  # the op actually edited something
+
+
 def test_region_grow_dynamic_and_confidence_run():
     data = rng_().integers(0, 200, (8, 16, 16)).astype(np.int16)
     data[4, 8, 8] = 100

@@ -1084,6 +1084,27 @@ def test_dl_subpart_job_lands_structure_masks(server):
     assert len(masks) > len(n_before)
 
 
+def test_dl_per_model_probability_cache(server):
+    """Rethresholding a PREVIOUS model's output after a model switch does
+    no inference: one probability cache per model (reference keeps one
+    memmap per DL dialog, segment.py:350).  Depends on the two job tests
+    above having populated the brain and subpart caches."""
+    jobs = getattr(server.state, "_dl_jobs", {})
+    if "brain" not in jobs or "subpart" not in jobs:
+        pytest.skip("needs the brain+subpart DL jobs above")
+    brain_job = jobs["brain"]
+    # the LAST job is subpart, but addressing model=brain rethresholds the
+    # brain cache in place — no new job, no inference
+    code, r = _post(server, "/api/segment/dl/threshold",
+                    {"threshold": 0.42, "model": "brain"})
+    assert code == 200 and r["mask_index"] == brain_job.mask_index
+    assert jobs["brain"] is brain_job and brain_job.threshold == 0.42
+    # a model that never ran is a clean 404
+    with pytest.raises(Exception):
+        _post(server, "/api/segment/dl/threshold",
+              {"threshold": 0.5, "model": "implant"})
+
+
 def test_log_endpoint_and_export(server):
     """Log-viewer API over the in-memory ring: level/search filters + text
     export (reference enhanced_logging.py:177-212 LogViewerFrame)."""

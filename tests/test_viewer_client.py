@@ -309,3 +309,80 @@ def test_walkthrough_tools(server):
     code, out = _post(server, "/api/image/reorient", {
         "angles": [0.0, 0.0, 0.1]})
     assert code == 200 and out["ok"]
+
+
+def test_walkthrough_threshold_brush_and_geodesic():
+    """Round-5 tool wiring, on a fresh server (the module fixture's volume
+    is crop/reorient-mutated by the tests above): the threshold-gated
+    brush ops (reference styles.py:1361 editor BRUSH_THRESH*) and the
+    geodesic surface measure driven by a camera-ray pick (reference
+    measures.py:1068) — the exact payloads app.js issues."""
+    zz, yy, xx = np.mgrid[:24, :32, :32].astype(np.float32)
+    r = np.sqrt((zz - 12) ** 2 + (yy - 16) ** 2 + (xx - 16) ** 2)
+    ct = np.full((24, 32, 32), -1000, np.int16)
+    ct[r < 11] = 60
+    ct[(r >= 8) & (r < 11)] = 1400
+    slc = Slice(Volume.from_numpy(ct, spacing=(1.0, 1.0, 1.0)))
+    srv = ViewerServer(slc).start()
+    try:
+        # empty mask, then a threshold_add brush stamp over the bone rim:
+        # only in-range voxels may be painted
+        _post(srv, "/api/threshold", {"tmin": 5000, "tmax": 6000})
+        code, out = _post(srv, "/api/brush", {
+            "strokes": [[12, 16, 25]], "radius_mm": 4.0,
+            "op": "threshold_add", "threshold_range": [1300, 1500]})
+        assert code == 200
+        n_gated = out["voxels"]
+        assert n_gated > 0
+        # the same stamp with plain paint covers strictly more voxels
+        _post(srv, "/api/threshold", {"tmin": 5000, "tmax": 6000})
+        code, out = _post(srv, "/api/brush", {
+            "strokes": [[12, 16, 25]], "radius_mm": 4.0, "op": "paint"})
+        assert out["voxels"] > n_gated
+        # two-sided threshold op erases out-of-range voxels it covers:
+        # visible count equals the gated add (in-range set identical)
+        code, out = _post(srv, "/api/brush", {
+            "strokes": [[12, 16, 25]], "radius_mm": 4.0,
+            "op": "threshold", "threshold_range": [1300, 1500]})
+        assert out["voxels"] == n_gated
+        # threshold_erase_only erases only the out-of-range part of a
+        # painted footprint
+        _post(srv, "/api/threshold", {"tmin": 5000, "tmax": 6000})
+        _post(srv, "/api/brush", {
+            "strokes": [[12, 16, 25]], "radius_mm": 4.0, "op": "paint"})
+        code, out = _post(srv, "/api/brush", {
+            "strokes": [[12, 16, 25]], "radius_mm": 4.0,
+            "op": "threshold_erase_only", "threshold_range": [1300, 1500]})
+        assert out["voxels"] == n_gated
+
+        # surface, then a camera-ray pick (app.js geodesicPick payload)
+        _post(srv, "/api/threshold", {"tmin": 226, "tmax": 3071})
+        code, out = _post(srv, "/api/surface", {"algorithm": "Default"})
+        sidx = out["index"]
+        code, hit = _post(srv, "/api/surface/pick", {
+            "origin": [16.0, 16.0, 200.0], "dir": [0.0, 0.0, -1.0]})
+        assert code == 200 and hit["hit"]
+        assert hit["surface"] == sidx
+        code, hit2 = _post(srv, "/api/surface/pick", {
+            "origin": [16.0, 16.0, -200.0], "dir": [0.0, 0.0, 1.0]})
+        assert hit2["hit"] and hit2["vertex"] != hit["vertex"]
+        # a ray that misses everything
+        code, miss = _post(srv, "/api/surface/pick", {
+            "origin": [500.0, 500.0, 200.0], "dir": [0.0, 0.0, -1.0]})
+        assert not miss["hit"]
+
+        # geodesic measure between the two picked vertices: at least the
+        # chord length (straight line through the interior is shorter
+        # than any on-surface path between opposite poles)
+        code, m = _post(srv, "/api/measures", {
+            "kind": "geodesic", "surface": sidx,
+            "v0": hit["vertex"], "v1": hit2["vertex"]})
+        assert code == 200 and m["type"] == "geodesic"
+        chord = float(np.linalg.norm(
+            np.asarray(hit["position"]) - np.asarray(hit2["position"])))
+        assert m["value"] >= chord - 1e-6
+        assert m["value"] < 10 * chord
+        code, _, body = _get(srv, "/api/measures")
+        assert any(mm["type"] == "geodesic" for mm in json.loads(body))
+    finally:
+        srv.stop()

@@ -736,3 +736,90 @@ def write_stl_from_device(path, dm, name: str = "invesalius3_tpu",
     vth.join()
     if state["error"] is not None:
         raise state["error"]
+
+
+def write_stl_sharded(path, verts_sh, faces_sh, checks, meta,
+                      name: str = "invesalius3_tpu") -> None:
+    """Pipelined STL export of `sharded_mask_to_surface(return_parts=True)`
+    output: a producer thread drains each shard's owned vertices to the
+    host in shard order (= global key order) while the main thread pulls
+    face shards, waits only for the vertex coverage shard s's faces
+    actually reference (boundary triangles reach into shard s+1's verts),
+    packs records natively, and writes — so on a multi-queue host the
+    per-shard D2H overlaps the pack/write instead of serializing ahead of
+    the whole-mesh assembly.  Byte-identical to assembling then calling
+    ``write_stl`` (same record order: shard-major, slab-then-tet-slot).
+    Reference flow: surface export (reference data/surface.py:1647
+    vtkSTLWriter after the slab join, surface.py:1360-1430)."""
+    import threading
+
+    from invesalius3_tpu import native
+
+    S = len(checks)
+    T = int(meta["max_tris"])
+    n_own = [int(checks[s, 0]) for s in range(S)]
+    n_tri = [int(checks[s, 1]) for s in range(S)]
+    sx, sy, sz = meta["spacing"]
+    smoothed = bool(meta["smoothed"])
+    V = sum(n_own)
+    n_faces = sum(n_tri)
+
+    def shard_verts(s: int) -> np.ndarray:
+        vo = np.asarray(verts_sh[s])[:, : n_own[s]].T  # (v, 3)
+        if smoothed:  # already world-frame (x, y, z)
+            return np.ascontiguousarray(vo, np.float32)
+        world = np.stack([vo[:, 2] * sx, vo[:, 1] * sy, vo[:, 0] * sz],
+                         axis=1).astype(np.float32)
+        world -= np.array([sx, sy, sz], np.float32)
+        return world
+
+    def shard_faces(s: int) -> np.ndarray:
+        inv = np.asarray(faces_sh[s]).reshape(3, T)[:, : n_tri[s]]
+        return np.ascontiguousarray(inv.T[:, ::-1], np.int32)
+
+    if not native.available():  # assemble + plain writer fallback
+        verts = np.concatenate([shard_verts(s) for s in range(S)], axis=0)
+        faces = np.concatenate([shard_faces(s) for s in range(S)], axis=0)
+        write_stl(path, verts, faces, name=name)
+        return
+
+    verts = np.empty((V, 3), np.float32)
+    state = {"received": 0, "error": None}
+    cond = threading.Condition()
+
+    def verts_producer():
+        try:
+            off = 0
+            for s in range(S):
+                vo = shard_verts(s)
+                verts[off : off + len(vo)] = vo
+                off += len(vo)
+                with cond:
+                    state["received"] = off
+                    cond.notify_all()
+        except Exception as e:
+            state["error"] = e
+        finally:
+            with cond:
+                state["received"] = V
+                cond.notify_all()
+
+    vth = threading.Thread(target=verts_producer, daemon=True,
+                           name="shard-verts-stream")
+    vth.start()
+    with open(path, "wb") as f:
+        f.write((name.encode()[:80]).ljust(80, b"\0"))
+        f.write(struct.pack("<I", n_faces))
+        for s in range(S):
+            faces = shard_faces(s)
+            need = int(faces.max()) + 1 if len(faces) else 0
+            with cond:
+                while state["received"] < need and state["error"] is None:
+                    cond.wait(timeout=1.0)
+            if state["error"] is not None:
+                raise state["error"]
+            if len(faces):
+                f.write(native.stl_pack(verts, faces))
+    vth.join()
+    if state["error"] is not None:
+        raise state["error"]

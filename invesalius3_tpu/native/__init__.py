@@ -34,7 +34,7 @@ _SOURCES = ("decimate.cpp", "codecs.cpp", "meshpack.cpp")
 
 def _build() -> Optional[ctypes.CDLL]:
     cmd = [
-        "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
         *(str(_HERE / s) for s in _SOURCES), "-o", str(_LIB_PATH),
     ]
     try:
@@ -95,6 +95,12 @@ def _configure(lib: ctypes.CDLL) -> None:
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.stl_pack_mt.restype = ctypes.c_int
+    lib.stl_pack_mt.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
     ]
     lib.verts3v_f16_to_n3.restype = ctypes.c_int
     lib.verts3v_f16_to_n3.argtypes = [
@@ -188,19 +194,27 @@ def packbits_decode(data: bytes, expected: int) -> bytes:
     return dst[:n].tobytes()
 
 
-def stl_pack(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
+def stl_pack(verts: np.ndarray, faces: np.ndarray,
+             n_threads: Optional[int] = None) -> np.ndarray:
     """(nf, 50)-byte binary-STL records (normal, corners, attr=0) in one
-    streaming pass.  Raises RuntimeError if the native lib is missing."""
+    streaming pass, thread-parallel over the face range (records are
+    independent fixed-size rows).  Defaults to the host core count; the
+    1-core dev VM degrades to the single-thread loop.  Raises
+    RuntimeError if the native lib is missing."""
+    import os
+
     lib = get_lib()
     if lib is None:
         raise RuntimeError("native meshpack unavailable (no g++)")
     verts = np.ascontiguousarray(verts, np.float32)
     faces = np.ascontiguousarray(faces, np.int32)
     out = np.empty((len(faces), 50), np.uint8)
-    rc = lib.stl_pack(
+    nt = int(n_threads if n_threads is not None
+             else min(os.cpu_count() or 1, 16))
+    rc = lib.stl_pack_mt(
         verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(verts),
         faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(faces),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), nt,
     )
     if rc != 0:
         raise RuntimeError("stl_pack: face index out of range")

@@ -14,6 +14,13 @@
 #include <cstdint>
 #include <cstring>
 #include <cmath>
+#include <algorithm>
+#include <thread>
+#include <vector>
+
+static int stl_pack_range(const float* verts, int64_t nv,
+                          const int32_t* faces, int64_t i0, int64_t i1,
+                          uint8_t* out);
 
 extern "C" {
 
@@ -22,7 +29,40 @@ extern "C" {
 // record layout.
 int stl_pack(const float* verts, int64_t nv, const int32_t* faces,
              int64_t nf, uint8_t* out) {
-    for (int64_t i = 0; i < nf; ++i) {
+    return stl_pack_range(verts, nv, faces, 0, nf, out);
+}
+
+// Thread-parallel record pack: records are independent fixed-size rows,
+// so the face range splits perfectly.  On the 1-core dev VM this matches
+// stl_pack; on a real v5e-8 host (many cores) it divides the export
+// tail's pack time by the thread count (VERDICT r4 item 1b: the
+// projection's 0.3 s tail is pack-bound, not PCIe-bound).
+int stl_pack_mt(const float* verts, int64_t nv, const int32_t* faces,
+                int64_t nf, uint8_t* out, int n_threads) {
+    if (n_threads <= 1 || nf < 65536)
+        return stl_pack_range(verts, nv, faces, 0, nf, out);
+    std::vector<std::thread> ts;
+    std::vector<int> rcs(n_threads, 0);
+    const int64_t chunk = (nf + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+        const int64_t i0 = t * chunk;
+        const int64_t i1 = std::min(nf, i0 + chunk);
+        if (i0 >= i1) break;
+        ts.emplace_back([=, &rcs] {
+            rcs[t] = stl_pack_range(verts, nv, faces, i0, i1, out);
+        });
+    }
+    for (auto& th : ts) th.join();
+    for (int rc : rcs) if (rc) return rc;
+    return 0;
+}
+
+}  // extern "C" (reopened below)
+
+static int stl_pack_range(const float* verts, int64_t nv,
+                          const int32_t* faces, int64_t i0, int64_t i1,
+                          uint8_t* out) {
+    for (int64_t i = i0; i < i1; ++i) {
         const int32_t a = faces[3 * i], b = faces[3 * i + 1], c = faces[3 * i + 2];
         if (a < 0 || b < 0 || c < 0 || a >= nv || b >= nv || c >= nv) return 1;
         const float* pa = verts + 3 * a;
@@ -45,6 +85,8 @@ int stl_pack(const float* verts, int64_t nv, const int32_t* faces,
     }
     return 0;
 }
+
+extern "C" {  // remaining exported entry points
 
 static inline float half_to_float(uint16_t h) {
     const uint32_t sign = (uint32_t)(h & 0x8000u) << 16;

@@ -185,7 +185,7 @@ _taubin_core_bucketed = partial(jax.jit, static_argnames=("steps", "buckets")
 
 
 def taubin_smooth_bucketed(verts3v, neigh_dv, deg, weights, lam, mu,
-                           steps: int, d_caps=(5, 6, 7)):
+                           steps: int, d_caps=(5, 6, 7, 8, 10)):
     """Degree-bucketed Taubin: sort vertices by degree (device), run the
     multi-bucket core, unsort.  Returns (3, V) like _taubin_core."""
     V = verts3v.shape[1]
@@ -532,11 +532,7 @@ def _adjacency_from_sorted_corners(inverse, order, group_of_sorted,
     tri = order % T
     corner = order // T
     nb1 = inverse[((corner + 1) % 3) * T + tri]
-    nb2 = inverse[((corner + 2) % 3) * T + tri]
 
-    D2 = 2 * max_deg
-    ok = sorted_valid & (2 * pos + 1 < D2)
-    g = jnp.where(ok, group_of_sorted, V)  # dummy column for masked writes
     sentinel = jnp.int32(V)  # sorts after every real vertex id
     # degree = run length, zeroed for the invalid orphan group (validity
     # is per-group: invalid slots share key -1, one group at the front)
@@ -547,6 +543,36 @@ def _adjacency_from_sorted_corners(inverse, order, group_of_sorted,
     deg = jnp.where(
         (garange < n_groups) & valid_at_start,
         jnp.minimum(end_v - start_v + 1, max_deg), 0)
+    if not (return_raw or use_gather):
+        # closed-fan fast path (the production single-chip route): on a
+        # closed oriented manifold each neighbor of v is the ccw-NEXT
+        # corner of exactly ONE of v's incident faces, so the nb1 list
+        # alone enumerates the one-ring once — no nb2 gather, HALF the
+        # scatter (22M vs 44M entries at 512^3), and no bitonic pair-dedup
+        # at all.  Marching output is consistently oriented and closed
+        # (the mask is border-padded), matching the reference smoother's
+        # is_border == false assumption (mesh.rs _calc_d note above).
+        # Shard-boundary rings (return_raw) have OPEN local fans where
+        # this breaks — they keep the pair-dedup path below.
+        okf = sorted_valid & (pos < max_deg)
+        gf = jnp.where(okf, gos, V)
+        flat = jnp.full((max_deg * (V + 1),), sentinel, jnp.int32)
+        lin = jnp.where(okf, pos * (V + 1) + gf, max_deg * (V + 1) - 1)
+        flat = flat.at[lin].set(jnp.where(okf, nb1, sentinel))
+        dedup = flat.reshape(max_deg, V + 1)[:, :V]
+        # sort rows ascending (half-size bitonic vs the pair-dedup path):
+        # the table is then BITWISE identical to the pair-dedup output, so
+        # fp summation order — and the sharded path's bit-identical-verts
+        # guarantee — is preserved
+        dedup = _bitonic_sort_rows(dedup)
+        if out_deg is not None:
+            dedup = dedup[:out_deg]
+        return dedup, deg
+    nb2 = inverse[((corner + 2) % 3) * T + tri]
+
+    D2 = 2 * max_deg
+    ok = sorted_valid & (2 * pos + 1 < D2)
+    g = jnp.where(ok, group_of_sorted, V)  # dummy column for masked writes
     if use_gather:
         # gather formulation (MEASURED SLOWER — kept as a documented
         # negative result): corner validity is per-GROUP (invalid slots

@@ -75,7 +75,14 @@ def lmip(volume: jax.Array, axis: int, tmin: float, tmax: float) -> jax.Array:
         from invesalius3_tpu.ops import pallas_kernels
 
         return pallas_kernels.lmip_axis0(_lead(volume, axis), tmin, tmax)
-    lanes = _lead(volume, axis)
+    return lmip_scan(_lead(volume, axis), tmin, tmax)
+
+
+@jax.jit
+def lmip_scan(lanes: jax.Array, tmin: float, tmax: float) -> jax.Array:
+    """The lax.scan LMIP formulation over axis-0 lanes — the non-Pallas
+    path, exposed so the on-TPU kernel smoke (bench.py) can compare the
+    Pallas kernel against it on the same backend."""
     first = lanes[0]
     init_carry = (
         first,  # max_val
@@ -95,7 +102,7 @@ def lmip(volume: jax.Array, axis: int, tmin: float, tmax: float) -> jax.Array:
         return (new_max, new_start, new_stopped), None
 
     (max_val, _, _), _ = jax.lax.scan(step, init_carry, lanes)
-    return max_val.astype(volume.dtype)
+    return max_val.astype(lanes.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -116,7 +123,14 @@ def mida(volume: jax.Array, axis: int, wl: float, ww: float) -> jax.Array:
         from invesalius3_tpu.ops import pallas_kernels
 
         return pallas_kernels.mida_axis0(_lead(volume, axis), wl, ww)
-    lanes = _lead(volume, axis).astype(jnp.float32)
+    return mida_scan(_lead(volume, axis), wl, ww)
+
+
+@jax.jit
+def mida_scan(volume_lanes: jax.Array, wl: float, ww: float) -> jax.Array:
+    """The lax.scan MIDA formulation over axis-0 lanes (non-Pallas path;
+    see lmip_scan for why it is exposed)."""
+    lanes = volume_lanes.astype(jnp.float32)
     img_min = jnp.min(lanes)
     img_max = jnp.max(lanes)
     rng = img_max - img_min
@@ -148,7 +162,7 @@ def mida(volume: jax.Array, axis: int, wl: float, ww: float) -> jax.Array:
 
     (_, _, colour_p, _), _ = jax.lax.scan(step, init_carry, lanes)
     result = rng * colour_p + img_min
-    return result.astype(volume.dtype)
+    return result.astype(volume_lanes.dtype)
 
 
 # ---------------------------------------------------------------------------

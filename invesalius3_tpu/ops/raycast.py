@@ -770,10 +770,30 @@ def _permuted_volume(volume, perm, flip, downsample, mode):
     if flip:
         vol_p = vol_p[::-1]
     vol_p = jax.block_until_ready(vol_p)
-    if len(_VOLP_CACHE) > 12:
+    if len(_VOLP_CACHE) > 20:
         _VOLP_CACHE.pop(next(iter(_VOLP_CACHE)))
     _VOLP_CACHE[key] = (volume, vol_p)
     return vol_p
+
+
+def warm_shear_cache(volume, mode: str = "composite", downsample: int = 2):
+    """Pre-permute/pool the interactive (downsample=2) volume for EVERY
+    camera octant so the first drag into any octant pays no cache miss —
+    the progressive-refinement contract wants the first pooled frame
+    <=100 ms at ANY angle (reference keeps the VTK mapper's resampled
+    volume alive for the same reason, viewer_volume.py:636-646).
+
+    6 variants (3 principal axes x front/back) per mode; the pooled copy
+    is built once and the 6 permutes run on device.  The full-res (ds=1)
+    permutes are warmed too — they are transposes of the raw int16 volume
+    (134 MB each at 512^3), and a cold one adds ~0.6 s to the first
+    full-quality frame in a new octant (measured probe_r5a)."""
+    for k in range(3):
+        perm = (k,) + tuple(i for i in range(3) if i != k)
+        for flip in (False, True):
+            _permuted_volume(volume, perm, flip, downsample, mode)
+            if downsample > 1:
+                _permuted_volume(volume, perm, flip, 1, mode)
 
 
 def shear_warp_render(

@@ -52,8 +52,8 @@ _BAYER4 = np.array([  # ordered-dither thresholds in [0, 1)
     np.float32).reshape(-1) / 16.0
 
 
-@partial(jax.jit, static_argnames=("size",))
-def _splat(p0, p1, p2, shade, colour_rgb, size: int):
+@partial(jax.jit, static_argnames=("size", "ssao"))
+def _splat(p0, p1, p2, shade, colour_rgb, size: int, ssao: bool = False):
     """Rasterize triangles given screen-space corners (3, T) each + per-
     triangle shade (T,) and colour (3, T) — or (4, T) with a per-triangle
     alpha 4th row for screen-door transparency (the VTK-era ordered-dither
@@ -94,8 +94,28 @@ def _splat(p0, p1, p2, shade, colour_rgb, size: int):
     hit = out < SENTINEL
     rgbw = jnp.where(hit, out & 0x3FFFF, 0)
     img = jnp.stack([(rgbw >> 12) & 0x3F, (rgbw >> 6) & 0x3F, rgbw & 0x3F],
-                    axis=-1).astype(jnp.uint8) * 4
-    return img.reshape(size, size, 3)
+                    axis=-1).astype(jnp.float32) * 4.0
+    img = img.reshape(size, size, 3)
+    if ssao:
+        # screen-space ambient occlusion over the packed depth buffer
+        # (reference viewer_volume.py vtkSSAOPass toggle, :374-377): a
+        # pixel whose ring neighbors sit NEARER the eye is in a crevice;
+        # per-sample occlusion = clamped positive depth excess, averaged
+        # over 8 directions x 2 radii, then a multiplicative darkening.
+        depth = jnp.where(hit, (out >> 18).astype(jnp.float32),
+                          4096.0).reshape(size, size)
+        occ = jnp.zeros((size, size), jnp.float32)
+        n_s = 0
+        for rad in (2, 5):
+            for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1),
+                           (1, 1), (1, -1), (-1, 1), (-1, -1)):
+                nb = jnp.roll(depth, (dy * rad, dx * rad), axis=(0, 1))
+                occ = occ + jnp.clip(depth - nb, 0.0, 80.0)
+                n_s += 1
+        ao = 1.0 - jnp.clip(occ / (n_s * 80.0) * 2.5, 0.0, 0.6)
+        ao = jnp.where(hit.reshape(size, size), ao, 1.0)
+        img = img * ao[..., None]
+    return jnp.clip(img, 0, 255).astype(jnp.uint8)
 
 
 @partial(jax.jit, static_argnames=("size",))
@@ -212,7 +232,8 @@ def render_surfaces(meshes: Sequence[Tuple[np.ndarray, np.ndarray,
                     size: int = 256,
                     max_triangles: int = 200_000,
                     light=(0.4, -0.6, -0.7),
-                    background: Tuple[int, int, int] = (17, 19, 24)
+                    background: Tuple[int, int, int] = (17, 19, 24),
+                    ssao: bool = False,
                     ) -> np.ndarray:
     """Render a list of (verts (V, 3) world mm, faces (F, 3), colour rgb
     0..1) orthographically from (azimuth, elevation).  Surfaces above
@@ -328,7 +349,7 @@ def render_surfaces(meshes: Sequence[Tuple[np.ndarray, np.ndarray,
     lv = lv / np.linalg.norm(lv)
     shade = 0.25 + 0.75 * jnp.abs(jnp.sum(n * jnp.asarray(lv)[:, None], axis=0))
 
-    img = np.asarray(_splat(p0, p1, p2, shade, colour_rgb, size))
+    img = np.asarray(_splat(p0, p1, p2, shade, colour_rgb, size, ssao=ssao))
     bg = np.all(img == 0, axis=-1)
     img = img.copy()
     img[bg] = background

@@ -335,7 +335,8 @@ def sharded_watershed(mesh: Mesh, connectivity: int = 6,
 def sharded_mask_to_surface(mesh: Mesh, mask: jax.Array,
                             spacing: Tuple[float, float, float] = (1.0, 1.0, 1.0),
                             axis_name: str = "z", smooth: dict | None = None,
-                            return_stats: bool = False, balance: bool = False):
+                            return_stats: bool = False, balance: bool = False,
+                            return_parts: bool = False):
     """Full surface extraction over a Z-sharded mask: each shard runs the
     marching-tet stages on its slab (+1-slice halo) with *global* lattice
     keys, dedups locally, and the shards stitch on device by the
@@ -829,6 +830,15 @@ def sharded_mask_to_surface(mesh: Mesh, mask: jax.Array,
     if smooth is not None:
         assert checks[:, 4].max() <= max_tris, "vertex bucket overflow"
         assert checks[:, 5].max() <= 16, "vertex degree exceeds MAXD=16"
+
+    if return_parts:
+        # pipelined per-shard export (mesh_io.write_stl_sharded): hand the
+        # still-on-device shard outputs + the assembly metadata to the
+        # writer so shard s's D2H overlaps shard s-1's pack/write — the
+        # 8-chip analog of the single-chip face-table prefetch (rule 21).
+        return verts_sh, faces_sh, checks, {
+            "max_tris": max_tris, "spacing": spacing,
+            "smoothed": smooth is not None}
 
     # host assembly in shard order = global key order
     T = max_tris

@@ -158,6 +158,27 @@ class AppState:
 
         self._tap = tap  # keep a reference (bus stores it)
         slc.bus.subscribe(tap, events.ALL_TOPICS)
+        self.warm_render_cache()
+
+    def warm_render_cache(self) -> None:
+        """Background-warm the shear-warp octant cache so the first
+        interactive volume frame is fast at ANY camera angle (progressive
+        refinement contract; reference viewer_volume.py:636-646 keeps the
+        mapper's resampled volume alive).  Daemon thread: never blocks a
+        request, and small volumes (no pooled fast path) skip it."""
+        if min(self.slice.matrix.shape) < 128:
+            return
+
+        def _warm(matrix=self.slice.matrix):
+            try:
+                from invesalius3_tpu.ops import raycast
+
+                raycast.warm_shear_cache(matrix, "composite")
+            except Exception:
+                pass  # best-effort: a render will rebuild lazily
+
+        threading.Thread(target=_warm, daemon=True,
+                         name="shear-cache-warm").start()
 
     def record_event(self, topic, data):
         self.recent_events.append({"topic": topic, "data": data})
@@ -605,6 +626,7 @@ def make_handler(state: AppState):
                         azimuth=float(q.get("azimuth", 30)),
                         elevation=float(q.get("elevation", 20)),
                         size=int(q.get("size", 256)),
+                        ssao=bool(int(q.get("ssao", 0))),
                     )
                     self._png(img)
                 elif url.path == "/api/dicom/scan":
@@ -823,6 +845,7 @@ def make_handler(state: AppState):
                     state.crop_box = box
                     if body.get("apply", True):
                         slc.apply_crop(box)
+                        state.warm_render_cache()  # new matrix object
                     self._json({"limits": list(box.limits)})
                 elif self.path == "/api/mask/cut3d":
                     # screen-space polygon cut of the mask in the 3D scene
@@ -958,6 +981,7 @@ def make_handler(state: AppState):
                         interp_method=int(body.get("interp", 2)))
                     state.record_event("image.reoriented",
                                        {"angles": body["angles"]})
+                    state.warm_render_cache()  # new matrix object
                     self._json({"ok": True})
                 elif self.path == "/api/filter":
                     label = slc.apply_image_filter(
@@ -1225,6 +1249,7 @@ def make_handler(state: AppState):
                     state.surfaces = {}
                     state.mesh_bin_cache.clear()
                     state.crop_box = None
+                    state.warm_render_cache()
                     self._json({"shape": list(vol.shape),
                                 "spacing": list(vol.spacing)})
                 elif self.path == "/api/project/props":

@@ -148,6 +148,7 @@ function refresh3D(full) {
     if ($("#ov-slice").checked) {  // current axial slice as a plane
       base += `slice=AXIAL:${state.idx.AXIAL}&`;
     }
+    if ($("#ov-ssao").checked) base += "ssao=1&";  // vtkSSAOPass parity
   }
   // progressive refinement: interactive frames use the server's pooled
   // default (~75 ms); a camera pause re-requests downsample=1 full quality
@@ -998,12 +999,31 @@ function attach3D() {
       gl3dRender();  // local GPU: display-rate orbit, zero HTTP
       return;
     }
+    // progressive refinement (reference viewer_volume.py:636-646 live
+    // raycast): DURING the drag, throttled pooled frames (the server's
+    // downsample=2 fast path, octant-cached); the full-quality frame is
+    // requested the moment the drag ENDS (see mouseup below), so it lands
+    // ~one render (<400 ms) after the camera stops instead of after a
+    // long idle debounce.
     clearTimeout(timer);
     clearTimeout(refineTimer);
-    timer = setTimeout(refresh3D, 120);  // pooled frame on short pause
-    refineTimer = setTimeout(() => refresh3D(true), 650);  // full quality
+    const now = performance.now();
+    if (!attach3D._last || now - attach3D._last > 110) {
+      attach3D._last = now;
+      refresh3D();                        // pooled frame, live orbit
+    } else {
+      timer = setTimeout(refresh3D, 110); // trailing pooled frame
+    }
+    refineTimer = setTimeout(() => refresh3D(true), 500);  // safety net
   });
-  window.addEventListener("mouseup", () => { drag = null; });
+  window.addEventListener("mouseup", () => {
+    if (drag && $("#mode3d").value !== "surfaces-gl") {
+      clearTimeout(timer);
+      clearTimeout(refineTimer);
+      refresh3D(true);  // full quality immediately on drag end
+    }
+    drag = null;
+  });
 }
 
 // --- wiring -----------------------------------------------------------------
@@ -1546,6 +1566,7 @@ async function init() {
   attach3D();
   $("#ov-mep").onchange = refresh3D;
   $("#ov-slice").onchange = refresh3D;
+  $("#ov-ssao").onchange = refresh3D;
   // Image-menu flips (reference frame.py Image menu)
   [["#img-flip-z", 0], ["#img-flip-y", 1], ["#img-flip-x", 2]].forEach(
     ([id, axis]) => {

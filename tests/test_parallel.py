@@ -231,6 +231,35 @@ def test_sharded_smoothed_pipeline_balanced_matches_single_device(zmesh):
     assert A == B
 
 
+def test_write_stl_sharded_byte_identical(zmesh, tmp_path):
+    """The pipelined per-shard STL writer (return_parts=True +
+    mesh_io.write_stl_sharded) produces a byte-identical file to
+    assembling the shards and calling write_stl — both for the smoothed
+    (world-frame) and raw (index-frame) paths."""
+    from invesalius3_tpu.io import mesh_io
+
+    n = 32
+    zz, yy, xx = np.mgrid[:n, :n, :n]
+    r = np.sqrt((zz - 16) ** 2 + (yy - 16) ** 2 + (xx - 16) ** 2)
+    mask = ((r < 11) & (r > 6)).astype(np.uint8) * 255
+
+    for smooth in (None, {"t": 0.7, "tmax": 3.0, "bmin": 0.5,
+                          "n_iters": 4}):
+        v, f = sharded_ops.sharded_mask_to_surface(
+            zmesh, jnp.asarray(mask), spacing=(0.5, 0.7, 1.1),
+            smooth=smooth, balance=True)
+        vsh, fsh, checks, meta = sharded_ops.sharded_mask_to_surface(
+            zmesh, jnp.asarray(mask), spacing=(0.5, 0.7, 1.1),
+            smooth=smooth, balance=True, return_parts=True)
+        assert int(checks[:, 0].sum()) == len(v)
+        assert int(checks[:, 1].sum()) == len(f)
+        p_ref = tmp_path / f"ref_{smooth is not None}.stl"
+        p_pipe = tmp_path / f"pipe_{smooth is not None}.stl"
+        mesh_io.write_stl(str(p_ref), v, f)
+        mesh_io.write_stl_sharded(str(p_pipe), vsh, fsh, checks, meta)
+        assert p_pipe.read_bytes() == p_ref.read_bytes()
+
+
 def test_distributed_single_process_noop(monkeypatch):
     """initialize() is a no-op single-process; global_mesh covers all
     devices; local_data_slice spans the whole batch."""

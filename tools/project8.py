@@ -51,6 +51,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ICI_BPS = 4.5e10          # one-direction per-link, v5e (assumption, stated)
 PCIE_D2H_BPS = 8e9        # real-host d2h (not the dev relay tunnel)
 N = 8                     # target chip count
+HOST_CORES = 8            # v5e-8 host cores used by stl_pack_mt
 
 
 def log(*a):
@@ -320,10 +321,22 @@ def project(emit_json: bool = True) -> dict:
     t_ca8 = t_ca_gathers + t_ca_grid + ca_comm / ICI_BPS
 
     # ---- export ---------------------------------------------------------
-    # per-shard f16 verts d2h (faces stream during smoothing already);
-    # on a real v5e host this is PCIe, not the dev relay
+    # per-shard f16 verts d2h (faces stream during smoothing already, the
+    # 8-chip analog of rule 21); on a real v5e host this is PCIe over 8
+    # parallel device queues, not the dev relay.  The record pack is
+    # native/meshpack.cpp stl_pack_mt: independent fixed-size rows split
+    # across host cores (single-core rate MEASURED 425 MB/s on this dev VM
+    # — gather-bound, so a conservative floor for a healthy host), and the
+    # write_stl_from_device pipeline overlaps pack chunks with the page-
+    # cache write (assumed 3 GB/s streaming, no fsync — the reference's
+    # vtkSTLWriter does not fsync either).
     vert_bytes = st["n_verts"] * 3 * 2
-    t_export_pcie = vert_bytes / PCIE_D2H_BPS + 0.3   # + single-core pack
+    rec_bytes = st["n_tris"] * 50
+    PACK_BPS_CORE = 425e6            # measured, tools/project8.py r5
+    WRITE_BPS = 3e9                  # page-cache streaming write
+    t_pack = rec_bytes / (PACK_BPS_CORE * HOST_CORES)
+    t_write = rec_bytes / WRITE_BPS
+    t_export_pcie = vert_bytes / PCIE_D2H_BPS + max(t_pack, t_write)
     t_export_relay = st["mesh_to_host"] + st["stl"]
 
     t_total8 = t_ws8 + t_mc8 + t_ca8 + t_export_pcie

@@ -185,9 +185,14 @@ _taubin_core_bucketed = partial(jax.jit, static_argnames=("steps", "buckets")
 
 
 def taubin_smooth_bucketed(verts3v, neigh_dv, deg, weights, lam, mu,
-                           steps: int, d_caps=(5, 6, 7, 8, 10)):
+                           steps: int, d_caps=(5, 6, 7)):
     """Degree-bucketed Taubin: sort vertices by degree (device), run the
-    multi-bucket core, unsort.  Returns (3, V) like _taubin_core."""
+    multi-bucket core, unsort.  Returns (3, V) like _taubin_core.
+
+    d_caps negative result (512^3, V=3.08M, warm): widening to
+    (5, 6, 7, 8, 10) measured 2.918 s vs 2.884 s for (5, 6, 7) — the
+    degree tail past 7 is too thin for extra buckets to beat their
+    added per-bucket dispatch; the pass is at its Σdeg gather floor."""
     V = verts3v.shape[1]
     D = neigh_dv.shape[0]
     deg_sorted, perm = jax.lax.sort_key_val(

@@ -750,7 +750,33 @@ def sharded_mask_to_surface(mesh: Mesh, mask: jax.Array,
         #    in two triangles; for in-plane edges one triangle per side,
         #    for others both on one side) — so ring mean = (raw_own +
         #    raw_recv) / (2 deg), no in-plane bookkeeping needed.
-        rows_valid = jnp.arange(MAXD)[:, None] < deg[None, :]
+        #
+        #    Interior gathers are TWO-LEVEL: rows 0..LO for every column
+        #    plus rows LO..MAXD for a compacted deg>LO overflow bucket.
+        #    SPMD needs static shapes, so the per-degree bucketing the
+        #    single-chip taubin_smooth_bucketed does (host-read bucket
+        #    boundaries) is unavailable here; the overflow bucket gets
+        #    the same effect at static shape.  Per-pass gather indices:
+        #    LO*V + (MAXD-LO)*HB ≈ 9/16 of the flat MAXD*V table
+        #    (marching-tet meshes are ~70% degree 6 with a thin tail to
+        #    ~12, so the deg>8 bucket holds a few % of the vertices —
+        #    n_hi is checked on host against the HB slack).
+        LO = 8
+        HB = max(1024, V // 8)
+        rows_lo = jnp.arange(LO)[:, None] < deg[None, :]
+        hi_mask = deg > LO
+        n_hi = jnp.sum(hi_mask.astype(jnp.int32))
+        hi_rank = jnp.cumsum(hi_mask.astype(jnp.int32)) - 1
+        hi_ids = jnp.full((HB,), V, jnp.int32).at[
+            jnp.where(hi_mask, hi_rank, HB - 1)].set(
+            jnp.where(hi_mask, jnp.arange(V, dtype=jnp.int32), V),
+            mode="drop")
+        hi_ok = hi_ids < V
+        hi_idc = jnp.minimum(hi_ids, V - 1)
+        neigh_lo = jnp.minimum(neigh_dv[:LO], V - 1)
+        neigh_hi = jnp.minimum(neigh_dv[LO:, hi_idc], V - 1)
+        rows_hi = (LO + jnp.arange(MAXD - LO))[:, None] < deg[hi_idc][None]
+        rows_hi = rows_hi & hi_ok[None]
 
         def ring_ids_of(mask_v, rank_v):
             return jnp.full((BOUND,), V, jnp.int32).at[
@@ -777,9 +803,13 @@ def sharded_mask_to_surface(mesh: Mesh, mask: jax.Array,
                 [s, jnp.sum(ok, axis=0)[None].astype(jnp.float32)], axis=0)
 
         def pass_(v, factor):
-            # interior update from the dedup'd table
-            nb = v[:, jnp.minimum(neigh_dv, V - 1)]          # (3, D, V)
-            local_sum = jnp.sum(nb * rows_valid[None], axis=1)
+            # interior update from the dedup'd table, two-level gather
+            nb = v[:, neigh_lo]                              # (3, LO, V)
+            local_sum = jnp.sum(nb * rows_lo[None], axis=1)
+            nb_hi = v[:, neigh_hi]                           # (3, D-LO, HB)
+            hi_sum = jnp.sum(nb_hi * rows_hi[None], axis=1)  # (3, HB)
+            local_sum = local_sum.at[:, hi_idc].add(
+                jnp.where(hi_ok[None], hi_sum, 0.0))
             cnt = jnp.maximum(deg.astype(jnp.float32), 1.0)
             d = v - local_sum / cnt[None]
             v_new = v + weights[None] * factor * d
@@ -818,7 +848,7 @@ def sharded_mask_to_surface(mesh: Mesh, mask: jax.Array,
             jnp.where(own_v, verts_sm, 0.0), mode="drop")
         checks = jnp.stack([n_own, n_tris_l, n_up,
                             jnp.sum(g_dup.astype(jnp.int32)),
-                            n_groups, mg])
+                            n_groups, mg, n_hi])
         return (verts_own[None], faces_global[None], checks[None])
 
     f = jax.jit(shard_map(
@@ -830,6 +860,8 @@ def sharded_mask_to_surface(mesh: Mesh, mask: jax.Array,
     if smooth is not None:
         assert checks[:, 4].max() <= max_tris, "vertex bucket overflow"
         assert checks[:, 5].max() <= 16, "vertex degree exceeds MAXD=16"
+        assert checks[:, 6].max() < max(1024, max_tris // 8), \
+            "deg>8 overflow bucket full"
 
     if return_parts:
         # pipelined per-shard export (mesh_io.write_stl_sharded): hand the

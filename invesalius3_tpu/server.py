@@ -1093,13 +1093,18 @@ def make_handler(state: AppState):
                     state.measures.remove(int(body["index"]))
                     self._json({"ok": True})
                 elif self.path == "/api/measures/props":
-                    # data-notebook measure rows: visibility / rename
-                    # (reference data_notebook.py measures page)
+                    # data-notebook measure rows: visibility / rename /
+                    # colour (reference data_notebook.py measures page +
+                    # the per-measure colour every representation carries,
+                    # measures.py:290-302)
                     m = state.measures.measures[int(body["index"])]
                     if "visible" in body:
                         m.visible = bool(body["visible"])
                     if "name" in body:
                         m.name = str(body["name"])
+                    if "colour" in body:
+                        c = [float(x) for x in body["colour"]][:3]
+                        m.colour = tuple(min(max(x, 0.0), 1.0) for x in c)
                     self._json(m.to_dict())
                 elif self.path == "/api/raycast/preset":
                     # bake an edited CLUT (reference clut_raycasting.py

@@ -337,6 +337,17 @@ async function refreshLists() {
     const val = typeof m.value === "number" ? m.value.toFixed(2) : m.value;
     li.innerHTML = `<span class="grow">${m.name} (${m.type})</span>` +
       `<span>${val}${m.unit || ""}</span>`;
+    const mcol = document.createElement("input");
+    mcol.type = "color";
+    mcol.title = "measure colour";
+    mcol.value = "#" + (m.colour || [1, 0, 0]).map(
+      (c) => Math.round(c * 255).toString(16).padStart(2, "0")).join("");
+    mcol.onchange = () => api("/api/measures/props", {
+      index: m.index,
+      colour: [1, 3, 5].map(
+        (i) => parseInt(mcol.value.substr(i, 2), 16) / 255),
+    }).then(() => refreshSlices());
+    li.appendChild(mcol);
     const vis = document.createElement("button");
     vis.textContent = m.visible === false ? "–" : "👁";
     vis.title = "toggle overlay visibility";

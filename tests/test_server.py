@@ -642,6 +642,14 @@ def test_measure_props_visibility(server):
     assert r["visible"] is False and r["name"] == "hidden measure"
     hidden = _get(server, "/api/slice/AXIAL/8")[2]
     assert shown != hidden  # overlay disappeared from the render
+    # colour edit (viewer colour swatch, reference measures.py:290-302
+    # per-measure colour): re-show, recolour, render must change
+    _, r = _post(server, "/api/measures/props",
+                 {"index": m["index"], "visible": True,
+                  "colour": [0.1, 0.9, 0.2]})
+    assert r["colour"] == [0.1, 0.9, 0.2]
+    green = _get(server, "/api/slice/AXIAL/8")[2]
+    assert green != shown and green != hidden
     _post(server, "/api/measures/remove", {"index": m["index"]})
 
 

@@ -310,7 +310,17 @@ def project(emit_json: bool = True) -> dict:
 
     # ---- ca smoothing ---------------------------------------------------
     verts_shard_frac = frac_max_shard  # verts track tris per shard
-    t_ca_gathers = (st["ca_taubin"] + st["ca_adjacency"]
+    # taubin: the fused sharded smoother's interior gather is the static
+    # two-level table (LO=8 rows for every column + MAXD-LO=8 rows for a
+    # V/8 overflow bucket) = 9.0 gathered rows/vertex/pass, vs the
+    # single-chip bucketed path's measured-effective 7.9 rows/vertex
+    # (2.918 s / (20 passes x 3.08M verts x ~6 ns/index)).  Scale the
+    # measured single-chip time by that implementation ratio so the
+    # projection models the code that actually runs on 8 chips.
+    TAUBIN_ROWS_SHARDED = 9.0      # parallel/sharded_ops.py two-level
+    TAUBIN_ROWS_MEASURED = 7.9     # single-chip bucketed, effective
+    taubin_ratio = TAUBIN_ROWS_SHARDED / TAUBIN_ROWS_MEASURED
+    t_ca_gathers = (st["ca_taubin"] * taubin_ratio + st["ca_adjacency"]
                     + st["ca_staircase"] + st["ca_normals"]
                     + st["ca_weights"]) * verts_shard_frac
     t_ca_grid = (st["ca_rasterize"] + st["ca_chamfer"]) / N

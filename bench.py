@@ -175,28 +175,31 @@ def main() -> None:
     # via a scalar reduction + host read (block_until_ready can return
     # optimistically under the axon plugin).
     def compute_only():
-        import dataclasses  # noqa: F401  (parity with pipeline's imports)
-
         if sharded:
+            # same sharded chain, no STL write; the checks host read is a
+            # few hundred bytes, so the submetric stays relay-independent
             from invesalius3_tpu.parallel import sharded_ops
 
             labels = pipeline._ws_run(ct, markers_j, algorithm="Watershed")
-        else:
-            labels = watershed.watershed(ct, markers_j,
-                                         algorithm="Watershed")
+            mask = jnp.where(labels == 1, jnp.uint8(255), jnp.uint8(0))
+            vsh, _, checks, _ = sharded_ops.sharded_mask_to_surface(
+                zmesh, mask, spacing=(0.5, 0.5, 0.5),
+                smooth={"t": 0.7, "tmax": 3.0, "bmin": 0.5, "n_iters": 10},
+                balance=True, return_parts=True)
+            return float(jnp.sum(vsh[0][0])) + int(checks[:, 0].sum())
+        labels = watershed.watershed(ct, markers_j, algorithm="Watershed")
         mask = jnp.where(labels == 1, jnp.uint8(255), jnp.uint8(0))
         dm = marching.mask_to_surface_device(mask, spacing=(0.5, 0.5, 0.5))
         out3v = mesh_ops.ca_smoothing_device(dm, 0.7, 3.0, 0.5, 10)
         return float(jnp.sum(out3v[0]))
 
     compute_times = []
-    if not sharded:
-        compute_only()  # warm the (one new) reduction program
-        for i in range(2):
-            t0 = time.perf_counter()
-            compute_only()
-            compute_times.append(time.perf_counter() - t0)
-            log(f"compute-only run {i}: {compute_times[-1]:.3f}s")
+    compute_only()  # warm the (one new) reduction program
+    for i in range(2):
+        t0 = time.perf_counter()
+        compute_only()
+        compute_times.append(time.perf_counter() - t0)
+        log(f"compute-only run {i}: {compute_times[-1]:.3f}s")
 
     # per-kernel on-TPU Pallas smoke (VERDICT r4 weak 3): interpret-mode
     # tests miss Mosaic legalization failures; record hardware verdicts

@@ -282,10 +282,19 @@ class MeasurementManager:
         return self._add(m)
 
     def add_geodesic(self, verts, faces, i0, i1) -> Measurement:
+        import math
+
+        value = geodesic_distance(verts, faces, i0, i1)
+        if not math.isfinite(value):
+            # picks on different connected components: Dijkstra returns
+            # inf, which json.dumps would emit as invalid JSON and poison
+            # every later /api/measures response — reject up front
+            raise ValueError(
+                "no surface path between the picked points (they lie on "
+                "different connected components)")
         return self._add(Measurement(
             type=GEODESIC, points=[verts[i0].tolist(), verts[i1].tolist()],
-            value=geodesic_distance(verts, faces, i0, i1),
-            location="3D", name=f"M {self._next + 1}"))
+            value=value, location="3D", name=f"M {self._next + 1}"))
 
     def remove(self, index: int) -> None:
         self.measures.pop(index, None)

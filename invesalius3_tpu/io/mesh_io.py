@@ -754,28 +754,23 @@ def write_stl_sharded(path, verts_sh, faces_sh, checks, meta,
     import threading
 
     from invesalius3_tpu import native
+    from invesalius3_tpu.parallel.sharded_ops import (shard_world_verts,
+                                                      shard_wound_faces)
 
     S = len(checks)
     T = int(meta["max_tris"])
     n_own = [int(checks[s, 0]) for s in range(S)]
     n_tri = [int(checks[s, 1]) for s in range(S)]
-    sx, sy, sz = meta["spacing"]
+    spacing = meta["spacing"]
     smoothed = bool(meta["smoothed"])
     V = sum(n_own)
     n_faces = sum(n_tri)
 
     def shard_verts(s: int) -> np.ndarray:
-        vo = np.asarray(verts_sh[s])[:, : n_own[s]].T  # (v, 3)
-        if smoothed:  # already world-frame (x, y, z)
-            return np.ascontiguousarray(vo, np.float32)
-        world = np.stack([vo[:, 2] * sx, vo[:, 1] * sy, vo[:, 0] * sz],
-                         axis=1).astype(np.float32)
-        world -= np.array([sx, sy, sz], np.float32)
-        return world
+        return shard_world_verts(verts_sh[s], n_own[s], spacing, smoothed)
 
     def shard_faces(s: int) -> np.ndarray:
-        inv = np.asarray(faces_sh[s]).reshape(3, T)[:, : n_tri[s]]
-        return np.ascontiguousarray(inv.T[:, ::-1], np.int32)
+        return shard_wound_faces(faces_sh[s], T, n_tri[s])
 
     if not native.available():  # assemble + plain writer fallback
         verts = np.concatenate([shard_verts(s) for s in range(S)], axis=0)

@@ -492,12 +492,15 @@ def _max_group_size(group_of_sorted: jax.Array, sorted_valid: jax.Array):
 
 
 @partial(jax.jit, static_argnames=("T", "n_verts_pad", "max_deg", "out_deg",
-                                   "return_raw", "use_gather"))
+                                   "return_raw", "use_gather", "sort_rows",
+                                   "return_mg"))
 def _adjacency_from_sorted_corners(inverse, order, group_of_sorted,
                                    sorted_valid, T: int, n_verts_pad: int,
                                    max_deg: int, out_deg: int = None,
                                    return_raw: bool = False,
-                                   use_gather: bool = False):
+                                   use_gather: bool = False,
+                                   sort_rows: bool = True,
+                                   return_mg: bool = False):
     """Deduplicated (max_deg, V) neighbor table + degrees, built from the
     vertex-dedup sort the marching stage already paid for.
 
@@ -565,13 +568,26 @@ def _adjacency_from_sorted_corners(inverse, order, group_of_sorted,
         lin = jnp.where(okf, pos * (V + 1) + gf, max_deg * (V + 1) - 1)
         flat = flat.at[lin].set(jnp.where(okf, nb1, sentinel))
         dedup = flat.reshape(max_deg, V + 1)[:, :V]
-        # sort rows ascending (half-size bitonic vs the pair-dedup path):
-        # the table is then BITWISE identical to the pair-dedup output, so
-        # fp summation order — and the sharded path's bit-identical-verts
-        # guarantee — is preserved
-        dedup = _bitonic_sort_rows(dedup)
+        if sort_rows:
+            # sort rows ascending: the table is then BITWISE identical to
+            # the pair-dedup output, so fp summation order matches it.
+            # The scatter above already lands vertex v's neighbors
+            # compactly at rows 0..deg(v)-1 (pos enumerates the run), so
+            # the sort is ONLY for that bitwise match — and it is FREE:
+            # probed 0.651 s unsorted vs 0.657 s sorted at 512^3 (the
+            # 16-row bitonic is whole-row min/max at HBM speed).
+            dedup = _bitonic_sort_rows(dedup)
         if out_deg is not None:
             dedup = dedup[:out_deg]
+        if return_mg:
+            # untruncated max run length (deg above clamps to max_deg):
+            # lets the caller hardcode max_deg and verify post-hoc with
+            # one scalar read instead of paying _max_group_size's 22M
+            # colliding scatter-add up front (~0.25 s at 512^3)
+            mg_val = jnp.max(jnp.where(
+                (garange < n_groups) & valid_at_start,
+                end_v - start_v + 1, 0))
+            return dedup, deg, mg_val
         return dedup, deg
     nb2 = inverse[((corner + 2) % 3) * T + tri]
 
@@ -654,17 +670,39 @@ def adjacency_from_device_mesh(dm) -> Tuple[jax.Array, jax.Array]:
     """(neigh (D, V_pad), deg (V_pad,)) for a marching.DeviceMesh.
     D is the real max degree bucketed to 4 (the pow2 padding the bitonic
     network needs is trimmed before return — every downstream smoothing
-    gather pays per row)."""
+    gather pays per row).
+
+    max_deg is HARDCODED to 16 (the marching-tet vertex degree bound the
+    sharded path has always asserted; 12 is the max ever observed) and
+    verified post-hoc from the untruncated run-length max — one ~30 ms
+    scalar read instead of _max_group_size's up-front 22M colliding
+    scatter-add (measured ~0.25 s of the 0.90 s adjacency stage at
+    512^3).  INV3_ADJ_MAXD overrides the bound for pathological
+    (non-marching) meshes."""
     import os
 
-    mg = int(_max_group_size(dm.group_of_sorted, dm.sorted_valid))
-    max_deg = max(8, 1 << (mg - 1).bit_length())  # pow2: bitonic + cache
-    out_deg = min(max_deg, ((mg + 3) // 4) * 4)
+    if os.environ.get("INV3_ADJ_GATHER", "0") == "1":
+        # documented-slower gather formulation keeps the measured-mg path
+        mg = int(_max_group_size(dm.group_of_sorted, dm.sorted_valid))
+        max_deg = max(8, 1 << (mg - 1).bit_length())
+        out_deg = min(max_deg, ((mg + 3) // 4) * 4)
+        T = dm.faces3t.shape[1]
+        return _adjacency_from_sorted_corners(
+            dm.inverse, dm.order, dm.group_of_sorted, dm.sorted_valid,
+            T, dm.verts3v.shape[1], max_deg, out_deg, use_gather=True)
+    max_deg = int(os.environ.get("INV3_ADJ_MAXD", "16"))
+    max_deg = max(4, 1 << (max_deg - 1).bit_length())  # bitonic needs pow2
     T = dm.faces3t.shape[1]
-    return _adjacency_from_sorted_corners(
+    neigh, deg, mg_dev = _adjacency_from_sorted_corners(
         dm.inverse, dm.order, dm.group_of_sorted, dm.sorted_valid,
-        T, dm.verts3v.shape[1], max_deg, out_deg,
-        use_gather=os.environ.get("INV3_ADJ_GATHER", "0") == "1")
+        T, dm.verts3v.shape[1], max_deg, None, return_mg=True)
+    mg = int(mg_dev)
+    if mg > max_deg:
+        raise ValueError(
+            f"vertex degree {mg} exceeds the max_deg={max_deg} bound — "
+            "set INV3_ADJ_MAXD to the next power of two")
+    out_deg = min(max_deg, ((max(mg, 4) + 3) // 4) * 4)
+    return neigh[:out_deg], deg
 
 
 # ---------------------------------------------------------------------------

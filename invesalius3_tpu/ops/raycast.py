@@ -19,6 +19,7 @@ host-side exactly like VTK bakes transfer functions.
 from __future__ import annotations
 
 import plistlib
+import threading
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Optional, Tuple
@@ -755,12 +756,19 @@ def _pool2(vol, mode: str):
     return out if mode == "mip" else (out / 8.0).astype(jnp.float32)
 
 
+_VOLP_LOCK = threading.Lock()
+
+
 def _permuted_volume(volume, perm, flip, downsample, mode):
     # keyed by the id of the CALLER's object, with a strong reference kept
     # in the value: without it a freed array's id can be recycled by a new
-    # volume and the cache silently returns the wrong frame's data
+    # volume and the cache silently returns the wrong frame's data.
+    # Locked: the server's warm thread inserts concurrently with render
+    # GETs (ThreadingHTTPServer), and the eviction's pop(next(iter(...)))
+    # races against itself otherwise.
     key = (id(volume), perm, bool(flip), int(downsample), mode)
-    hit = _VOLP_CACHE.get(key)
+    with _VOLP_LOCK:
+        hit = _VOLP_CACHE.get(key)
     if hit is not None:
         return hit[1]
     vol = jnp.asarray(volume)
@@ -770,10 +778,20 @@ def _permuted_volume(volume, perm, flip, downsample, mode):
     if flip:
         vol_p = vol_p[::-1]
     vol_p = jax.block_until_ready(vol_p)
-    if len(_VOLP_CACHE) > 20:
-        _VOLP_CACHE.pop(next(iter(_VOLP_CACHE)))
-    _VOLP_CACHE[key] = (volume, vol_p)
+    with _VOLP_LOCK:
+        while len(_VOLP_CACHE) > 20:
+            _VOLP_CACHE.pop(next(iter(_VOLP_CACHE)))
+        _VOLP_CACHE[key] = (volume, vol_p)
     return vol_p
+
+
+def drop_shear_cache(volume) -> None:
+    """Evict every cache entry built from ``volume`` — call when the
+    server swaps its matrix (crop/reorient/import) so the old volume's
+    device copies don't pin HBM behind the strong key references."""
+    with _VOLP_LOCK:
+        for key in [k for k, v in _VOLP_CACHE.items() if v[0] is volume]:
+            _VOLP_CACHE.pop(key, None)
 
 
 def warm_shear_cache(volume, mode: str = "composite", downsample: int = 2):
@@ -783,17 +801,15 @@ def warm_shear_cache(volume, mode: str = "composite", downsample: int = 2):
     <=100 ms at ANY angle (reference keeps the VTK mapper's resampled
     volume alive for the same reason, viewer_volume.py:636-646).
 
-    6 variants (3 principal axes x front/back) per mode; the pooled copy
-    is built once and the 6 permutes run on device.  The full-res (ds=1)
-    permutes are warmed too — they are transposes of the raw int16 volume
-    (134 MB each at 512^3), and a cold one adds ~0.6 s to the first
-    full-quality frame in a new octant (measured probe_r5a)."""
+    6 variants (3 principal axes x front/back), pooled ONLY: a ds=1
+    permute is a full-res int16 copy (134 MB each at 512³ — warming all
+    six would pin ~1.6 GB of HBM and starve the 512³ surface pipeline),
+    so full-quality permutes stay lazy; their one-time ~0.6 s cost rides
+    the drag-end refine request, not the interactive path."""
     for k in range(3):
         perm = (k,) + tuple(i for i in range(3) if i != k)
         for flip in (False, True):
-            _permuted_volume(volume, perm, flip, downsample, mode)
-            if downsample > 1:
-                _permuted_volume(volume, perm, flip, 1, mode)
+            _permuted_volume(volume, perm, flip, max(2, downsample), mode)
 
 
 def shear_warp_render(

@@ -104,12 +104,22 @@ def _splat(p0, p1, p2, shade, colour_rgb, size: int, ssao: bool = False):
         # over 8 directions x 2 radii, then a multiplicative darkening.
         depth = jnp.where(hit, (out >> 18).astype(jnp.float32),
                           4096.0).reshape(size, size)
+
+        def shift_clamp(a, dy, dx):
+            # edge-clamped neighbor sample: a roll would wrap, letting
+            # geometry at one image border cast phantom AO on the other
+            py = (max(dy, 0), max(-dy, 0))
+            px = (max(dx, 0), max(-dx, 0))
+            p = jnp.pad(a, (py, px), mode="edge")
+            return p[max(-dy, 0):max(-dy, 0) + size,
+                     max(-dx, 0):max(-dx, 0) + size]
+
         occ = jnp.zeros((size, size), jnp.float32)
         n_s = 0
         for rad in (2, 5):
             for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1),
                            (1, 1), (1, -1), (-1, 1), (-1, -1)):
-                nb = jnp.roll(depth, (dy * rad, dx * rad), axis=(0, 1))
+                nb = shift_clamp(depth, dy * rad, dx * rad)
                 occ = occ + jnp.clip(depth - nb, 0.0, 80.0)
                 n_s += 1
         ao = 1.0 - jnp.clip(occ / (n_s * 80.0) * 2.5, 0.0, 0.6)

@@ -332,6 +332,31 @@ def sharded_watershed(mesh: Mesh, connectivity: int = 6,
 # ---------------------------------------------------------------------------
 
 
+def shard_world_verts(verts_row, n_own: int, spacing, smoothed: bool
+                      ) -> np.ndarray:
+    """One shard's (3, V) vertex row → (n_own, 3) world-frame f32 verts.
+    The ONE place the pad-offset/world transform lives — both the host
+    assembly below and mesh_io.write_stl_sharded call it, so the two
+    export paths cannot desynchronize."""
+    vo = np.asarray(verts_row)[:, :n_own].T  # (v, 3)
+    if smoothed:  # the fused smoother already emitted world-frame (x,y,z)
+        return np.ascontiguousarray(vo, np.float32)
+    sx, sy, sz = spacing
+    world = np.stack([vo[:, 2] * sx, vo[:, 1] * sy, vo[:, 0] * sz],
+                     axis=1).astype(np.float32)
+    # remove the one-voxel pad offset (Y/X pad + the conceptual leading
+    # empty Z plane that the halo of shard 0 provides)
+    world -= np.array([sx, sy, sz], np.float32)
+    return world
+
+
+def shard_wound_faces(faces_row, T: int, n_tri: int) -> np.ndarray:
+    """One shard's flat face row → (n_tri, 3) int32 with the outward
+    winding the export writers expect (see shard_world_verts)."""
+    inv = np.asarray(faces_row).reshape(3, T)[:, :n_tri]
+    return np.ascontiguousarray(inv.T[:, ::-1], np.int32)
+
+
 def sharded_mask_to_surface(mesh: Mesh, mask: jax.Array,
                             spacing: Tuple[float, float, float] = (1.0, 1.0, 1.0),
                             axis_name: str = "z", smooth: dict | None = None,
@@ -874,27 +899,16 @@ def sharded_mask_to_surface(mesh: Mesh, mask: jax.Array,
 
     # host assembly in shard order = global key order
     T = max_tris
-    sx, sy, sz = spacing
     verts_parts = []
     for s in range(n_shards):
-        vo = np.asarray(verts_sh[s])[:, :checks[s, 0]]
-        verts_parts.append(vo)
-    verts_cat = np.concatenate(verts_parts, axis=1).T  # (V, 3)
+        verts_parts.append(shard_world_verts(
+            verts_sh[s], int(checks[s, 0]), spacing, smooth is not None))
     faces_parts = []
     for s in range(n_shards):
-        inv = np.asarray(faces_sh[s]).reshape(3, T)[:, :checks[s, 1]]
-        faces_parts.append(inv.T)
-    faces = np.concatenate(faces_parts, axis=0).astype(np.int32)
-
-    if smooth is not None:  # already world-frame (x, y, z) smoothed
-        out = np.ascontiguousarray(verts_cat.astype(np.float32)), faces[:, ::-1]
-    else:
-        world = np.stack([verts_cat[:, 2] * sx, verts_cat[:, 1] * sy,
-                          verts_cat[:, 0] * sz], axis=1).astype(np.float32)
-        # remove the one-voxel pad offset (Y/X pad + the conceptual leading
-        # empty Z plane that the halo of shard 0 provides)
-        world -= np.array([sx, sy, sz], np.float32)
-        out = world, faces[:, ::-1]
+        faces_parts.append(shard_wound_faces(
+            faces_sh[s], T, int(checks[s, 1])))
+    out = (np.concatenate(verts_parts, axis=0),
+           np.concatenate(faces_parts, axis=0))
     if return_stats:
         # per-shard (n_own, n_tris, n_up, n_dup, n_groups[, max_group]) +
         # bucket sizes — sizes the project8 comm/compute model

@@ -165,14 +165,21 @@ class AppState:
         interactive volume frame is fast at ANY camera angle (progressive
         refinement contract; reference viewer_volume.py:636-646 keeps the
         mapper's resampled volume alive).  Daemon thread: never blocks a
-        request, and small volumes (no pooled fast path) skip it."""
+        request, and small volumes (no pooled fast path) skip it.
+        A previous matrix's cached device permutes are evicted first —
+        the cache keys hold strong references, so stale entries would
+        pin HBM across crop/reorient/import."""
+        from invesalius3_tpu.ops import raycast
+
+        prev = getattr(self, "_warmed_matrix", None)
+        if prev is not None and prev is not self.slice.matrix:
+            raycast.drop_shear_cache(prev)
+        self._warmed_matrix = self.slice.matrix
         if min(self.slice.matrix.shape) < 128:
             return
 
         def _warm(matrix=self.slice.matrix):
             try:
-                from invesalius3_tpu.ops import raycast
-
                 raycast.warm_shear_cache(matrix, "composite")
             except Exception:
                 pass  # best-effort: a render will rebuild lazily
@@ -1103,8 +1110,12 @@ def make_handler(state: AppState):
                     if "name" in body:
                         m.name = str(body["name"])
                     if "colour" in body:
-                        c = [float(x) for x in body["colour"]][:3]
-                        m.colour = tuple(min(max(x, 0.0), 1.0) for x in c)
+                        c = [float(x) for x in body["colour"]]
+                        if len(c) < 3:  # a short tuple would break every
+                            raise ValueError(  # later slice render
+                                "colour needs [r, g, b] in 0..1")
+                        m.colour = tuple(
+                            min(max(x, 0.0), 1.0) for x in c[:3])
                     self._json(m.to_dict())
                 elif self.path == "/api/raycast/preset":
                     # bake an edited CLUT (reference clut_raycasting.py

@@ -661,9 +661,13 @@ function attachPane(pane) {
              threshold_add: "threshold_add",
              threshold_erase_only: "threshold_erase_only",
            })[$("#brush-op").value] || "paint";
-      const r = await api("/api/brush", {
-        strokes: s, radius_mm: +$("#brush-radius").value, op,
-        threshold_range: [+$("#edit-lo").value, +$("#edit-hi").value] });
+      const body = { strokes: s, radius_mm: +$("#brush-radius").value, op };
+      if (op.startsWith("threshold")) {
+        // only threshold ops carry the range — a plain draw/erase stroke
+        // must not overwrite the mask's stored edition_threshold_range
+        body.threshold_range = [+$("#edit-lo").value, +$("#edit-hi").value];
+      }
+      const r = await api("/api/brush", body);
       setStatus(`brush: ${s.length} stamps, mask ${r.voxels.toLocaleString()} voxels`);
       refreshSlices();
       return;
@@ -1001,6 +1005,10 @@ function attach3D() {
   });
   wrap.addEventListener("mousemove", (ev) => {
     if (!drag) return;
+    if (Math.abs(ev.clientX - drag.x) + Math.abs(ev.clientY - drag.y) > 3) {
+      drag.moved = true;  // distinguishes orbit drags from tool clicks
+    }
+    if (!drag.moved) return;  // don't re-render for sub-click jitter
     state.azimuth = drag.az + (ev.clientX - drag.x) * 0.7;
     state.elevation = Math.max(-89, Math.min(89,
       drag.el + (ev.clientY - drag.y) * 0.7));
@@ -1028,7 +1036,9 @@ function attach3D() {
     refineTimer = setTimeout(() => refresh3D(true), 500);  // safety net
   });
   window.addEventListener("mouseup", () => {
-    if (drag && $("#mode3d").value !== "surfaces-gl") {
+    // only orbit DRAGS earn the full-quality re-render — tool clicks
+    // (cut3d vertices, part picks) never moved the camera
+    if (drag && drag.moved && $("#mode3d").value !== "surfaces-gl") {
       clearTimeout(timer);
       clearTimeout(refineTimer);
       refresh3D(true);  // full quality immediately on drag end

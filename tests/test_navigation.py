@@ -245,6 +245,21 @@ def test_geodesic_on_strip():
     assert abs(d - np.sqrt(2)) < 1e-6  # direct diagonal edge exists
 
 
+def test_geodesic_disconnected_components_rejected():
+    """Picks on different connected components have no surface path —
+    add_geodesic must raise (an inf value would serialize as invalid
+    JSON, 'Infinity', and poison /api/measures)."""
+    import pytest
+
+    # two disjoint triangles
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0],
+                      [5, 5, 0], [6, 5, 0], [5, 6, 0]], np.float32)
+    faces = np.array([[0, 1, 2], [3, 4, 5]], np.int32)
+    mgr = measures.MeasurementManager()
+    with pytest.raises(ValueError, match="different connected components"):
+        mgr.add_geodesic(verts, faces, 0, 4)
+
+
 def test_ray_pick_moller_trumbore():
     # the geodesic tool's camera-ray pick (reference vtkCellPicker role)
     verts = np.array([[0, 0, 0], [2, 0, 0], [0, 2, 0],      # near tri, z=0

@@ -271,6 +271,23 @@ def test_adjacency_from_device_mesh_matches_lexsort():
                                   np.where(mask_valid, want, -1))
 
 
+def test_adjacency_maxdeg_overflow_raises(monkeypatch):
+    """adjacency_from_device_mesh hardcodes max_deg=16 and verifies the
+    untruncated run-length max post-hoc; forcing the bound below the
+    mesh's real max degree must raise (not silently truncate fans)."""
+    import pytest
+
+    from invesalius3_tpu.ops import marching, mesh as mesh_ops
+
+    dm = marching.mask_to_surface_device(_sphere_mask(24, 9.0))
+    _, deg = mesh_ops.adjacency_from_device_mesh(dm)
+    real_max = int(np.asarray(deg).max())
+    assert real_max > 4  # the forced bound below must actually be violated
+    monkeypatch.setenv("INV3_ADJ_MAXD", "4")
+    with pytest.raises(ValueError, match="exceeds the max_deg"):
+        mesh_ops.adjacency_from_device_mesh(dm)
+
+
 def test_ca_smoothing_device_mesh_propagate_matches_host():
     from invesalius3_tpu.ops import marching, mesh as mesh_ops
 

@@ -193,6 +193,33 @@ def test_render_surfaces_zbuffer():
     assert (empty == np.array([17, 19, 24])).all()
 
 
+def test_render_surfaces_ssao_no_edge_wrap():
+    """SSAO samples depth edge-clamped, not wrapped: with a NEAR sphere
+    at the left image border and a FAR sphere at the right border, a
+    wrapped roll would let the near sphere cast phantom occlusion onto
+    the far sphere's border pixels (right mean ratio drops well below
+    the left); clamp sampling keeps the two silhouettes symmetric.
+    Reference viewer_volume.py vtkSSAOPass."""
+    from invesalius3_tpu.ops import render_mesh
+
+    vA, fA = render_mesh._icosphere((-25.0, 20.0, 0.0), radius=8.0)
+    vB, fB = render_mesh._icosphere((25.0, -20.0, 0.0), radius=8.0)
+    meshes = [(vA, fA, (0.8, 0.8, 0.8)), (vB, fB, (0.8, 0.8, 0.8))]
+    plain = render_mesh.render_surfaces(meshes, 0.0, 0.0, size=96)
+    ao = render_mesh.render_surfaces(meshes, 0.0, 0.0, size=96, ssao=True)
+    assert (plain != ao).any()  # the pass does something
+    bg = np.array([17, 19, 24])
+    hit = ~np.all(plain == bg, axis=-1)
+    ratio = np.where(hit, ao[:, :, 0].astype(float)
+                     / np.maximum(plain[:, :, 0], 1), np.nan)
+    cols = np.nonzero(hit.any(0))[0]
+    left = np.nanmean(ratio[:, cols.min():cols.min() + 6])
+    right = np.nanmean(ratio[:, cols.max() - 5:cols.max() + 1])
+    # measured with clamp: 0.455 vs 0.451; a wrapped roll pushes the
+    # right border far darker (phantom depth excess clipped at 80/sample)
+    assert abs(left - right) < 0.05, (left, right)
+
+
 def test_render_scene_glyphs():
     from invesalius3_tpu.ops import render_mesh
 

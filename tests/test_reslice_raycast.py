@@ -406,3 +406,25 @@ def test_shear_warp_downsample_matches_fullres_roughly():
                                       elevation=15, image_size=96,
                                       downsample=2)
     assert again.shape == half.shape
+
+
+def test_shear_cache_warm_and_evict():
+    """warm_shear_cache pre-builds the 6 pooled octant permutes only
+    (full-res copies would pin HBM); drop_shear_cache evicts exactly the
+    given volume's entries so a matrix swap (crop/reorient/import) frees
+    the old device copies."""
+    from invesalius3_tpu.ops import raycast
+
+    a = np.random.default_rng(0).integers(
+        -1000, 1000, (32, 32, 32)).astype(np.int16)
+    b = a.copy()
+    raycast._VOLP_CACHE.clear()
+    raycast.warm_shear_cache(a, "composite")
+    keys_a = [k for k, v in raycast._VOLP_CACHE.items() if v[0] is a]
+    assert len(keys_a) == 6  # 3 axes x front/back, pooled only
+    assert all(k[3] == 2 for k in keys_a), "ds=1 permutes must stay lazy"
+    raycast.warm_shear_cache(b, "composite")
+    raycast.drop_shear_cache(a)
+    assert not any(v[0] is a for v in raycast._VOLP_CACHE.values())
+    assert sum(v[0] is b for v in raycast._VOLP_CACHE.values()) == 6
+    raycast._VOLP_CACHE.clear()

@@ -243,6 +243,18 @@ def test_client_walkthrough_sequence(server):
                   {"strokes": stroke[:2], "radius_mm": 3.0, "erase": True})
     assert r2["voxels"] < r["voxels"]
 
+    # a plain paint/erase stroke (no threshold_range in the body) must
+    # preserve the mask's stored edition_threshold_range — the viewer
+    # only sends the range with threshold ops (reference styles.py 1361
+    # keeps the editor config independent of plain draw strokes)
+    _post(server, "/api/brush", {"strokes": stroke[:1], "radius_mm": 2.0,
+                                 "op": "threshold",
+                                 "threshold_range": [100, 900]})
+    _post(server, "/api/brush", {"strokes": stroke[:1], "radius_mm": 2.0,
+                                 "op": "paint"})
+    assert tuple(server.state.slice.current_mask.edition_threshold_range
+                 ) == (100, 900)
+
     # measure placement (linear tool, 2 clicks) + annotation
     _, m = _post(server, "/api/measures",
                  {"kind": "linear", "p1": [10.0, 20.0, float(Z // 2)],

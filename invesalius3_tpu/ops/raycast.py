@@ -757,32 +757,97 @@ def _pool2(vol, mode: str):
 
 
 _VOLP_LOCK = threading.Lock()
+_VOLP_INFLIGHT: dict = {}   # key -> threading.Event set when the build lands
+_FULLRES_KEEP = 3           # ds=1 permutes are 134 MB each at 512^3: LRU-cap
+                            # them separately so predictive warming can't pin
+                            # HBM the surface pipeline needs
 
 
-def _permuted_volume(volume, perm, flip, downsample, mode):
+def _permuted_volume(volume, perm, flip, downsample, mode, chunked=False):
     # keyed by the id of the CALLER's object, with a strong reference kept
     # in the value: without it a freed array's id can be recycled by a new
     # volume and the cache silently returns the wrong frame's data.
     # Locked: the server's warm thread inserts concurrently with render
     # GETs (ThreadingHTTPServer), and the eviction's pop(next(iter(...)))
-    # races against itself otherwise.
+    # races against itself otherwise.  Concurrent misses on the SAME key
+    # (the drag-end full render racing the predictive warm thread) dedup
+    # through _VOLP_INFLIGHT: one thread builds, the rest wait on its
+    # event — duplicating a 134 MB full-res permute wastes both the HBM
+    # and the device time the dedup exists to save.
     key = (id(volume), perm, bool(flip), int(downsample), mode)
-    with _VOLP_LOCK:
-        hit = _VOLP_CACHE.get(key)
-    if hit is not None:
-        return hit[1]
-    vol = jnp.asarray(volume)
-    if downsample > 1:
-        vol = _pool2(vol, mode)
-    vol_p = jnp.transpose(vol, perm)
-    if flip:
-        vol_p = vol_p[::-1]
-    vol_p = jax.block_until_ready(vol_p)
-    with _VOLP_LOCK:
-        while len(_VOLP_CACHE) > 20:
-            _VOLP_CACHE.pop(next(iter(_VOLP_CACHE)))
-        _VOLP_CACHE[key] = (volume, vol_p)
+    while True:
+        with _VOLP_LOCK:
+            hit = _VOLP_CACHE.get(key)
+            if hit is not None:
+                _VOLP_CACHE[key] = _VOLP_CACHE.pop(key)  # LRU touch
+                return hit[1]
+            ev = _VOLP_INFLIGHT.get(key)
+            if ev is None:
+                ev = threading.Event()
+                _VOLP_INFLIGHT[key] = ev
+                break
+        # builder failed -> event set with no cache entry; loop retries
+        # (this thread then becomes the builder)
+        ev.wait(300)
+    try:
+        vol = jnp.asarray(volume)
+        if downsample > 1:
+            vol = _pool2(vol, mode)
+        if chunked and vol.shape[perm[0]] >= 256:
+            # background warm: build in slabs with a host sync between
+            # them so concurrent interactive frames interleave in the
+            # device queue — one monolithic 134 MB transpose measured a
+            # 322 ms pooled-frame bubble; slabs bound it to ~1 slab +
+            # the final concat.  flip folds into the slab order (the
+            # outer [::-1] would itself be a full-size reverse op).
+            P0 = vol.shape[perm[0]]
+            step = max(32, -(-P0 // 8))
+            parts = []
+            for s in range(0, P0, step):
+                sl = [slice(None)] * 3
+                sl[perm[0]] = slice(s, min(s + step, P0))
+                part = jnp.transpose(vol[tuple(sl)], perm)
+                if flip:
+                    part = part[::-1]
+                parts.append(jax.block_until_ready(part))
+            if flip:
+                parts.reverse()
+            vol_p = jnp.concatenate(parts, axis=0)
+        else:
+            vol_p = jnp.transpose(vol, perm)
+            if flip:
+                vol_p = vol_p[::-1]
+        vol_p = jax.block_until_ready(vol_p)
+        with _VOLP_LOCK:
+            full = [k for k in _VOLP_CACHE if k[3] == 1]
+            while len(full) >= _FULLRES_KEEP and downsample == 1:
+                _VOLP_CACHE.pop(full.pop(0))
+            while len(_VOLP_CACHE) > 20:
+                _VOLP_CACHE.pop(next(iter(_VOLP_CACHE)))
+            _VOLP_CACHE[key] = (volume, vol_p)
+    finally:
+        with _VOLP_LOCK:
+            _VOLP_INFLIGHT.pop(key, None)
+        ev.set()
     return vol_p
+
+
+def _warm_fullres_octant(volume, perm, flip, mode):
+    """Predictively build the CURRENT octant's full-res permute in the
+    background while pooled frames stream: the drag-end refine frame then
+    renders from a warm cache (~200 ms) instead of paying the ~0.5 s
+    lazy permute (measured 666-750 ms first-full-frame per cold octant at
+    512^3).  Progressive-refinement contract: full quality lands <=400 ms
+    after the camera stops (reference viewer_volume.py:636-646).
+    No-op when the entry exists or another warm is already in flight."""
+    key = (id(volume), perm, bool(flip), 1, mode)
+    with _VOLP_LOCK:
+        if key in _VOLP_CACHE or key in _VOLP_INFLIGHT:
+            return
+    threading.Thread(
+        target=lambda: _permuted_volume(volume, perm, flip, 1, mode,
+                                        chunked=True),
+        daemon=True, name="shear-fullres-warm").start()
 
 
 def drop_shear_cache(volume) -> None:
@@ -803,9 +868,10 @@ def warm_shear_cache(volume, mode: str = "composite", downsample: int = 2):
 
     6 variants (3 principal axes x front/back), pooled ONLY: a ds=1
     permute is a full-res int16 copy (134 MB each at 512³ — warming all
-    six would pin ~1.6 GB of HBM and starve the 512³ surface pipeline),
-    so full-quality permutes stay lazy; their one-time ~0.6 s cost rides
-    the drag-end refine request, not the interactive path."""
+    six would pin ~1.6 GB of HBM and starve the 512³ surface pipeline).
+    Full-quality permutes are instead warmed predictively per octant
+    while pooled frames stream (_warm_fullres_octant), LRU-capped at
+    _FULLRES_KEEP entries."""
     for k in range(3):
         perm = (k,) + tuple(i for i in range(3) if i != k)
         for flip in (False, True):
@@ -838,6 +904,10 @@ def shear_warp_render(
 
     perm, flip, dp = _axis_permutation(direction)
     mode0 = "mip" if preset.projection_mode == "mip" else "composite"
+    if downsample > 1 and min(full_shape) >= 128:
+        # interactive frame: warm this octant's full-res permute in the
+        # background so the drag-end refine request finds it cached
+        _warm_fullres_octant(volume, perm, flip, mode0)
     vol_p = _permuted_volume(volume, perm, flip, downsample, mode0)
     if downsample > 1:
         # ray origins are in full-res voxel coordinates; halve them

@@ -428,3 +428,110 @@ def test_shear_cache_warm_and_evict():
     assert not any(v[0] is a for v in raycast._VOLP_CACHE.values())
     assert sum(v[0] is b for v in raycast._VOLP_CACHE.values()) == 6
     raycast._VOLP_CACHE.clear()
+
+
+def test_permuted_volume_inflight_dedup(monkeypatch):
+    """Concurrent misses on the same cache key build once: the drag-end
+    full render racing the predictive warm thread must not duplicate a
+    134 MB full-res permute (HBM + device time)."""
+    import threading
+    import time
+
+    from invesalius3_tpu.ops import raycast
+
+    vol = np.random.default_rng(1).integers(
+        -1000, 1000, (16, 16, 16)).astype(np.int16)
+    raycast._VOLP_CACHE.clear()
+    builds = []
+    real_pool2 = raycast._pool2
+
+    def slow_pool2(v, mode):
+        builds.append(1)
+        time.sleep(0.2)  # hold the build so the second thread overlaps
+        return real_pool2(v, mode)
+
+    monkeypatch.setattr(raycast, "_pool2", slow_pool2)
+    out = [None, None]
+
+    def get(i):
+        out[i] = raycast._permuted_volume(vol, (0, 1, 2), False, 2,
+                                          "composite")
+
+    ts = [threading.Thread(target=get, args=(i,)) for i in range(2)]
+    [t.start() for t in ts]
+    [t.join(30) for t in ts]
+    assert len(builds) == 1, "second thread must wait, not rebuild"
+    assert out[0] is not None and out[0] is out[1]
+    assert not raycast._VOLP_INFLIGHT
+    raycast._VOLP_CACHE.clear()
+
+
+def test_fullres_permute_lru_cap():
+    """ds=1 permutes are LRU-capped at _FULLRES_KEEP (134 MB each at
+    512^3) while pooled entries ride the global cap."""
+    from invesalius3_tpu.ops import raycast
+
+    vol = np.random.default_rng(2).integers(
+        -1000, 1000, (16, 16, 16)).astype(np.int16)
+    raycast._VOLP_CACHE.clear()
+    perms = [(0, 1, 2), (1, 0, 2), (2, 0, 1)]
+    for perm in perms:
+        for flip in (False, True):
+            raycast._permuted_volume(vol, perm, flip, 1, "composite")
+    full = [k for k in raycast._VOLP_CACHE if k[3] == 1]
+    assert len(full) == raycast._FULLRES_KEEP
+    # newest entries survive (insertion-ordered LRU)
+    assert full[-1] == (id(vol), (2, 0, 1), True, 1, "composite")
+    raycast._VOLP_CACHE.clear()
+
+
+def test_predictive_fullres_warm_on_pooled_render():
+    """A pooled (interactive) frame kicks a background warm of the SAME
+    octant's full-res permute so the drag-end refine request finds it
+    cached (progressive contract: full quality <=400 ms after the camera
+    stops; reference viewer_volume.py:636-646)."""
+    import time
+
+    from invesalius3_tpu.ops import raycast
+
+    n = 128  # the predictive warm gates on min(shape) >= 128
+    zz = np.arange(n, dtype=np.float32)[:, None, None]
+    vol = np.broadcast_to(
+        np.where(zz > n // 2, 1200, -1000), (n, n, n)).astype(np.int16)
+    raycast._VOLP_CACHE.clear()
+    p = raycast.builtin_preset("Bone")
+    raycast.shear_warp_render(vol, (1, 1, 1), p, azimuth=30, elevation=15,
+                              image_size=32, downsample=2)
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        with raycast._VOLP_LOCK:
+            full = [k for k, v in raycast._VOLP_CACHE.items()
+                    if v[0] is vol and k[3] == 1]
+        if full:
+            break
+        time.sleep(0.1)
+    assert full, "pooled render must warm its octant's full-res permute"
+    # the warmed entry matches the octant the pooled frame used
+    pooled = [k for k in raycast._VOLP_CACHE if k[3] == 2][0]
+    assert full[0][1:3] == pooled[1:3]  # same (perm, flip)
+    raycast._VOLP_CACHE.clear()
+
+
+def test_chunked_permute_matches_monolithic():
+    """The background warm builds the full-res permute in slabs (so
+    interactive frames interleave in the device queue); the result must
+    equal the monolithic transpose for every flip."""
+    from invesalius3_tpu.ops import raycast
+
+    vol = np.random.default_rng(3).integers(
+        -1000, 1000, (6, 8, 256)).astype(np.int16)  # perm[0] axis >= 256
+    for perm in [(2, 0, 1), (2, 1, 0)]:
+        for flip in (False, True):
+            raycast._VOLP_CACHE.clear()
+            plain = np.asarray(raycast._permuted_volume(
+                vol, perm, flip, 1, "composite"))
+            raycast._VOLP_CACHE.clear()
+            chunked = np.asarray(raycast._permuted_volume(
+                vol, perm, flip, 1, "composite", chunked=True))
+            np.testing.assert_array_equal(plain, chunked)
+    raycast._VOLP_CACHE.clear()

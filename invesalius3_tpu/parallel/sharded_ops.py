@@ -448,20 +448,31 @@ def sharded_mask_to_surface(mesh: Mesh, mask: jax.Array,
         occ_row = jnp.concatenate([
             jnp.sum(win, axis=(1, 2)).astype(jnp.int32),
             jnp.zeros((1,), jnp.int32)])                     # (Zs + 1,)
-        return jnp.stack([act_row, tri_row, occ_row])[None]
+        # in-plane surface-crossing edges per slice: each is one vertex
+        # in that lattice plane — sizes the B_RING bucket (cut-plane rim
+        # vertices).  Tet face-diagonal crossings ride the x2 cushion
+        # applied at sizing time.
+        edge_row = jnp.concatenate([
+            (jnp.sum(sl[:, 1:, :] != sl[:, :-1, :], axis=(1, 2))
+             + jnp.sum(sl[:, :, 1:] != sl[:, :, :-1], axis=(1, 2)))
+            .astype(jnp.int32),
+            jnp.zeros((1,), jnp.int32)])                     # (Zs + 1,)
+        return jnp.stack([act_row, tri_row, occ_row, edge_row])[None]
 
     counts = jax.jit(shard_map(count_pass, mesh=mesh, in_specs=(spec,),
                                out_specs=P(axis_name)))(maskp)
-    counts = np.asarray(counts)  # (n_shards, 3, Zs + 1)
+    counts = np.asarray(counts)  # (n_shards, 4, Zs + 1)
     # global cell rows 0..Z (leading/trailing empty planes close the
     # surface at rows handled by shard 0 / the last shard); occ per slice
     act_g = np.zeros(Z + 1, np.int64)
     tri_g = np.zeros(Z + 1, np.int64)
     occ_g = np.zeros(Z, np.int64)
+    edge_g = np.zeros(Z, np.int64)
     for s in range(n_shards):
         act_g[s * Zs:(s + 1) * Zs] = counts[s, 0, :Zs]
         tri_g[s * Zs:(s + 1) * Zs] = counts[s, 1, :Zs]
         occ_g[s * Zs:(s + 1) * Zs] = counts[s, 2, :Zs]
+        edge_g[s * Zs:(s + 1) * Zs] = counts[s, 3, :Zs]
     act_g[Z] = counts[n_shards - 1, 0, Zs]
     tri_g[Z] = counts[n_shards - 1, 1, Zs]
 
@@ -503,8 +514,27 @@ def sharded_mask_to_surface(mesh: Mesh, mask: jax.Array,
         if c1 < Z and lens[s] < Zmax:
             b_act[s] += occ_g[c1]
         b_tri[s] = tri_g[c0:c1].sum() + (tri_g[Z] if s == n_shards - 1 else 0)
-    max_active = max(1024, mc._next_pow2(int(b_act.max())))
-    max_tris = max(2048, mc._next_pow2(int(b_tri.max())))
+    # eighth-octave bucket rounding (mc._round_bucket): every padded
+    # element below is PAID by the dedup sort, the interior gathers and
+    # the per-vertex scatters — pow2 rounding wasted up to 2x (at 512^3:
+    # max_tris 780646 -> 1048576 = 1.34x; now 786432 = 1.007x)
+    max_active = max(1024, mc._round_bucket(int(b_act.max())))
+    max_tris = max(2048, mc._round_bucket(int(b_tri.max())))
+    # vertex bucket from the REAL tri count (not the rounded max_tris):
+    # T/2 Euler bound + rim cushion
+    t_real = int(b_tri.max())
+    vbucket = min(max_tris, max(2048, mc._round_bucket(
+        t_real // 2 + max(8192, t_real // 32))))
+    # ring bucket: cut-plane rim vertices = in-plane crossing edges at
+    # the cut (measured ~2.8k at 512^3 vs the stitch bucket's 131072 —
+    # the per-pass (2*MAXD, bucket) raw gathers pay the PADDED width, so
+    # a tight bucket matters).  x2 cushion covers tet face-diagonal
+    # crossings; checks[:, 2]/[:, 3] assert the bound post-hoc.
+    cut_edges = 0
+    for c in cuts[1:-1]:
+        cut_edges = max(cut_edges,
+                        int(edge_g[max(c - 1, 0)]), int(edge_g[min(c, Z - 1)]))
+    B_RING = max(4096, mc._round_bucket(2 * cut_edges))
     # global lattice-edge keys are lin * 8 + code in int32 (the same bound
     # marching_cubes_device enforces single-device)
     if 8 * (Z + 2) * Yp * Xp >= 2**31:
@@ -650,8 +680,10 @@ def sharded_mask_to_surface(mesh: Mesh, mask: jax.Array,
         # -- fused Z-sharded ca-smoothing (reference surface_process.py:
         # 270-319 ca_smoothing; single-device twin ops/mesh.py
         # ca_smoothing_device).  All mesh state stays per-shard; boundary
-        # vertices are synchronized through the same key-ordered BOUND
-        # buckets the id stitch uses.
+        # vertices are synchronized through key-ordered B_RING buckets
+        # (same rank space as the id stitch's BOUND buckets, but sized
+        # from the measured cut-plane edge counts — the per-pass raw
+        # gathers pay the padded bucket width).
         from invesalius3_tpu.ops import mesh as mo
 
         t_ = jnp.float32(smooth.get("t", 0.7))
@@ -659,7 +691,14 @@ def sharded_mask_to_surface(mesh: Mesh, mask: jax.Array,
         bmin_ = float(smooth.get("bmin", 0.5))
         n_iters = int(smooth.get("n_iters", 10))
         sx, sy, sz = spacing
-        V = max_tris  # static vertex bucket (closed mesh: n_verts < n_tris)
+        # static vertex bucket.  Euler for the closed marching output:
+        # V = T/2 + 2 - 2g, plus the open shard-boundary rim (~n_up +
+        # n_dup, a few thousand) — so T/2 with a rim cushion bounds it
+        # tightly.  The old bucket (= max_tris) wasted ~2.7x: every
+        # per-vertex gather/scatter below pays the PADDED width, masked
+        # or not, and taubin's interior gather dominates the sharded
+        # stage.  checks[:, 4] asserts the bound post-hoc.
+        V = vbucket
         MAXD = 16     # marching-tet vertex degree bound; checked on host
 
         def pfwd(x):  # shard s -> s+1 (dup side -> owner side)
@@ -685,10 +724,10 @@ def sharded_mask_to_surface(mesh: Mesh, mask: jax.Array,
         vmax3, vmin3 = mo._staircase_minmax_3t(normals3f, faces3t, V)
         dup_v = g_dup[:V]
         lower_v = g_lower[:V]
-        dup_rank_v = jnp.clip(dup_rank[:V], 0, BOUND - 1)
-        lo_rank_v = jnp.clip(lo_rank[:V], 0, BOUND - 1)
-        mm_bucket = jnp.zeros((6, BOUND), jnp.float32).at[
-            :, jnp.where(dup_v, dup_rank_v, BOUND - 1)].set(
+        dup_rank_v = jnp.clip(dup_rank[:V], 0, B_RING - 1)
+        lo_rank_v = jnp.clip(lo_rank[:V], 0, B_RING - 1)
+        mm_bucket = jnp.zeros((6, B_RING), jnp.float32).at[
+            :, jnp.where(dup_v, dup_rank_v, B_RING - 1)].set(
             jnp.where(dup_v,
                       jnp.concatenate([vmax3, -vmin3], axis=0),
                       -jnp.inf), mode="drop")
@@ -776,40 +815,56 @@ def sharded_mask_to_surface(mesh: Mesh, mask: jax.Array,
         #    for others both on one side) — so ring mean = (raw_own +
         #    raw_recv) / (2 deg), no in-plane bookkeeping needed.
         #
-        #    Interior gathers are TWO-LEVEL: rows 0..LO for every column
-        #    plus rows LO..MAXD for a compacted deg>LO overflow bucket.
-        #    SPMD needs static shapes, so the per-degree bucketing the
-        #    single-chip taubin_smooth_bucketed does (host-read bucket
-        #    boundaries) is unavailable here; the overflow bucket gets
-        #    the same effect at static shape.  Per-pass gather indices:
-        #    LO*V + (MAXD-LO)*HB ≈ 9/16 of the flat MAXD*V table
-        #    (marching-tet meshes are ~70% degree 6 with a thin tail to
-        #    ~12, so the deg>8 bucket holds a few % of the vertices —
-        #    n_hi is checked on host against the HB slack).
-        LO = 8
-        HB = max(1024, V // 8)
+        #    Interior gathers are THREE-LEVEL: rows 0..LO for every
+        #    column, rows LO..MID for a compacted deg>LO bucket, rows
+        #    MID..MAXD for a compacted deg>MID bucket.  SPMD needs
+        #    static shapes, so the per-degree bucketing the single-chip
+        #    taubin_smooth_bucketed does (host-read bucket boundaries)
+        #    is unavailable here; the overflow buckets get the same
+        #    effect at static shape.  Measured degree histogram of the
+        #    marching-tet output (128³ CT phantom, padded buckets):
+        #    65% of real vertices are degree 6, 12% degree 7, 2.2%
+        #    degree 8, 0.03% above — so LO=6 rows cover 79% of columns,
+        #    the deg>6 bucket (V/4 slots, 2 rows) covers the 7-8 tail,
+        #    and the deg>8 bucket (V/64 slots, 8 rows) the rest.
+        #    Per-pass gather indices: LO*V + 2*MB + 8*HB ≈ 6.6*V vs the
+        #    flat table's 16*V and the previous two-level's 9*V.
+        #    n_mid/n_hi are checked on host against the bucket slack.
+        LO = 6
+        MID = 8
+        MB = max(1024, V // 4)
+        HB = max(1024, V // 64)
         rows_lo = jnp.arange(LO)[:, None] < deg[None, :]
-        hi_mask = deg > LO
-        n_hi = jnp.sum(hi_mask.astype(jnp.int32))
-        hi_rank = jnp.cumsum(hi_mask.astype(jnp.int32)) - 1
-        hi_ids = jnp.full((HB,), V, jnp.int32).at[
-            jnp.where(hi_mask, hi_rank, HB - 1)].set(
-            jnp.where(hi_mask, jnp.arange(V, dtype=jnp.int32), V),
-            mode="drop")
-        hi_ok = hi_ids < V
+        ar_v = jnp.arange(V, dtype=jnp.int32)
+
+        def compact_bucket(mask_v, size):
+            # ids of mask_v's true columns, padded with sentinel V
+            rank = jnp.cumsum(mask_v.astype(jnp.int32)) - 1
+            ids = jnp.full((size,), V, jnp.int32).at[
+                jnp.where(mask_v, rank, size - 1)].set(
+                jnp.where(mask_v, ar_v, V), mode="drop")
+            return jnp.sum(mask_v.astype(jnp.int32)), ids
+
+        n_mid, mid_ids = compact_bucket(deg > LO, MB)
+        n_hi, hi_ids = compact_bucket(deg > MID, HB)
+        mid_ok, hi_ok = mid_ids < V, hi_ids < V
+        mid_idc = jnp.minimum(mid_ids, V - 1)
         hi_idc = jnp.minimum(hi_ids, V - 1)
         neigh_lo = jnp.minimum(neigh_dv[:LO], V - 1)
-        neigh_hi = jnp.minimum(neigh_dv[LO:, hi_idc], V - 1)
-        rows_hi = (LO + jnp.arange(MAXD - LO))[:, None] < deg[hi_idc][None]
-        rows_hi = rows_hi & hi_ok[None]
+        neigh_mid = jnp.minimum(neigh_dv[LO:MID, mid_idc], V - 1)
+        neigh_hi = jnp.minimum(neigh_dv[MID:, hi_idc], V - 1)
+        rows_mid = ((LO + jnp.arange(MID - LO))[:, None]
+                    < deg[mid_idc][None]) & mid_ok[None]
+        rows_hi = ((MID + jnp.arange(MAXD - MID))[:, None]
+                   < deg[hi_idc][None]) & hi_ok[None]
 
         def ring_ids_of(mask_v, rank_v):
-            return jnp.full((BOUND,), V, jnp.int32).at[
-                jnp.where(mask_v, rank_v, BOUND - 1)].set(
+            return jnp.full((B_RING,), V, jnp.int32).at[
+                jnp.where(mask_v, rank_v, B_RING - 1)].set(
                 jnp.where(mask_v, jnp.arange(V, dtype=jnp.int32), V),
                 mode="drop")
 
-        lower_ids = ring_ids_of(lower_v, lo_rank_v)  # (BOUND,) vert id | V
+        lower_ids = ring_ids_of(lower_v, lo_rank_v)  # (B_RING,) vert id | V
         dup_ids = ring_ids_of(dup_v, dup_rank_v)
         raw_lower = raw_table[:, jnp.minimum(lower_ids, V - 1)]  # (D2, B)
         raw_dup = raw_table[:, jnp.minimum(dup_ids, V - 1)]
@@ -828,10 +883,14 @@ def sharded_mask_to_surface(mesh: Mesh, mask: jax.Array,
                 [s, jnp.sum(ok, axis=0)[None].astype(jnp.float32)], axis=0)
 
         def pass_(v, factor):
-            # interior update from the dedup'd table, two-level gather
+            # interior update from the dedup'd table, three-level gather
             nb = v[:, neigh_lo]                              # (3, LO, V)
             local_sum = jnp.sum(nb * rows_lo[None], axis=1)
-            nb_hi = v[:, neigh_hi]                           # (3, D-LO, HB)
+            nb_mid = v[:, neigh_mid]                         # (3, MID-LO, MB)
+            mid_sum = jnp.sum(nb_mid * rows_mid[None], axis=1)
+            local_sum = local_sum.at[:, mid_idc].add(
+                jnp.where(mid_ok[None], mid_sum, 0.0))
+            nb_hi = v[:, neigh_hi]                           # (3, D-MID, HB)
             hi_sum = jnp.sum(nb_hi * rows_hi[None], axis=1)  # (3, HB)
             local_sum = local_sum.at[:, hi_idc].add(
                 jnp.where(hi_ok[None], hi_sum, 0.0))
@@ -873,7 +932,7 @@ def sharded_mask_to_surface(mesh: Mesh, mask: jax.Array,
             jnp.where(own_v, verts_sm, 0.0), mode="drop")
         checks = jnp.stack([n_own, n_tris_l, n_up,
                             jnp.sum(g_dup.astype(jnp.int32)),
-                            n_groups, mg, n_hi])
+                            n_groups, mg, n_mid, n_hi])
         return (verts_own[None], faces_global[None], checks[None])
 
     f = jax.jit(shard_map(
@@ -883,9 +942,13 @@ def sharded_mask_to_surface(mesh: Mesh, mask: jax.Array,
     checks = np.asarray(checks)  # (S, k): n_own, n_tris, n_up, n_dup, ...
     assert checks[:, 2].max() < BOUND, "boundary bucket overflow"
     if smooth is not None:
-        assert checks[:, 4].max() <= max_tris, "vertex bucket overflow"
+        assert checks[:, 2].max() < B_RING, "ring bucket overflow (n_up)"
+        assert checks[:, 3].max() < B_RING, "ring bucket overflow (n_dup)"
+        assert checks[:, 4].max() <= vbucket, "vertex bucket overflow"
         assert checks[:, 5].max() <= 16, "vertex degree exceeds MAXD=16"
-        assert checks[:, 6].max() < max(1024, max_tris // 8), \
+        assert checks[:, 6].max() < max(1024, vbucket // 4), \
+            "deg>6 overflow bucket full"
+        assert checks[:, 7].max() < max(1024, vbucket // 64), \
             "deg>8 overflow bucket full"
 
     if return_parts:
@@ -913,7 +976,8 @@ def sharded_mask_to_surface(mesh: Mesh, mask: jax.Array,
         # per-shard (n_own, n_tris, n_up, n_dup, n_groups[, max_group]) +
         # bucket sizes — sizes the project8 comm/compute model
         return out + ({"checks": checks.tolist(), "max_active": max_active,
-                       "max_tris": max_tris, "bound": BOUND,
+                       "max_tris": max_tris, "vbucket": vbucket,
+                       "bound": BOUND, "b_ring": B_RING,
                        "cuts": [int(c) for c in cuts],
                        "tri_hist": tri_g.tolist()},)
     return out

@@ -63,7 +63,7 @@ def log(*a):
 # ---------------------------------------------------------------------------
 
 def collect(size: int, skip_single: bool = False,
-            label_only: bool = False) -> dict:
+            label_only: bool = False, surface_only: bool = False) -> dict:
     import numpy as np
     import jax
     from jax.sharding import Mesh
@@ -84,13 +84,33 @@ def collect(size: int, skip_single: bool = False,
     out = {"size": n, "n_shards": N}
 
     zmesh = Mesh(np.asarray(jax.devices()[:N]), ("z",))
-    run_l = sharded_ops.sharded_watershed(zmesh, stop="label",
-                                          quiet_rounds=2)
-    labels_l, rounds_l = run_l(ct, markers, algorithm="Watershed",
-                               debug_rounds=True)
-    out["sharded_rounds_label"] = np.asarray(rounds_l)[0].tolist()
-    log(f"[{n}] label-stop rounds: {out['sharded_rounds_label']}")
-    labels = labels_l
+    if surface_only:
+        # bucket-sizing / smoothing edits don't change the watershed:
+        # reuse the existing counts' rounds and labels (recomputed from
+        # the single-chip path, identical schedule-independent output),
+        # redo only the surface stats
+        prev = _load(".project8_counts.json")
+        if prev is None or prev["size"] != n:
+            raise SystemExit("--surface-only needs a committed counts "
+                             "file at the same size")
+        for k in ("sharded_rounds_label", "sharded_rounds",
+                  "label_vs_rank_agreement", "single_rounds"):
+            if k in prev:
+                out[k] = prev[k]
+        import jax.numpy as jnp
+
+        lab_dev = ws.watershed(jnp.asarray(ct), jnp.asarray(markers),
+                               algorithm="Watershed")
+        labels = np.asarray(lab_dev)
+        label_only = skip_single = True
+    else:
+        run_l = sharded_ops.sharded_watershed(zmesh, stop="label",
+                                              quiet_rounds=2)
+        labels_l, rounds_l = run_l(ct, markers, algorithm="Watershed",
+                                   debug_rounds=True)
+        out["sharded_rounds_label"] = np.asarray(rounds_l)[0].tolist()
+        log(f"[{n}] label-stop rounds: {out['sharded_rounds_label']}")
+        labels = labels_l
     if not label_only:
         # rank-stop run is ~12x more fine-level rounds — prohibitive on
         # the 1-core CPU mesh at 512^3, so it is opt-out there
@@ -310,24 +330,37 @@ def project(emit_json: bool = True) -> dict:
 
     # ---- ca smoothing ---------------------------------------------------
     verts_shard_frac = frac_max_shard  # verts track tris per shard
-    # taubin: the fused sharded smoother's interior gather is the static
-    # two-level table (LO=8 rows for every column + MAXD-LO=8 rows for a
-    # V/8 overflow bucket) = 9.0 gathered rows/vertex/pass, vs the
-    # single-chip bucketed path's measured-effective 7.9 rows/vertex
-    # (2.918 s / (20 passes x 3.08M verts x ~6 ns/index)).  Scale the
-    # measured single-chip time by that implementation ratio so the
-    # projection models the code that actually runs on 8 chips.
-    TAUBIN_ROWS_SHARDED = 9.0      # parallel/sharded_ops.py two-level
-    TAUBIN_ROWS_MEASURED = 7.9     # single-chip bucketed, effective
-    taubin_ratio = TAUBIN_ROWS_SHARDED / TAUBIN_ROWS_MEASURED
-    t_ca_gathers = (st["ca_taubin"] * taubin_ratio + st["ca_adjacency"]
+    # taubin: count the gathered COLUMNS the sharded smoother actually
+    # issues per pass — masked rows of a padded static bucket still
+    # gather, so the model must charge the PADDED widths, not real
+    # vertex counts.  Interior three-level table (sharded_ops.py):
+    # LO=6 rows x vbucket + 2 rows x vbucket/4 (deg>6) + 8 rows x
+    # vbucket/64 (deg>8).  Ring: two raw halves of (2*MAXD=32, B_RING)
+    # plus ~3 B_RING-wide position/update gathers.  The single-chip
+    # bucketed pass measures 7.9 effective columns/vertex
+    # (2.899 s / (20 passes x 3.08M verts x ~6 ns/column)); the sharded
+    # time scales from the measured single-chip taubin by column count.
+    Vb = stats.get("vbucket", stats["max_tris"])
+    Bring = stats.get("b_ring", stats["bound"])
+    if "vbucket" in stats:
+        idx_interior = 6 * Vb + 2 * max(1024, Vb // 4) \
+            + 8 * max(1024, Vb // 64)
+    else:  # counts predate the three-level table: two-level LO=8 model
+        idx_interior = 8 * Vb + 8 * max(1024, Vb // 8)
+    idx_ring = 2 * 32 * Bring + 3 * Bring
+    # collect at a smaller size: scale bucket widths by total tris
+    scale = T_total / max(1, sum(tris_shard))
+    idx_sharded = (idx_interior + idx_ring) * scale
+    idx_single = 7.9 * st["n_verts"]
+    t_taubin8 = st["ca_taubin"] * idx_sharded / idx_single
+    t_ca_gathers = (t_taubin8 + (st["ca_adjacency"]
                     + st["ca_staircase"] + st["ca_normals"]
-                    + st["ca_weights"]) * verts_shard_frac
+                    + st["ca_weights"]) * verts_shard_frac)
     t_ca_grid = (st["ca_rasterize"] + st["ca_chamfer"]) / N
     n_iters, steps = 10, 6
-    ca_comm = (6 * stats["bound"] * 4                     # staircase minmax
+    ca_comm = (6 * Bring * 4                              # staircase minmax
                + steps * 3 * Yp * Xp * 4                  # chamfer ghosts
-               + n_iters * 2 * (4 + 3) * stats["bound"] * 4)  # taubin rings
+               + n_iters * 2 * (4 + 3) * Bring * 4)       # taubin rings
     t_ca8 = t_ca_gathers + t_ca_grid + ca_comm / ICI_BPS
 
     # ---- export ---------------------------------------------------------

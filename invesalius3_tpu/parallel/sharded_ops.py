@@ -973,8 +973,9 @@ def sharded_mask_to_surface(mesh: Mesh, mask: jax.Array,
     out = (np.concatenate(verts_parts, axis=0),
            np.concatenate(faces_parts, axis=0))
     if return_stats:
-        # per-shard (n_own, n_tris, n_up, n_dup, n_groups[, max_group]) +
-        # bucket sizes — sizes the project8 comm/compute model
+        # per-shard (n_own, n_tris, n_up, n_dup, n_groups[, max_group,
+        # n_mid, n_hi]) + bucket sizes — sizes the project8 comm/compute
+        # model
         return out + ({"checks": checks.tolist(), "max_active": max_active,
                        "max_tris": max_tris, "vbucket": vbucket,
                        "bound": BOUND, "b_ring": B_RING,

@@ -94,7 +94,8 @@ def collect(size: int, skip_single: bool = False,
             raise SystemExit("--surface-only needs a committed counts "
                              "file at the same size")
         for k in ("sharded_rounds_label", "sharded_rounds",
-                  "label_vs_rank_agreement", "single_rounds"):
+                  "label_vs_rank_agreement", "single_rounds",
+                  "surface_uniform"):
             if k in prev:
                 out[k] = prev[k]
         import jax.numpy as jnp
@@ -131,18 +132,19 @@ def collect(size: int, skip_single: bool = False,
         smooth={"t": 0.7, "tmax": 3.0, "bmin": 0.5, "n_iters": 10},
         return_stats=True, balance=True)
     out["surface"] = stats
-    # uniform-partition comparison (balance=False) for the same mask:
-    # quantifies how much the triangle-equalizing cuts shrink the max
-    # shard (the taubin gather floor scales with it)
-    _, _, stats_u = sharded_ops.sharded_mask_to_surface(
-        zmesh, mask, spacing=(0.5, 0.5, 0.5),
-        smooth={"t": 0.7, "tmax": 3.0, "bmin": 0.5, "n_iters": 10},
-        return_stats=True, balance=False)
-    out["surface_uniform"] = stats_u
-    bal_max = max(c[1] for c in stats["checks"])
-    uni_max = max(c[1] for c in stats_u["checks"])
-    log(f"[{n}] max-shard tris: uniform {uni_max} -> balanced {bal_max} "
-        f"(cuts {stats['cuts']})")
+    if "--no-uniform" not in sys.argv:
+        # uniform-partition comparison (balance=False) for the same mask:
+        # quantifies how much the triangle-equalizing cuts shrink the max
+        # shard (the taubin gather floor scales with it)
+        _, _, stats_u = sharded_ops.sharded_mask_to_surface(
+            zmesh, mask, spacing=(0.5, 0.5, 0.5),
+            smooth={"t": 0.7, "tmax": 3.0, "bmin": 0.5, "n_iters": 10},
+            return_stats=True, balance=False)
+        out["surface_uniform"] = stats_u
+        bal_max = max(c[1] for c in stats["checks"])
+        uni_max = max(c[1] for c in stats_u["checks"])
+        log(f"[{n}] max-shard tris: uniform {uni_max} -> balanced {bal_max} "
+            f"(cuts {stats['cuts']})")
     out["n_verts"], out["n_tris"] = len(verts), len(faces)
     log(f"[{n}] surface: V={len(verts)} T={len(faces)} "
         f"buckets=({stats['max_active']},{stats['max_tris']}) "

@@ -411,3 +411,35 @@ def test_sharded_smoothed_pipeline_matches_single_device(zmesh):
     A = {tuple(sorted(f)) for f in fs.tolist()}
     B = {tuple(sorted(f)) for f in f2.tolist()}
     assert A == B
+
+
+def test_sharded_bucket_sizing_invariants(zmesh):
+    """Static SPMD buckets are paid at their PADDED width by every
+    gather/scatter: the vertex bucket must come from the T/2 Euler bound
+    (not max_tris), ring buckets from the in-plane edge counts, and each
+    must still bound the real per-shard counts (the in-program asserts
+    fire otherwise)."""
+    from invesalius3_tpu.ops import mesh as mesh_ops
+
+    n = 48
+    zz, yy, xx = np.mgrid[:n, :n, :n]
+    r = np.sqrt((zz - 24) ** 2 + (yy - 24) ** 2 + (xx - 24) ** 2)
+    mask = ((r < 18) & (r > 10)).astype(np.uint8) * 255
+
+    _, _, stats = sharded_ops.sharded_mask_to_surface(
+        zmesh, jnp.asarray(mask), spacing=(1, 1, 1),
+        smooth={"t": 0.7, "tmax": 3.0, "bmin": 0.5, "n_iters": 2},
+        balance=True, return_stats=True)
+    checks = np.asarray(stats["checks"])
+    # vertex bucket: never looser than the tri bucket (at tiny meshes the
+    # rim cushion clamps them equal; the 512^3 collect shows 1048576 ->
+    # 458752), always >= real verts
+    assert stats["vbucket"] <= stats["max_tris"]
+    assert checks[:, 4].max() <= stats["vbucket"]
+    # ring bucket: bounds the rim verts with the measured-edge sizing
+    assert checks[:, 2].max() < stats["b_ring"]
+    assert checks[:, 3].max() < stats["b_ring"]
+    assert stats["b_ring"] <= stats["bound"]
+    # degree-tail buckets: counts present and inside their slack
+    assert checks[:, 6].max() < max(1024, stats["vbucket"] // 4)   # deg>6
+    assert checks[:, 7].max() < max(1024, stats["vbucket"] // 64)  # deg>8

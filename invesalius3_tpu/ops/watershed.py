@@ -14,8 +14,13 @@ resolved by flood order).  That cost satisfies a Bellman relaxation:
 
 solved by data-parallel fixpoint iteration: six directional scan sweeps
 per round (a ``lax.scan`` along each axis collapses whole monotone runs,
-chamfer-style) plus a neighbor relaxation, until no voxel changes.  No
-priority queue, no subprocess — one jitted program.
+chamfer-style), until no voxel changes.  For 6-connectivity the sweeps
+alone are complete (any 6-path is a sequence of axis moves, so iterative
+bidirectional sweeping reaches the minimax fixpoint — fast-sweeping);
+an explicit neighbor relaxation runs only for 18/26-connectivity, whose
+diagonal arcs skip the intermediate voxel's f and are not expressible as
+axis-move compositions.  No priority queue, no subprocess — one jitted
+program.
 
 Ties in minimax cost are resolved by a secondary hop-distance
 (equal-speed flooding on plateaus).  Memory/layout trick: (cost, dist)
@@ -137,7 +142,14 @@ def watershed_ift(
                 take = nr < rank
                 rank = jnp.where(take, nr, rank)
                 lab = jnp.where(take, nl, lab)
-        rank, lab = _neighbor_relax(rank, lab, f, offs)
+        if connectivity != 6:
+            # Diagonal arcs skip the intermediate voxel's f, so they are NOT
+            # expressible as axis-move compositions — relax them explicitly.
+            # The 6 axis offsets themselves are subsumed transitively by the
+            # bidirectional sweeps (any 6-path is a sequence of axis moves;
+            # iterative sweeping alone reaches the minimax fixpoint), and
+            # that relax was ~60% of the per-round HBM traffic at 512^3.
+            rank, lab = _neighbor_relax(rank, lab, f, offs)
         # frozen voxels never change
         rank = jnp.where(frozen, jnp.int32(0), rank)
         lab = jnp.where(frozen, lab0, lab)
@@ -222,12 +234,7 @@ def _one_round(rank, lab, f, lab0, frozen, connectivity: int):
 
         rank, lab = pk.watershed_sweep_z(rank, lab, f)
         rank, lab = pk.watershed_sweep_y(rank, lab, f)
-        # X sweep: swap the trailing axes and reuse the Y kernel (the two
-        # transposes are cheaper than a lane-axis scan's carry traffic)
-        rt, lt = pk.watershed_sweep_y(
-            jnp.swapaxes(rank, 1, 2), jnp.swapaxes(lab, 1, 2),
-            jnp.swapaxes(f, 1, 2))
-        rank, lab = jnp.swapaxes(rt, 1, 2), jnp.swapaxes(lt, 1, 2)
+        rank, lab = _sweep_x_pallas(rank, lab, f)
         axes = ()
     else:
         axes = (0, 1, 2)
@@ -237,10 +244,27 @@ def _one_round(rank, lab, f, lab0, frozen, connectivity: int):
             take = nr < rank
             rank = jnp.where(take, nr, rank)
             lab = jnp.where(take, nl, lab)
-    rank, lab = _neighbor_relax(rank, lab, f, _offsets_for(connectivity))
+    if connectivity != 6:
+        # axis offsets are subsumed by the sweeps (see watershed_ift.round_);
+        # only diagonal arcs need the explicit relax
+        rank, lab = _neighbor_relax(rank, lab, f, _offsets_for(connectivity))
     rank = jnp.where(frozen, jnp.int32(0), rank)
     lab = jnp.where(frozen, lab0, lab)
     return rank, lab
+
+
+def _sweep_x_pallas(rank, lab, f):
+    """X sweep on the Pallas path: swap the trailing axes and reuse the Y
+    kernel.  A native axis-2 kernel (in-VMEM transposed scratch, probe 10)
+    measured correct in interpret mode but FAULTED the TPU worker at run
+    time (in-kernel 3-D swapaxes on (8, 128, X) i32 VMEM values); the
+    four HBM transposes here are the reliable formulation."""
+    from invesalius3_tpu.ops import pallas_kernels as pk
+
+    rt, lt = pk.watershed_sweep_y(
+        jnp.swapaxes(rank, 1, 2), jnp.swapaxes(lab, 1, 2),
+        jnp.swapaxes(f, 1, 2))
+    return jnp.swapaxes(rt, 1, 2), jnp.swapaxes(lt, 1, 2)
 
 
 def _one_round_padded(rank_p, lab_p, f_p, connectivity: int):
@@ -255,10 +279,7 @@ def _one_round_padded(rank_p, lab_p, f_p, connectivity: int):
 
         rank, lab = pk.watershed_sweep_z(rank, lab, f_p)
         rank, lab = pk.watershed_sweep_y(rank, lab, f_p)
-        rt, lt = pk.watershed_sweep_y(
-            jnp.swapaxes(rank, 1, 2), jnp.swapaxes(lab, 1, 2),
-            jnp.swapaxes(f_p, 1, 2))
-        rank, lab = jnp.swapaxes(rt, 1, 2), jnp.swapaxes(lt, 1, 2)
+        rank, lab = _sweep_x_pallas(rank, lab, f_p)
         axes = ()
     else:
         axes = (0, 1, 2)
@@ -268,7 +289,9 @@ def _one_round_padded(rank_p, lab_p, f_p, connectivity: int):
             take = nr < rank
             rank = jnp.where(take, nr, rank)
             lab = jnp.where(take, nl, lab)
-    return _neighbor_relax(rank, lab, f_p, _offsets_for(connectivity))
+    if connectivity != 6:
+        rank, lab = _neighbor_relax(rank, lab, f_p, _offsets_for(connectivity))
+    return rank, lab
 
 
 @partial(jax.jit, static_argnames=("connectivity", "inner_rounds"),
@@ -320,11 +343,21 @@ def _watershed_refine(f, lab0, rank_init, lab_init, connectivity: int = 6,
     # unchanged while the per-dispatch relay sync amortizes k-fold.
     quiet_batches = max(1, -(-quiet_rounds // inner_rounds))
     n_rounds = 0
+    # Pipelined convergence check: the host reads batch i's changed-flag
+    # only after dispatching batch i+1, so the ~26 ms relay round-trip per
+    # flag read overlaps device work instead of serializing with it (the
+    # flag read was a round-sized fraction of the stage once the sweeps
+    # got cheap).  Cost: one extra dispatched batch after quiescence —
+    # harmless, relaxation is monotone past the fixpoint.
+    pending = None
     for _ in range(0, max_rounds, inner_rounds):
         rank, lab, labels_changed = _refine_round(rank, lab, f, lab0, frozen,
                                                   connectivity, inner_rounds)
         n_rounds += inner_rounds
-        if bool(labels_changed):
+        prev, pending = pending, labels_changed
+        if prev is None:
+            continue
+        if bool(prev):
             quiet = 0
         else:
             quiet += 1

@@ -779,15 +779,18 @@ def _next_pow2(n: int) -> int:
     return p
 
 
-def _round_bucket(n: int) -> int:
-    """Smallest (8+k) * 2^(e-3) >= n (k in 0..7): 1/8-pow2 steps.  Padding
-    waste drops from <=2x (pow2) to <=12.5% — materialize/dedup/taubin all
-    pay per padded element — while the jit cache stays bounded (8 shapes
-    per octave)."""
-    if n <= 8:
+def _round_bucket(n: int, steps: int = 8) -> int:
+    """Smallest (steps+k) * 2^e/steps >= n: 1/steps-pow2 rounding.  At the
+    default steps=8 padding waste drops from <=2x (pow2) to <=12.5% —
+    materialize/dedup/taubin all pay per padded element — while the jit
+    cache stays bounded (8 shapes per octave).  steps=32 (<=3.1% waste) is
+    used where a single bucket's padding dominates a hot stage (the
+    sharded taubin vertex bucket: at 512^3 the 1/8 grid is 65536 wide,
+    ~17% of the real vertex count)."""
+    if n <= steps:
         return max(1, n)
     e = (n - 1).bit_length()  # n <= 2^e
-    g = 1 << (e - 3)
+    g = (1 << e) // steps
     return ((n + g - 1) // g) * g
 
 

@@ -149,8 +149,9 @@ def sharded_watershed(mesh: Mesh, connectivity: int = 6,
 
     Per relaxation round each shard ghost-pads rank/lab with its
     neighbors' boundary planes (``ppermute``), runs the 6 directional
-    sweeps + neighbor relax locally (ops/watershed.py ``_one_round_padded``
-    — the same Pallas/scan kernels as single-device), and drops the
+    sweeps locally (ops/watershed.py ``_one_round_padded`` — the same
+    Pallas/scan kernels as single-device; the explicit neighbor relax
+    runs only for 18/26-connectivity), and drops the
     ghosts; label stability is checked with a global ``psum``.  Bellman
     relaxation converges to the identical fixpoint from any schedule, so
     basins match the single-device solver voxel-for-voxel (asserted in
@@ -361,7 +362,8 @@ def sharded_mask_to_surface(mesh: Mesh, mask: jax.Array,
                             spacing: Tuple[float, float, float] = (1.0, 1.0, 1.0),
                             axis_name: str = "z", smooth: dict | None = None,
                             return_stats: bool = False, balance: bool = False,
-                            return_parts: bool = False):
+                            return_parts: bool = False,
+                            _vbucket_scale: float = 1.0):
     """Full surface extraction over a Z-sharded mask: each shard runs the
     marching-tet stages on its slab (+1-slice halo) with *global* lattice
     keys, dedups locally, and the shards stitch on device by the
@@ -520,11 +522,30 @@ def sharded_mask_to_surface(mesh: Mesh, mask: jax.Array,
     # max_tris 780646 -> 1048576 = 1.34x; now 786432 = 1.007x)
     max_active = max(1024, mc._round_bucket(int(b_act.max())))
     max_tris = max(2048, mc._round_bucket(int(b_tri.max())))
-    # vertex bucket from the REAL tri count (not the rounded max_tris):
-    # T/2 Euler bound + rim cushion
-    t_real = int(b_tri.max())
+    # vertex bucket: per-shard open-mesh Euler bound instead of a flat
+    # heuristic cushion.  V = T/2 + rim/2 + O(components): rim vertices
+    # at a cut plane are bounded by 2x that plane's in-plane crossing
+    # edges (the same bound B_RING uses, asserted post-hoc via
+    # checks[:, 2:4] since it shipped), components contribute +2 each
+    # (256 covers any clinical mask; pathological inputs hit the
+    # overflow retry below, one recompile).  The old t/32 cushion plus
+    # 1/8-octave rounding sized 458752 for a measured 391319 fill at
+    # 512^3 — 17% padding PAID by every interior gather column of the
+    # dominant sharded-taubin stage; this bound + 1/32 rounding gives
+    # 393216 (0.5%).
+    b_ver = np.zeros(n_shards, np.int64)
+    for s in range(n_shards):
+        c0, c1 = cuts[s], cuts[s + 1]
+        rim = 0
+        if s > 0:
+            rim += 2 * max(int(edge_g[max(c0 - 1, 0)]),
+                           int(edge_g[min(c0, Z - 1)]))
+        if s < n_shards - 1:
+            rim += 2 * max(int(edge_g[max(c1 - 1, 0)]),
+                           int(edge_g[min(c1, Z - 1)]))
+        b_ver[s] = b_tri[s] // 2 + rim // 2 + 256
     vbucket = min(max_tris, max(2048, mc._round_bucket(
-        t_real // 2 + max(8192, t_real // 32))))
+        int(b_ver.max() * _vbucket_scale), steps=32)))
     # ring bucket: cut-plane rim vertices = in-plane crossing edges at
     # the cut (measured ~2.8k at 512^3 vs the stitch bucket's 131072 —
     # the per-pass (2*MAXD, bucket) raw gathers pay the PADDED width, so
@@ -944,12 +965,26 @@ def sharded_mask_to_surface(mesh: Mesh, mask: jax.Array,
     if smooth is not None:
         assert checks[:, 2].max() < B_RING, "ring bucket overflow (n_up)"
         assert checks[:, 3].max() < B_RING, "ring bucket overflow (n_dup)"
-        assert checks[:, 4].max() <= vbucket, "vertex bucket overflow"
         assert checks[:, 5].max() <= 16, "vertex degree exceeds MAXD=16"
-        assert checks[:, 6].max() < max(1024, vbucket // 4), \
-            "deg>6 overflow bucket full"
-        assert checks[:, 7].max() < max(1024, vbucket // 64), \
-            "deg>8 overflow bucket full"
+        if (checks[:, 4].max() > vbucket
+                or checks[:, 6].max() >= max(1024, vbucket // 4)
+                or checks[:, 7].max() >= max(1024, vbucket // 64)):
+            # Euler-bound undersizing (many tiny components, or a degree
+            # histogram with a fat >6 tail): widen the vertex bucket one
+            # step and redo — one recompile, never a crash.  The bound
+            # holds for every clinical mask measured, so this path is
+            # cold; three widenings (1.5x) covers even all-noise masks.
+            if _vbucket_scale >= 1.5:
+                raise AssertionError(
+                    f"vertex bucket overflow persists at scale "
+                    f"{_vbucket_scale:.2f}: fill {int(checks[:, 4].max())} "
+                    f"vs bucket {vbucket}")
+            # (mask was normalized to 0/1 above; x255 restores the >=127
+            # contract for the retry entry)
+            return sharded_mask_to_surface(
+                mesh, mask * jnp.uint8(255), spacing, axis_name, smooth,
+                return_stats, balance, return_parts,
+                _vbucket_scale=_vbucket_scale * 1.15)
 
     if return_parts:
         # pipelined per-shard export (mesh_io.write_stl_sharded): hand the

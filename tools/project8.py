@@ -437,7 +437,8 @@ def main(argv=None):
     if "--collect" in argv:
         size = int(argv[argv.index("--collect") + 1])
         doc = collect(size, skip_single="--skip-single" in argv,
-                      label_only="--label-only" in argv)
+                      label_only="--label-only" in argv,
+                      surface_only="--surface-only" in argv)
         path = os.path.join(REPO, ".project8_counts.json")
         with open(path, "w") as fh:
             json.dump(doc, fh, indent=1)

@@ -73,6 +73,12 @@ def parse_command_line(argv=None) -> argparse.Namespace:
                         "run_cranioplasty_implant)")
     p.add_argument("--serve", type=int, metavar="PORT", default=None,
                    help="start the HTTP viewer server on PORT and block")
+    p.add_argument("--shell", action="store_true",
+                   help="drop into an interactive Python shell with the app "
+                        "context (slc, project, session, volume, ops, np, "
+                        "jnp) after the batch steps — the headless analog of "
+                        "the reference's embedded console "
+                        "(gui/interactive_shell.py:121)")
     return p.parse_args(argv)
 
 
@@ -292,6 +298,10 @@ def main(argv=None) -> int:
             srv.start()
             print(tr("viewer server on {url}").format(
                 url=f"http://127.0.0.1:{srv.port}"), file=sys.stderr)
+            if args.shell:
+                run_shell(slc, project, session, volume, server=srv)
+                srv.stop()
+                return 0
             try:
                 import time
 
@@ -299,11 +309,37 @@ def main(argv=None) -> int:
                     time.sleep(3600)
             except KeyboardInterrupt:
                 srv.stop()
+        elif args.shell:
+            run_shell(slc, project, session, volume)
         return 0
     finally:
         if remote is not None:
             remote.disconnect()
         session.exit()
+
+
+def run_shell(slc, project, session, volume, server=None) -> None:
+    """Interactive Python console with the live app context — the headless
+    analog of the reference's embedded shell (gui/interactive_shell.py:121,
+    which exposes the wx app's namespace in a PyCrust pane).  Everything a
+    panel could do is reachable through ``slc``/``project``/``events``."""
+    import code
+
+    import jax.numpy as jnp
+
+    import invesalius3_tpu.ops as ops
+
+    ns = {
+        "np": np, "jnp": jnp, "ops": ops, "const": const, "events": events,
+        "slc": slc, "project": project, "session": session, "volume": volume,
+    }
+    if server is not None:
+        ns["server"] = server
+    banner = tr(
+        "invesalius3_tpu shell — objects: {names}\n"
+        "e.g. slc.create_new_mask(threshold_range=(226, 3071))").format(
+        names=", ".join(sorted(ns)))
+    code.interact(banner=banner, local=ns, exitmsg="")
 
 
 def run_cranioplasty(input_path, output_path) -> int:

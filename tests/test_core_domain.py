@@ -271,3 +271,31 @@ def test_project_from_matrix(tmp_path):
     loaded = Project.open(p)
     np.testing.assert_array_equal(np.asarray(loaded.volume.data), m)
     assert loaded.name == "frommat"
+
+
+def test_cli_shell_exposes_app_context(tmp_path, monkeypatch, capsys):
+    """--shell drops into a REPL with the live app objects (the headless
+    analog of the reference's embedded console, gui/interactive_shell.py).
+    Drive it with scripted stdin: create a mask through ``slc`` and print
+    its voxel count."""
+    import io as _io
+    import os
+    import sys
+
+    from invesalius3_tpu import app
+    from invesalius3_tpu.io import nifti
+
+    ct = np.full((16, 16, 16), -1000, np.int16)
+    ct[4:12, 4:12, 4:12] = 1500
+    src = tmp_path / "cube.nii.gz"
+    nifti.write_nifti(src, ct, spacing=(1.0, 1.0, 1.0))
+    os.environ["XDG_CONFIG_HOME"] = str(tmp_path / "xdg")
+    script = (
+        "m = slc.create_new_mask(threshold_range=(226, 3071))\n"
+        "print('SHELL_COUNT', int(np.asarray(m.visible_array()).sum()))\n"
+    )
+    monkeypatch.setattr(sys, "stdin", _io.StringIO(script))
+    rc = app.main(["--import-file", str(src), "--shell"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "SHELL_COUNT 512" in out  # 8^3 bone cube

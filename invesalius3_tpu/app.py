@@ -215,6 +215,10 @@ def main(argv=None) -> int:
                           file=sys.stderr)
             return 0
         volume = import_data(args)
+        from invesalius3_tpu.utils.logging import ensure_logging, get_logger
+        ensure_logging(console=False)
+        get_logger("app").info("imported volume %s %s spacing=%s",
+                               volume.shape, volume.dtype, volume.spacing)
         print(tr("volume: {shape} {dtype} spacing={spacing}").format(
             shape=volume.shape, dtype=volume.dtype, spacing=volume.spacing),
             file=sys.stderr)

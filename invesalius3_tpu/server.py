@@ -120,6 +120,13 @@ import numpy as np
 from invesalius3_tpu import constants as const, events
 from invesalius3_tpu.core.slice import Slice
 from invesalius3_tpu.utils.i18n import current_catalog, tr
+from invesalius3_tpu.utils.logging import get_logger
+
+_log = get_logger("server")
+
+# State-changing POSTs logged to the /api/log ring, except these
+# high-frequency interaction paths (drag gestures, wheel windowing).
+_LOG_QUIET_POSTS = {"/api/brush", "/api/window", "/api/pedal"}
 
 
 class AppState:
@@ -777,6 +784,7 @@ def make_handler(state: AppState):
                 else:
                     self._json({"error": tr("not found")}, 404)
             except Exception as e:  # surface errors as JSON
+                _log.exception("GET %s failed: %r", self.path, e)
                 self._json({"error": repr(e)}, 500)
 
         # -- POST --------------------------------------------------------------
@@ -786,7 +794,13 @@ def make_handler(state: AppState):
                 body = self._body()
                 with state.lock:
                     self._post(slc, body)
+                # activity trail for the log panel (reference
+                # enhanced_logging.py session/application activity log);
+                # high-frequency interaction paths stay quiet.
+                if self.path not in _LOG_QUIET_POSTS:
+                    _log.info("%s", self.path)
             except Exception as e:
+                _log.exception("POST %s failed: %r", self.path, e)
                 self._json({"error": repr(e)}, 500)
 
         def _post(self, slc, body):

@@ -251,6 +251,15 @@ def test_walkthrough(server):
     n_tris = struct.unpack("<I", stl[80:84])[0]
     assert len(stl) == 84 + 50 * n_tris
 
+    # 9. the activity trail reached the log panel's ring (reference
+    # enhanced_logging session log): state-changing POSTs above are
+    # recorded, high-frequency gestures (/api/brush) stay quiet
+    code, _, body = _get(server, "/api/log")
+    assert code == 200
+    msgs = [e["message"] for e in json.loads(body)]
+    assert "/api/threshold" in msgs and "/api/watershed" in msgs
+    assert "/api/brush" not in msgs
+
 
 def test_walkthrough_tools(server):
     """The round-4 tool wiring: region-grow config, mask part ops, crop

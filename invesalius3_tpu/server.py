@@ -454,6 +454,54 @@ def make_handler(state: AppState):
                     p = state.custom_presets.get(name)
                     self._json(raycast.nodes_from_preset(p) if p is not None
                                else raycast.preset_nodes(name))
+                elif url.path == "/api/raycast/lut":
+                    # baked RGBA LUT for the client-side GPU raycaster —
+                    # the same table /api/render composites with, so both
+                    # volume modes agree (reference color_transfer /
+                    # opacity_transfer funcs, viewer_volume.py:636-646)
+                    from invesalius3_tpu.ops import raycast
+
+                    name = q.get("name", "Bone")
+                    p = (state.custom_presets.get(name)
+                         or raycast.load_preset(name))
+                    n = max(2, min(1024, int(q.get("n", 256))))
+                    src = np.asarray(p.rgba, np.float32)
+                    idx = np.clip((np.linspace(0.0, 1.0, n)
+                                   * (len(src) - 1) + 0.5).astype(int),
+                                  0, len(src) - 1)
+                    lut = (src[idx] * 255.0 + 0.5).astype(np.uint8)
+                    self._json({"name": p.name, "lo": float(p.lut_min),
+                                "hi": float(p.lut_max),
+                                "shading": bool(p.use_shading),
+                                "rgba": lut.ravel().tolist()})
+                elif url.path == "/api/volume/brick":
+                    # u8 image brick the browser uploads once as a WebGL2
+                    # 3D texture for client-side raycasting (reference
+                    # viewer_volume.py:129 live vtkVolume mapper; the
+                    # server /api/render stays the full-fidelity path).
+                    # Downsampled on device so only the brick crosses D2H.
+                    max_dim = max(16, int(q.get("max_dim", 256)))
+                    shape = slc.matrix.shape
+                    step = max(1, -(-max(shape) // max_dim))
+                    brick = np.asarray(
+                        slc.matrix[::step, ::step, ::step], np.float32)
+                    lo = float(brick.min())
+                    hi = float(brick.max())
+                    u8 = ((brick - lo) * (255.0 / max(hi - lo, 1e-6))
+                          ).astype(np.uint8)
+                    sx, sy, sz = slc.spacing  # X-first (volume.py:32)
+                    meta = json.dumps({
+                        "dims": list(u8.shape),  # (Z, Y, X)
+                        "spacing": [sx * step, sy * step, sz * step],
+                        "lo": lo, "hi": hi, "step": step}).encode()
+                    payload = (b"IVB1" + np.uint32(len(meta)).tobytes()
+                               + meta + u8.tobytes())
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "application/octet-stream")
+                    self.send_header("Content-Length", str(len(payload)))
+                    self.end_headers()
+                    self.wfile.write(payload)
                 elif url.path == "/api/image_versions":
                     self._json({
                         "versions": [lbl for lbl, _ in slc.image_versions],

@@ -130,12 +130,13 @@ function refreshSlices(orients) {
 
 function refresh3D(full) {
   const mode = $("#mode3d").value;
-  const glMode = mode === "surfaces-gl";
+  const glMode = mode === "surfaces-gl" || mode === "volume-gl";
   $("#gl3d").style.display = glMode ? "" : "none";
   $("#img3d").style.display = glMode ? "none" : "";
   if (glMode) {
     $("#angles").textContent =
       `az ${state.azimuth.toFixed(0)}° el ${state.elevation.toFixed(0)}°`;
+    if (mode === "volume-gl") { volGLEnsure().then(volGLRender); return; }
     if (!gl3d.loaded) gl3dLoad().then(gl3dRender);
     else gl3dRender();
     return;
@@ -262,6 +263,7 @@ async function applyClut(save) {
   rp.value = r.name;
   state.raycastPreset = r.name;
   setStatus(save ? `preset saved: ${r.saved}` : `preset applied: ${r.name}`);
+  volgl.lutName = null;  // the server-side preset changed: re-bake the GL LUT
   refresh3D();
 }
 
@@ -863,6 +865,7 @@ function gl3dRender() {
   const w = wrap.clientWidth || 300, h = wrap.clientHeight || 300;
   if (cv.width !== w || cv.height !== h) { cv.width = w; cv.height = h; }
   gl.viewport(0, 0, w, h);
+  gl.enable(gl.DEPTH_TEST);  // volGLRender's fullscreen pass disables it
   gl.clearColor(0.04, 0.05, 0.07, 1);
   gl.clear(gl.COLOR_BUFFER_BIT | gl.DEPTH_BUFFER_BIT);
   const az = state.azimuth * Math.PI / 180;
@@ -895,6 +898,201 @@ function gl3dRender() {
     gl.uniform1f(gl.getUniformLocation(gl3d.prog, "transparency"), 0);
     gl.drawArrays(gl.POINTS, 0, gl3d.markerN);
   }
+}
+
+// --- client-side GPU volume raycast (reference live vtkVolume raycast
+// mapper, viewer_volume.py:129,636-646).  The server streams ONE
+// downsampled u8 brick (/api/volume/brick) plus the preset's baked RGBA
+// LUT (/api/raycast/lut); the browser then orbits at display rate with
+// front-to-back compositing + gradient shading in a WebGL2 fragment
+// shader — zero HTTP per frame.  /api/render stays the full-fidelity
+// server path (progressive pooled->full refinement).
+const volgl = { prog: null, tex: null, lut: null, lutName: null,
+                loaded: false, loading: null,
+                dims: [1, 1, 1], ext: [1, 1, 1], vlo: 0, vhi: 1,
+                plo: 0, phi: 1, stepRef: 1, shading: false };
+
+function volGLInit(gl) {
+  const vs = `#version 300 es
+  out vec2 uv;
+  void main(){
+    vec2 p = vec2(float((gl_VertexID << 1) & 2), float(gl_VertexID & 2));
+    uv = p * 2.0 - 1.0;
+    gl_Position = vec4(p * 2.0 - 1.0, 0.0, 1.0);
+  }`;
+  const fs = `#version 300 es
+  precision highp float;
+  precision highp sampler3D;
+  in vec2 uv; out vec4 frag;
+  uniform sampler3D vol; uniform sampler2D lut;
+  uniform vec3 eye; uniform vec3 fwd; uniform vec3 rightv;
+  uniform vec3 upv; uniform vec3 boxMax; uniform vec3 texel;
+  uniform float vlo; uniform float vhi; uniform float plo;
+  uniform float phi; uniform float stepRef; uniform int shade;
+  void main(){
+    vec3 dir = normalize(fwd + uv.x * rightv + uv.y * upv);
+    vec3 inv = 1.0 / dir;
+    vec3 ta = (vec3(0.0) - eye) * inv, tb = (boxMax - eye) * inv;
+    vec3 t0 = min(ta, tb), t1 = max(ta, tb);
+    float tn = max(max(t0.x, t0.y), max(t0.z, 0.0));
+    float tf = min(min(t1.x, t1.y), t1.z);
+    vec3 bg = vec3(0.04, 0.05, 0.07);
+    if (tf <= tn) { frag = vec4(bg, 1.0); return; }
+    const int N = 256;
+    float dt = (tf - tn) / float(N);
+    vec3 acc = vec3(0.0); float aAcc = 0.0;
+    vec3 w2t = 1.0 / boxMax;                     // world mm -> tex coords
+    for (int i = 0; i < N; i++) {
+      vec3 p = (eye + (tn + (float(i) + 0.5) * dt) * dir) * w2t;
+      float raw = vlo + texture(vol, p).r * (vhi - vlo);
+      float t = clamp((raw - plo) / (phi - plo), 0.0, 1.0);
+      vec4 c = texture(lut, vec2(t, 0.5));
+      // step-length opacity correction: the LUT's alpha is per stepRef mm
+      float a = 1.0 - pow(1.0 - min(c.a, 0.999), dt / stepRef);
+      if (a < 0.0015) continue;
+      if (shade > 0) {
+        vec3 g = vec3(
+          texture(vol, p + vec3(texel.x, 0.0, 0.0)).r
+            - texture(vol, p - vec3(texel.x, 0.0, 0.0)).r,
+          texture(vol, p + vec3(0.0, texel.y, 0.0)).r
+            - texture(vol, p - vec3(0.0, texel.y, 0.0)).r,
+          texture(vol, p + vec3(0.0, 0.0, texel.z)).r
+            - texture(vol, p - vec3(0.0, 0.0, texel.z)).r);
+        float g2 = dot(g, g);
+        if (g2 > 1e-8) {                          // headlight diffuse
+          float diff = abs(dot(g / sqrt(g2), dir));
+          c.rgb *= 0.35 + 0.65 * diff;
+        }
+      }
+      acc += (1.0 - aAcc) * a * c.rgb;
+      aAcc += (1.0 - aAcc) * a;
+      if (aAcc > 0.985) break;                    // early ray termination
+    }
+    frag = vec4(acc + (1.0 - aAcc) * bg, 1.0);
+  }`;
+  const mk = (type, src) => {
+    const s = gl.createShader(type);
+    gl.shaderSource(s, src); gl.compileShader(s);
+    if (!gl.getShaderParameter(s, gl.COMPILE_STATUS)) {
+      throw new Error(gl.getShaderInfoLog(s));
+    }
+    return s;
+  };
+  const prog = gl.createProgram();
+  gl.attachShader(prog, mk(gl.VERTEX_SHADER, vs));
+  gl.attachShader(prog, mk(gl.FRAGMENT_SHADER, fs));
+  gl.linkProgram(prog);
+  volgl.prog = prog;
+}
+
+async function volGLLut(gl) {
+  const name = state.raycastPreset;
+  const r = await api(`/api/raycast/lut?name=${encodeURIComponent(name)}&n=256`);
+  volgl.plo = r.lo; volgl.phi = Math.max(r.hi, r.lo + 1e-3);
+  volgl.shading = r.shading;
+  const px = new Uint8Array(r.rgba);
+  if (!volgl.lut) volgl.lut = gl.createTexture();
+  gl.bindTexture(gl.TEXTURE_2D, volgl.lut);
+  gl.texImage2D(gl.TEXTURE_2D, 0, gl.RGBA, px.length / 4, 1, 0,
+                gl.RGBA, gl.UNSIGNED_BYTE, px);
+  gl.texParameteri(gl.TEXTURE_2D, gl.TEXTURE_MIN_FILTER, gl.LINEAR);
+  gl.texParameteri(gl.TEXTURE_2D, gl.TEXTURE_MAG_FILTER, gl.LINEAR);
+  gl.texParameteri(gl.TEXTURE_2D, gl.TEXTURE_WRAP_S, gl.CLAMP_TO_EDGE);
+  volgl.lutName = name;
+}
+
+async function volGLEnsure() {
+  const gl = gl3d.gl || gl3dInit();
+  if (!gl) { setStatus("WebGL2 unavailable; use server mode"); return; }
+  if (!volgl.prog) volGLInit(gl);
+  if (!volgl.loaded) {
+    if (!volgl.loading) {
+      volgl.loading = (async () => {
+        const buf = await (await fetch("/api/volume/brick?max_dim=256"))
+          .arrayBuffer();
+        const dv = new DataView(buf);
+        if (dv.getUint32(0) !== 0x49564231) throw new Error("bad brick magic");
+        const jlen = dv.getUint32(4, true);
+        const meta = JSON.parse(new TextDecoder().decode(
+          new Uint8Array(buf, 8, jlen)));
+        const [Z, Y, X] = meta.dims;           // server layout (volume.py:32)
+        const data = new Uint8Array(buf, 8 + jlen, Z * Y * X);
+        volgl.dims = [X, Y, Z];                // texture axes s,t,r
+        volgl.ext = [X * meta.spacing[0], Y * meta.spacing[1],
+                     Z * meta.spacing[2]];
+        volgl.stepRef = Math.max(Math.min(...meta.spacing), 1e-3);
+        volgl.vlo = meta.lo; volgl.vhi = Math.max(meta.hi, meta.lo + 1e-3);
+        if (volgl.tex) gl.deleteTexture(volgl.tex);
+        volgl.tex = gl.createTexture();
+        gl.bindTexture(gl.TEXTURE_3D, volgl.tex);
+        gl.pixelStorei(gl.UNPACK_ALIGNMENT, 1);
+        gl.texImage3D(gl.TEXTURE_3D, 0, gl.R8, X, Y, Z, 0,
+                      gl.RED, gl.UNSIGNED_BYTE, data);
+        gl.texParameteri(gl.TEXTURE_3D, gl.TEXTURE_MIN_FILTER, gl.LINEAR);
+        gl.texParameteri(gl.TEXTURE_3D, gl.TEXTURE_MAG_FILTER, gl.LINEAR);
+        gl.texParameteri(gl.TEXTURE_3D, gl.TEXTURE_WRAP_S, gl.CLAMP_TO_EDGE);
+        gl.texParameteri(gl.TEXTURE_3D, gl.TEXTURE_WRAP_T, gl.CLAMP_TO_EDGE);
+        gl.texParameteri(gl.TEXTURE_3D, gl.TEXTURE_WRAP_R, gl.CLAMP_TO_EDGE);
+        volgl.loaded = true;
+      })().finally(() => { volgl.loading = null; });
+    }
+    await volgl.loading;
+  }
+  if (volgl.lutName !== state.raycastPreset) await volGLLut(gl);
+}
+
+function volGLInvalidate() {   // the image volume changed: re-stream the brick
+  volgl.loaded = false;
+  if ($("#mode3d").value === "volume-gl") refresh3D();
+}
+
+function volGLRender() {
+  const gl = gl3d.gl;
+  if (!gl || !volgl.loaded || !volgl.prog) return;
+  const cv = $("#gl3d");
+  const wrap = $("#pane3d .imgwrap");
+  const w = wrap.clientWidth || 300, h = wrap.clientHeight || 300;
+  if (cv.width !== w || cv.height !== h) { cv.width = w; cv.height = h; }
+  gl.viewport(0, 0, w, h);
+  gl.disable(gl.DEPTH_TEST);
+  gl.useProgram(volgl.prog);
+  gl.bindVertexArray(null);
+  const c = volgl.ext.map((v) => v / 2);
+  const d = 1.8 * Math.max(volgl.ext[0], volgl.ext[1], volgl.ext[2], 10);
+  const az = state.azimuth * Math.PI / 180;
+  const el = state.elevation * Math.PI / 180;
+  const eye = [c[0] + d * Math.cos(el) * Math.sin(az),
+               c[1] - d * Math.cos(el) * Math.cos(az),
+               c[2] + d * Math.sin(el)];           // CT world: z superior
+  const norm = (a) => { const l = Math.hypot(...a); return a.map((v) => v / l); };
+  const cross = (a, b) => [a[1] * b[2] - a[2] * b[1],
+                           a[2] * b[0] - a[0] * b[2],
+                           a[0] * b[1] - a[1] * b[0]];
+  const fwd = norm(c.map((v, i) => v - eye[i]));
+  const ru = norm(cross(fwd, [0, 0, 1]));
+  const uu = cross(ru, fwd);
+  const ht = Math.tan(0.3);                        // fovy 0.6 rad (mat4Persp)
+  const u = (n) => gl.getUniformLocation(volgl.prog, n);
+  gl.uniform3fv(u("eye"), eye);
+  gl.uniform3fv(u("fwd"), fwd);
+  gl.uniform3fv(u("rightv"), ru.map((v) => v * ht * (w / h)));
+  gl.uniform3fv(u("upv"), uu.map((v) => v * ht));
+  gl.uniform3fv(u("boxMax"), volgl.ext);
+  gl.uniform3fv(u("texel"), volgl.dims.map((v) => 1 / v));
+  gl.uniform1f(u("vlo"), volgl.vlo);
+  gl.uniform1f(u("vhi"), volgl.vhi);
+  gl.uniform1f(u("plo"), volgl.plo);
+  gl.uniform1f(u("phi"), volgl.phi);
+  gl.uniform1f(u("stepRef"), volgl.stepRef);
+  gl.uniform1i(u("shade"), volgl.shading ? 1 : 0);
+  gl.activeTexture(gl.TEXTURE0);
+  gl.bindTexture(gl.TEXTURE_3D, volgl.tex);
+  gl.uniform1i(u("vol"), 0);
+  gl.activeTexture(gl.TEXTURE1);
+  gl.bindTexture(gl.TEXTURE_2D, volgl.lut);
+  gl.uniform1i(u("lut"), 1);
+  gl.drawArrays(gl.TRIANGLES, 0, 3);
+  gl.activeTexture(gl.TEXTURE0);
 }
 
 // --- geodesic surface measure (reference measures.py:1068, the VTK
@@ -1014,8 +1212,13 @@ function attach3D() {
       drag.el + (ev.clientY - drag.y) * 0.7));
     $("#angles").textContent =
       `az ${state.azimuth.toFixed(0)}° el ${state.elevation.toFixed(0)}°`;
-    if ($("#mode3d").value === "surfaces-gl") {
+    const m3 = $("#mode3d").value;
+    if (m3 === "surfaces-gl") {
       gl3dRender();  // local GPU: display-rate orbit, zero HTTP
+      return;
+    }
+    if (m3 === "volume-gl") {
+      volGLRender();  // local GPU raycast: display-rate orbit, zero HTTP
       return;
     }
     // progressive refinement (reference viewer_volume.py:636-646 live
@@ -1038,7 +1241,7 @@ function attach3D() {
   window.addEventListener("mouseup", () => {
     // only orbit DRAGS earn the full-quality re-render — tool clicks
     // (cut3d vertices, part picks) never moved the camera
-    if (drag && drag.moved && $("#mode3d").value !== "surfaces-gl") {
+    if (drag && drag.moved && !$("#mode3d").value.endsWith("-gl")) {
       clearTimeout(timer);
       clearTimeout(refineTimer);
       refresh3D(true);  // full quality immediately on drag end
@@ -1434,7 +1637,7 @@ async function init() {
     ivs.appendChild(o);
   });
   ivs.onchange = () => api("/api/image_versions/select", { label: ivs.value })
-    .then(() => refreshSlices());
+    .then(() => { volGLInvalidate(); refreshSlices(); });
 
   $("#ww").onchange = () => { state.ww = +$("#ww").value; api("/api/window", { ww: state.ww, wl: state.wl }); refreshSlices(); };
   $("#wl").onchange = () => { state.wl = +$("#wl").value; api("/api/window", { ww: state.ww, wl: state.wl }); refreshSlices(); };
@@ -1602,6 +1805,7 @@ async function init() {
     setStatus(T("volume cropped"));
     state.cropLimits = null;
     $("#crop-info").textContent = "";
+    volgl.loaded = false;
     refreshSlices(); refresh3D(); refreshLists();
   };
   $("#crop-clear").onclick = async () => {
@@ -1620,6 +1824,7 @@ async function init() {
       angles: [+$("#reorient-x").value * d, +$("#reorient-y").value * d,
                +$("#reorient-z").value * d] });
     setStatus(T("volume reoriented"));
+    volgl.loaded = false;
     refreshSlices(); refresh3D();
   };
   // 3D polygon cut through the scene camera

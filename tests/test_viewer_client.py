@@ -424,3 +424,48 @@ def test_walkthrough_progressive_render_and_ssao(server):
     assert code == 200 and code2 == 200
     assert ao != plain
     _post(server, "/api/surface/remove", {"index": out["index"]})
+
+
+def test_walkthrough_client_volume_raycast(server):
+    """Client-side GPU volume raycast feed (the app.js ``volume-gl`` 3D
+    mode; reference live vtkVolume mapper, viewer_volume.py:129): the
+    server streams one downsampled u8 brick + the preset's baked RGBA LUT
+    and the browser composites locally.  Validates the exact binary
+    protocol app.js volGLEnsure parses."""
+    code, ctype, blob = _get(server, "/api/volume/brick?max_dim=16")
+    assert code == 200 and "octet-stream" in ctype
+    assert blob[:4] == b"IVB1"
+    (jlen,) = struct.unpack("<I", blob[4:8])
+    meta = json.loads(blob[8:8 + jlen])
+    z, y, x = meta["dims"]
+    assert max(meta["dims"]) <= 16 and meta["step"] == 2  # 32 -> 16
+    data = np.frombuffer(blob[8 + jlen:], np.uint8).reshape(z, y, x)
+    # u8 quantization of the real image: lo->0, hi->255, bone shell bright
+    assert meta["lo"] == -1000.0 and meta["hi"] == 1400.0
+    assert data.min() == 0 and data.max() == 255
+    raw = meta["lo"] + data[z // 2].astype(np.float32) / 255.0 \
+        * (meta["hi"] - meta["lo"])
+    assert abs(raw[0, 0] - -1000) < 6          # air corner survives rounding
+    assert raw.max() > 1300                    # bone shell present mid-slice
+    assert meta["spacing"] == [2.0, 2.0, 2.0]  # 1 mm * step, X-first
+
+    # the LUT the shader composites with: preset window + RGBA rows
+    code, _, body = _get(server, "/api/raycast/lut?name=Bone&n=64")
+    assert code == 200
+    lut = json.loads(body)
+    assert lut["name"] == "Bone" and lut["hi"] > lut["lo"]
+    assert len(lut["rgba"]) == 64 * 4
+    assert all(0 <= v <= 255 for v in lut["rgba"])
+    a = lut["rgba"][3::4]
+    assert max(a) > 0                          # something is visible
+
+    # a live CLUT edit (save=False) must win over the stock preset table
+    code, saved = _post(server, "/api/raycast/preset", {
+        "name": "Bone", "lo": 0.0, "hi": 100.0, "save": False,
+        "alpha_nodes": [[0.0, 1.0], [100.0, 1.0]],
+        "color_nodes": [[0.0, [1, 0, 0]], [100.0, [1, 0, 0]]]})
+    assert code == 200
+    code, _, body2 = _get(server, "/api/raycast/lut?name=Bone&n=64")
+    lut2 = json.loads(body2)
+    assert (lut2["lo"], lut2["hi"]) == (0.0, 100.0)
+    assert lut2["rgba"] != lut["rgba"]
